@@ -1,0 +1,250 @@
+"""Lensmap builders: inverse (jitted per-pixel map) and forward (host
+rasterizer) paths.
+
+Reference: ``create_lensmap`` (``engine/NQ/fisheye.c:2367-2397``) and the
+inverse scan ``resume_lensmap_inverse`` (``fisheye.c:2084-2124``).  The
+reference crosses the C<->Lua boundary once per pixel and time-slices the
+scan across frames (``fisheye.c:306-322``); here the whole pixel grid is
+one traced, vmapped expression compiled once per (lens, globe, shape) —
+zoom changes re-run the compiled builder with a new scale scalar, so a
+``f_fov`` sweep never recompiles.
+
+The same grid math runs under NumPy float64 (`xp=numpy`) for host-side
+builds and under jnp for TPU; the scalar-loop transcription used as the
+parity oracle lives in :mod:`blinky_tpu.parity.oracle`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blinky_tpu import geometry
+from blinky_tpu.globes import Globe
+from blinky_tpu.lenses import LensDef
+from blinky_tpu.palette import MAX_PLATES
+
+# tint-plane value meaning "no tint" in the compact 7-row LUT space
+# (the reference stores 255, fisheye.c:732; we use row 6 of the tint LUT).
+TINT_NONE = MAX_PLATES
+
+
+@dataclasses.dataclass
+class LensMap:
+    """The built gather table (arrays are [H, W] in screen row-major order).
+
+    ``flat_idx`` indexes the flattened ``[MAX_PLATES, S, S]`` globe store:
+    ``plate * S*S + py * S + px`` — the TPU-native form of the reference's
+    per-pixel pointers (``LENSPIXEL``, ``fisheye.c:430``).
+    """
+
+    width_px: int
+    height_px: int
+    platesize: int
+    numplates: int
+    scale: float
+    plate: object  # int32 [H, W], -1 where invalid
+    px: object  # int32 [H, W]
+    py: object  # int32 [H, W]
+    valid: object  # bool [H, W]
+    tint: object  # uint8 [H, W]; 0..5 plate tint, TINT_NONE = none
+    flat_idx: object  # int32 [H, W]
+    plates_used: object  # bool [MAX_PLATES] — the reference's display flags
+
+    def to_numpy(self) -> "LensMap":
+        return dataclasses.replace(
+            self,
+            **{
+                f: np.asarray(getattr(self, f))
+                for f in ("plate", "px", "py", "valid", "tint", "flat_idx", "plates_used")
+            },
+        )
+
+    @property
+    def tint_c(self):
+        """The tint plane in the reference's encoding (255 = no tint)."""
+        xp = jnp if isinstance(self.tint, jax.Array) else np
+        return xp.where(self.tint == TINT_NONE, xp.uint8(255), self.tint.astype(xp.uint8))
+
+
+def rubix_grid_mask(px, py, platesize, numcells, cell_size, pad_size, xp):
+    """True where the plate pixel lies on the rubix grid *lines* (untinted).
+
+    Transcribes ``set_lensmap_grid`` (``fisheye.c:1922-1960``): the plate is
+    divided into ``numcells`` blocks of ``cell_size`` units with
+    ``pad_size`` units of padding; a pixel is on the grid when its unit
+    coordinate falls in the padding band along either axis.
+    """
+    block_size = pad_size + cell_size
+    num_units = numcells * block_size + pad_size
+    unit_size_px = platesize / num_units
+    ux = px / unit_size_px
+    uy = py / unit_size_px
+    return (xp.fmod(ux, block_size) < pad_size) | (xp.fmod(uy, block_size) < pad_size)
+
+
+def inverse_grid(
+    lens: LensDef,
+    globe: Globe,
+    scale,
+    width_px: int,
+    height_px: int,
+    platesize: int,
+    numcells,
+    cell_size,
+    pad_size,
+    xp,
+    dtype,
+):
+    """The full inverse-path lensmap computation over the pixel grid.
+
+    Per pixel (``resume_lensmap_inverse``, ``fisheye.c:2084-2124``):
+    screen -> lens plane (note the C integer division ``width_px/2``),
+    ``lens_inverse`` -> ray -> normalize (``fisheye.c:1562``) -> plate by
+    max-dot or custom resolver -> plate uv -> truncated pixel coords with
+    bounds rejection (``fisheye.c:1963-1992``) -> tint via the rubix grid.
+    """
+    S = platesize
+    half_w = width_px // 2  # C int division, fisheye.c:2105
+    half_h = height_px // 2  # fisheye.c:2100
+    scale = xp.asarray(scale, dtype=dtype)
+
+    lx = xp.arange(width_px, dtype=xp.int32)
+    ly = xp.arange(height_px, dtype=xp.int32)
+    x = ((lx - half_w).astype(dtype) * scale)[None, :]
+    y = (-(ly - half_h).astype(dtype) * scale)[:, None]
+    shape = (height_px, width_px)
+    X = xp.broadcast_to(x, shape)
+    Y = xp.broadcast_to(y, shape)
+
+    vx, vy, vz, lens_valid = lens.inverse(X, Y)
+    lens_valid = xp.broadcast_to(xp.asarray(lens_valid), shape)
+    vx, vy, vz = geometry.normalize(vx, vy, vz)
+
+    fwd, rgt, up, fov, _dist = globe.arrays(dtype)
+    fwd, rgt, up, fov = (xp.asarray(a) for a in (fwd, rgt, up, fov))
+
+    if globe.plate_resolver is not None:
+        plate = globe.plate_resolver(vx, vy, vz, globe)
+        plate = xp.asarray(plate).astype(xp.int32)
+    else:
+        plate = geometry.ray_to_plate_index(vx, vy, vz, fwd)
+
+    pc = xp.clip(plate, 0, globe.numplates - 1)
+    u, v, uv_valid = geometry.ray_to_plate_uv(
+        vx, vy, vz, fwd[pc], rgt[pc], up[pc], fov[pc]
+    )
+
+    u = xp.where(uv_valid, u, 0.0)
+    v = xp.where(uv_valid, v, 0.0)
+    px = (u * S).astype(xp.int32)  # C truncation cast, fisheye.c:1988
+    py = (v * S).astype(xp.int32)
+    in_bounds = (px >= 0) & (px < S) & (py >= 0) & (py < S)  # fisheye.c:1971
+
+    valid = lens_valid & (plate >= 0) & uv_valid & in_bounds
+
+    ongrid = rubix_grid_mask(px, py, S, numcells, cell_size, pad_size, xp)
+    tint = xp.where(valid & ~ongrid, pc, TINT_NONE).astype(xp.uint8)
+
+    flat_idx = xp.where(valid, pc * (S * S) + py * S + px, 0).astype(xp.int32)
+    plate_out = xp.where(valid, pc, -1).astype(xp.int32)
+
+    used = (
+        (xp.arange(MAX_PLATES, dtype=xp.int32)[:, None, None] == plate_out[None])
+        & valid[None]
+    ).any(axis=(1, 2))
+
+    return dict(
+        plate=plate_out,
+        px=xp.where(valid, px, 0).astype(xp.int32),
+        py=xp.where(valid, py, 0).astype(xp.int32),
+        valid=valid,
+        tint=tint,
+        flat_idx=flat_idx,
+        plates_used=used,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_inverse_builder(lens, globe, width_px, height_px, platesize, dtype):
+    """Compile (once per lens/globe/shape) a builder taking the dynamic
+    zoom scale and rubix parameters — so f_fov sweeps and f_rubixgrid
+    changes reuse the compiled executable."""
+
+    def build(scale, numcells, cell_size, pad_size):
+        return inverse_grid(
+            lens,
+            globe,
+            scale,
+            width_px,
+            height_px,
+            platesize,
+            numcells,
+            cell_size,
+            pad_size,
+            jnp,
+            dtype,
+        )
+
+    return jax.jit(build)
+
+
+def build_lensmap(
+    lens: LensDef,
+    globe: Globe,
+    scale: float,
+    width_px: int,
+    height_px: int,
+    platesize: Optional[int] = None,
+    numcells: int = 10,
+    cell_size: float = 4.0,
+    pad_size: float = 1.0,
+    backend: str = "jax",
+    dtype=None,
+) -> LensMap:
+    """Build the lensmap for the resolved map type of *lens*.
+
+    ``platesize`` defaults to ``min(width_px, height_px)``
+    (``fisheye.c:707``).  ``backend``: "jax" (jitted, default) or "numpy"
+    (host float64).  Forward-only lenses rasterize on the host — a
+    per-lens-switch cost, as in the reference where forward mapping is the
+    slow path (``lenses/README.md`` Mapping section).
+    """
+    if platesize is None:
+        platesize = min(width_px, height_px)
+    if lens.map_type == "forward":
+        from blinky_tpu.lensmap.forward_raster import build_forward
+
+        return build_forward(
+            lens, globe, scale, width_px, height_px, platesize,
+            numcells, cell_size, pad_size,
+        )
+    if backend == "numpy":
+        out = inverse_grid(
+            lens, globe, np.float64(scale), width_px, height_px, platesize,
+            numcells, cell_size, pad_size, np, np.float64,
+        )
+    else:
+        dtype = dtype or jnp.float32
+        fn = _compiled_inverse_builder(
+            lens, globe, width_px, height_px, platesize, dtype
+        )
+        out = fn(
+            jnp.asarray(scale, dtype=dtype),
+            jnp.asarray(numcells, dtype=dtype),
+            jnp.asarray(cell_size, dtype=dtype),
+            jnp.asarray(pad_size, dtype=dtype),
+        )
+    return LensMap(
+        width_px=width_px,
+        height_px=height_px,
+        platesize=platesize,
+        numplates=globe.numplates,
+        scale=float(scale),
+        **out,
+    )

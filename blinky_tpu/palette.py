@@ -1,0 +1,138 @@
+"""8-bit palette handling: base palette, tint palettes, lookup tables.
+
+The reference renders everything in 8-bit palette indices against the Quake
+base palette (``host_basepal``, loaded from ``gfx/palette.lmp`` at
+``engine/NQ/host.c:832``) and precomputes six 256->256 tint remap palettes
+for the rubix indicatrix overlay (``create_palmap``,
+``engine/NQ/fisheye.c:857-908``).
+
+The Quake palette itself is id Software game data and is not shipped here;
+:func:`default_palette` builds a deterministic 16-ramp x 16-level synthetic
+palette with the same structure (index 0 black, ramp-major layout) so the
+whole pipeline — tint NN search included — runs and validates end-to-end
+without game assets.  Real palettes can be loaded from ``palette.lmp`` bytes
+(:func:`load_lmp`) or from the text format written by the ``f_dumppal``
+command (:func:`load_dumppal` / :func:`save_dumppal`;
+reference ``fisheye.c:916-931``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_PLATES = 6  # fisheye.c:352
+
+# Tint target colors per plate index, reference fisheye.c:863-886:
+# white, blue, red, yellow, magenta, cyan.
+PLATE_TINTS = np.array(
+    [
+        [255, 255, 255],
+        [0, 0, 255],
+        [255, 0, 0],
+        [255, 255, 0],
+        [255, 0, 255],
+        [0, 255, 255],
+    ],
+    dtype=np.int64,
+)
+
+# "no tint" sentinel in the per-pixel tint plane (fisheye.c:732 memset 255).
+NO_TINT = 255
+
+
+def default_palette() -> np.ndarray:
+    """Deterministic synthetic 256-color palette, [256, 3] uint8.
+
+    16 ramps of 16 levels: ramp 0 is a gray ramp from black, ramps 1..14 are
+    hue ramps, ramp 15 is a high-brightness "fullbright" ramp (Quake reserves
+    its last rows for fullbrights).  Index 0 is black like the Quake palette.
+    """
+    hues = np.array(
+        [
+            [255, 255, 255],  # gray ramp
+            [127, 107, 95],  # brown
+            [95, 127, 159],  # steel blue
+            [127, 159, 95],  # green
+            [159, 95, 95],  # red-brown
+            [159, 127, 95],  # tan
+            [255, 191, 127],  # skin
+            [255, 127, 127],  # salmon
+            [191, 95, 159],  # purple
+            [127, 95, 191],  # violet
+            [95, 159, 159],  # teal
+            [159, 159, 95],  # olive
+            [95, 95, 255],  # blue
+            [255, 95, 95],  # red
+            [95, 255, 95],  # green2
+            [255, 255, 127],  # fullbright yellow-white
+        ],
+        dtype=np.float64,
+    )
+    idx = np.arange(256)
+    ramp, level = idx // 16, idx % 16
+    t = (level + 1) / 16.0
+    rgb = hues[ramp] * t[:, None]
+    pal = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    pal[0] = 0
+    return pal
+
+
+def load_lmp(data: bytes) -> np.ndarray:
+    """Parse a 768-byte ``palette.lmp`` (256 RGB triples) -> [256, 3] uint8."""
+    if len(data) < 768:
+        raise ValueError(f"palette.lmp must be >= 768 bytes, got {len(data)}")
+    return np.frombuffer(data[:768], dtype=np.uint8).reshape(256, 3).copy()
+
+
+def save_dumppal(pal: np.ndarray) -> str:
+    """Serialize in the ``f_dumppal`` text format: ``r, g, b,`` per line
+    (reference ``fisheye.c:925-928``)."""
+    return "".join(f"{r}, {g}, {b},\n" for r, g, b in pal.astype(int))
+
+
+def load_dumppal(text: str) -> np.ndarray:
+    vals = [int(tok) for tok in text.replace(",", " ").split()]
+    if len(vals) < 768:
+        raise ValueError("dumppal text must contain 256 RGB triples")
+    return np.array(vals[:768], dtype=np.uint8).reshape(256, 3)
+
+
+def find_closest_pal_index(pal: np.ndarray, r, g, b) -> np.ndarray:
+    """Nearest palette index by squared RGB distance, **first minimum wins**.
+
+    Reference ``fisheye.c:835-855`` scans indices 0..255 with a strict ``<``
+    so the earliest index wins ties; ``argmin`` (first occurrence) matches.
+    Vectorized over broadcastable r, g, b.
+    """
+    pal = pal.astype(np.int64)
+    r = np.asarray(r, dtype=np.int64)[..., None]
+    g = np.asarray(g, dtype=np.int64)[..., None]
+    b = np.asarray(b, dtype=np.int64)[..., None]
+    dist = (pal[:, 0] - r) ** 2 + (pal[:, 1] - g) ** 2 + (pal[:, 2] - b) ** 2
+    return np.argmin(dist, axis=-1).astype(np.uint8)
+
+
+def create_palmap(pal: np.ndarray) -> np.ndarray:
+    """Six tint palettes, [6, 256] uint8.
+
+    Transcribes ``create_palmap`` (``fisheye.c:857-908``): each base color is
+    pulled 1/6 of the way (``percent = 256/6 = 42``, integer) toward the
+    plate tint using C integer arithmetic ``c += percent*(tint-c) >> 8``
+    (arithmetic shift, i.e. floor — matched by NumPy's ``>>`` on int64),
+    then snapped to the nearest base-palette entry.
+    """
+    percent = 256 // MAX_PLATES
+    base = pal.astype(np.int64)  # [256, 3]
+    tinted = base[None, :, :] + ((percent * (PLATE_TINTS[:, None, :] - base)) >> 8)
+    tinted = np.clip(tinted, 0, 255)  # fisheye.c:899-901
+    return find_closest_pal_index(pal, tinted[..., 0], tinted[..., 1], tinted[..., 2])
+
+
+def tint_lut(pal: np.ndarray) -> np.ndarray:
+    """Combined tint LUT, [7, 256] uint8: rows 0..5 are the plate tint
+    palettes, row 6 is identity (the ``tint == 255`` no-filter branch of
+    ``render_lensmap``, ``fisheye.c:2416-2419``)."""
+    lut = np.empty((MAX_PLATES + 1, 256), dtype=np.uint8)
+    lut[:MAX_PLATES] = create_palmap(pal)
+    lut[MAX_PLATES] = np.arange(256, dtype=np.uint8)
+    return lut

@@ -1,0 +1,158 @@
+"""Dual-backend math shim: one source of truth for lens/globe formulas.
+
+The reference evaluates lens math in Lua doubles through libm
+(``engine/NQ/fisheye.c:1222-1265`` preloads ``cos``/``sin``/``tan``/... as
+Lua globals).  Here every projection formula is written exactly once against
+this module and runs under two backends:
+
+* **NumPy float64** — the parity oracle (:mod:`blinky_tpu.parity`), playing
+  the role of the reference's double-precision Lua interpreter.
+* **jax.numpy** — the jitted lensmap builder (:mod:`blinky_tpu.lensmap`),
+  traced once per (lens, globe, zoom, size) and compiled by XLA.
+
+Dispatch rule: if any argument is a jax array/tracer, use ``jnp``; otherwise
+``np``.  Python scalars follow NumPy (load-time metadata math, mirroring the
+Lua scripts' top-level code such as ``gins8.lua:21-24``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _is_jax(a) -> bool:
+    return isinstance(a, jax.Array) or hasattr(a, "aval")
+
+
+def xp(*args):
+    """Return the array namespace (np or jnp) governing *args*."""
+    return jnp if any(_is_jax(a) for a in args) else np
+
+
+def _unary(name):
+    def f(x):
+        return getattr(xp(x), name)(x)
+
+    f.__name__ = name
+    return f
+
+
+def _binary(name):
+    def f(a, b):
+        return getattr(xp(a, b), name)(a, b)
+
+    f.__name__ = name
+    return f
+
+
+sin = _unary("sin")
+cos = _unary("cos")
+tan = _unary("tan")
+asin = _unary("arcsin")
+acos = _unary("arccos")
+atan = _unary("arctan")
+sinh = _unary("sinh")
+cosh = _unary("cosh")
+tanh = _unary("tanh")
+log = _unary("log")
+log10 = _unary("log10")
+exp = _unary("exp")
+sqrt = _unary("sqrt")
+abs = _unary("abs")  # noqa: A001 - mirrors the Lua alias table
+floor = _unary("floor")
+trunc = _unary("trunc")
+sign = _unary("sign")
+
+atan2 = _binary("arctan2")
+fmod = _binary("fmod")
+maximum = _binary("maximum")
+minimum = _binary("minimum")
+power = _binary("power")
+
+pi = float(np.pi)
+tau = 2.0 * float(np.pi)
+
+
+def where(c, a, b):
+    return xp(c, a, b).where(c, a, b)
+
+
+def modf(x):
+    """Lua ``math.modf``: returns (integer part toward zero, fractional part).
+
+    NumPy's modf returns (frac, int) — we swap to Lua's (int, frac) order
+    since the lens scripts (``lenses/cube.lua:14-16``) destructure that way.
+    """
+    frac, intg = xp(x).modf(x)
+    return intg, frac
+
+
+def hypot(a, b):
+    return xp(a, b).hypot(a, b)
+
+
+def safe_div(a, b, fill=0.0):
+    """a/b with b==0 mapped to *fill* — used to keep traced branches finite
+    where the Lua relies on IEEE inf/nan propagation being discarded by a
+    later ``where``/nil check."""
+    x = xp(a, b)
+    zero = b == 0
+    return x.where(zero, fill, a / x.where(zero, 1.0, b))
+
+
+def repeat_until(body, state, max_iter):
+    """Vectorized Lua ``repeat ... until`` with per-element exit.
+
+    The reference's iterative solvers (``mollweide.lua:12-20``,
+    ``winkeltripel.lua:38-77``) run a scalar loop per pixel whose exit
+    depends on the data.  Vectorized, each element keeps updating until its
+    own exit condition fires, then freezes — which is exactly equivalent to
+    the per-pixel scalar loop.
+
+    Args:
+        body: ``body(state_tuple) -> (new_state_tuple, exit_bool_array)``.
+            Must be shape-preserving.
+        state: tuple of arrays (broadcast to a common shape internally).
+        max_iter: static iteration cap (NumPy exits early once all elements
+            have exited; under jit a fixed masked loop runs — identical
+            results since frozen elements are never updated).
+    Returns:
+        The final state tuple.
+    """
+    x = xp(*state)
+    if x is np:
+        state = tuple(np.asarray(s, dtype=np.result_type(s, np.float64)) for s in state)
+        shape = np.broadcast_shapes(*[s.shape for s in state])
+        state = tuple(np.broadcast_to(s, shape).copy() for s in state)
+        active = np.ones(shape, dtype=bool)
+        for _ in range(max_iter):
+            if not active.any():
+                break
+            new_state, ex = body(state)
+            state = tuple(np.where(active, n, o) for n, o in zip(new_state, state))
+            active &= ~np.asarray(ex)
+        return state
+
+    import jax
+
+    shape = jnp.broadcast_shapes(*[jnp.shape(s) for s in state])
+    state = tuple(jnp.broadcast_to(jnp.asarray(s), shape) for s in state)
+    active0 = jnp.ones(shape, dtype=bool)
+
+    def step(_, carry):
+        st, active = carry
+        new_state, ex = body(st)
+        st = tuple(jnp.where(active, n, o) for n, o in zip(new_state, st))
+        return st, active & ~ex
+
+    state, _ = jax.lax.fori_loop(0, max_iter, step, (state, active0))
+    return state
+
+
+def asarray_like(value, ref):
+    """Make *value* an array of the backend and dtype of *ref*."""
+    x = xp(ref)
+    dt = getattr(ref, "dtype", None)
+    return x.asarray(value, dtype=dt)
