@@ -1,0 +1,37 @@
+#!/usr/bin/env python
+"""Driver benchmark entry: prints ONE JSON line.
+
+Headline metric (BASELINE.md): 1080p warped frames/sec/chip, target
+>= 10,000 on TPU v5e.  Measures the steady-state batched cubemap->screen
+remap (panini + cube, f_fov 180, the reference's default view) on the
+attached chip.
+"""
+
+import json
+import sys
+
+TARGET = 10_000.0
+
+
+def main() -> None:
+    batch = 128
+    iters = 10
+    if "--quick" in sys.argv:
+        batch, iters = 16, 3
+    from blinky_tpu.bench.throughput import run_throughput
+
+    r = run_throughput(batch=batch, iters=iters)
+    print(
+        json.dumps(
+            {
+                "metric": "warped_1080p_frames_per_sec_per_chip",
+                "value": round(r["fps"], 1),
+                "unit": "frames/sec",
+                "vs_baseline": round(r["fps"] / TARGET, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

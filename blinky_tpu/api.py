@@ -1,0 +1,444 @@
+"""Session: the console-semantics API surface.
+
+Mirrors the fisheye layer's public interface — the 13 console commands +
+``fisheye`` registered by ``F_Init`` (``engine/NQ/fisheye.c:642-676``),
+the change-detection/rebuild logic of ``F_RenderView``
+(``fisheye.c:698-811``), config persistence (``F_WriteConfig``,
+``fisheye.c:683-696``) and the shortcut-key preset table
+(``cmd_shortcutkeys``, ``fisheye.c:979-1016``).
+
+A :class:`Session` owns the current lens/globe/zoom/rubix state, rebuilds
+the lensmap lazily on change, and runs the warm remap kernel over frame
+batches.  Command strings use the exact ``f_*`` vocabulary::
+
+    sess = Session(640, 480)
+    sess.cmd("f_lens stereographic")     # runs the lens's onload zoom too
+    out = sess.render(frames)            # [6, S, S, B] u8 -> [H, W, B] u8
+"""
+
+from __future__ import annotations
+
+import shlex
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from blinky_tpu import globes as globes_mod
+from blinky_tpu import lenses as lenses_mod
+from blinky_tpu import palette as palette_mod
+from blinky_tpu.io.cubemap import save_globe_pcx
+from blinky_tpu.kernels.remap import RemapKernel
+from blinky_tpu.lensmap import Zoom, ZoomError, build_lensmap, calc_scale
+
+HELP_TEXT = """-----------------------------
+Welcome to the FISHEYE ADDON!
+-> fisheye 1    (ENABLE)
+-> fisheye 0    (DISABLE)
+
+-> f_lens <tab>    (CHANGE LENS)
+-> f_fov <degrees> (SET FOV)
+
+-> f_<tab>         (MORE COMMANDS)
+-----------------------------"""
+
+# fisheye.c:984-997 — the shortcut preset table.
+SHORTCUT_BINDINGS = {
+    "1": "f_lens panini",
+    "2": "f_lens stereographic",
+    "3": "f_lens hammer",
+    "4": "f_lens winkeltripel",
+    "5": "f_lens fisheye1",
+    "6": "f_lens mercator",
+    "7": "f_lens quincuncial",
+    "8": "f_lens cube",
+    "9": "f_lens debug",
+    "y": "f_globe cube",
+    "u": "f_globe cube_edge",
+    "i": "f_globe trism",
+    "o": "f_globe tetra",
+    "p": "f_globe fast",
+}
+
+
+def _atof(s: str) -> float:
+    """``Q_atof``: 0 on parse failure (see e.g. fisheye.c:1043)."""
+    try:
+        return float(s)
+    except ValueError:
+        return 0.0
+
+
+class Session:
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        platesize: Optional[int] = None,
+        palette: Optional[np.ndarray] = None,
+        lens_dirs=(),
+        globe_dirs=(),
+        backend: str = "jax",
+        echo: bool = False,
+        defaults: bool = True,
+    ):
+        self.width_px = int(width)
+        self.height_px = int(height)
+        self.platesize = int(platesize) if platesize else min(width, height)
+        self.palette = palette if palette is not None else palette_mod.default_palette()
+        self.lens_dirs = [Path(p) for p in lens_dirs]
+        self.globe_dirs = [Path(p) for p in globe_dirs]
+        self.backend = backend
+        self.echo = echo
+        self.console: list = []
+
+        self.fisheye_enabled = False
+        self.shortcutkeys_enabled = False
+        self.bindings: dict = {}
+        self.lens_name = ""
+        self.lens = None
+        self.lens_valid = False
+        self.globe_name = ""
+        self.globe = None
+        self.globe_valid = False
+        self.zoom = Zoom("none")
+        self.rubix_enabled = False  # fisheye.c:647
+        self.rubix_numcells = 10
+        self.rubix_cell_size = 4.0
+        self.rubix_pad_size = 1.0
+        self.save_request = None
+
+        self._changed = True
+        self._lensmap = None
+        self._kernel = None
+        self._background = None
+
+        self._commands = {
+            "fisheye": self._cmd_fisheye,
+            "f_help": self._cmd_help,
+            "f_lens": self._cmd_lens,
+            "f_globe": self._cmd_globe,
+            "f_fov": self._cmd_fov,
+            "f_vfov": self._cmd_vfov,
+            "f_cover": self._cmd_cover,
+            "f_contain": self._cmd_contain,
+            "f_rubix": self._cmd_rubix,
+            "f_rubixgrid": self._cmd_rubixgrid,
+            "f_saveglobe": self._cmd_saveglobe,
+            "f_dumppal": self._cmd_dumppal,
+            "f_shortcutkeys": self._cmd_shortcutkeys,
+            "bind": self._cmd_bind,
+            "unbind": self._cmd_unbind,
+            "exec": self._cmd_exec,
+        }
+        if defaults:
+            # F_Init defaults, fisheye.c:668-672.
+            for c in (
+                "fisheye 1",
+                "f_globe cube",
+                "f_lens panini",
+                "f_fov 180",
+                "f_rubixgrid 10 4 1",
+            ):
+                self.cmd(c)
+
+    # ------------------------------------------------------------------ io
+    def _print(self, msg: str) -> None:
+        self.console.append(msg)
+        if self.echo:
+            print(msg)
+
+    # ------------------------------------------------------- command layer
+    def cmd(self, line: str) -> None:
+        """Execute one console command line (``Cmd_ExecuteString`` analog).
+
+        Semicolons separate commands as in the Quake console buffer.
+        """
+        for part in line.split(";"):
+            part = part.strip()
+            if not part:
+                continue
+            argv = shlex.split(part)
+            handler = self._commands.get(argv[0])
+            if handler is None:
+                self._print(f'Unknown command "{argv[0]}"')
+                continue
+            handler(argv)
+
+    def _cmd_fisheye(self, argv):
+        if len(argv) < 2:
+            self._print("Currently: ")
+            self._print(f"fisheye {int(self.fisheye_enabled)}")
+            self._print("\nTry F_HELP for more options and commands.")
+            return
+        try:
+            self.fisheye_enabled = bool(int(argv[1]))
+        except ValueError:
+            self.fisheye_enabled = False  # Q_atoi returns 0 if not valid
+
+    def _cmd_help(self, argv):
+        self._print(HELP_TEXT)
+
+    def _cmd_lens(self, argv):
+        if len(argv) < 2:
+            self._print("f_lens <name>: use a new lens")
+            self._print(f"Currently: {self.lens_name}")
+            return
+        self._changed = True
+        self.lens_name = argv[1]
+        self._print(f"f_lens {self.lens_name}")
+        self.lens_valid = self._load_lens()
+        if not self.lens_valid:
+            self.lens_name = ""
+            self._print("not a valid lens")
+            return
+        if self.lens.onload:
+            self.cmd(self.lens.onload)
+            self._print(f"; {self.lens.onload}")
+
+    def _cmd_globe(self, argv):
+        if len(argv) < 2:
+            self._print("f_globe <name>: use a new globe")
+            self._print(f"Currently: {self.globe_name}")
+            return
+        self._changed = True
+        self.globe_name = argv[1]
+        self._print(f"f_globe {self.globe_name}")
+        self.globe_valid = self._load_globe()
+        if not self.globe_valid:
+            self.globe_name = ""
+            self._print("not a valid globe")
+
+    def _cmd_fov(self, argv):
+        if len(argv) < 2:
+            self._print("f_fov <degrees>: set horizontal FOV")
+            self._print(f"Zoom currently: {self.zoom.command() or 'none'}")
+            return
+        self.zoom = Zoom("fov", int(_atof(argv[1])))
+        self._changed = True
+
+    def _cmd_vfov(self, argv):
+        if len(argv) < 2:
+            self._print("f_vfov <degrees>: set vertical FOV")
+            self._print(f"Zoom currently: {self.zoom.command() or 'none'}")
+            return
+        self.zoom = Zoom("vfov", int(_atof(argv[1])))
+        self._changed = True
+
+    def _cmd_cover(self, argv):
+        self.zoom = Zoom("cover")
+        self._changed = True
+
+    def _cmd_contain(self, argv):
+        self.zoom = Zoom("contain")
+        self._changed = True
+
+    def _cmd_rubix(self, argv):
+        self.rubix_enabled = not self.rubix_enabled
+        self._print(f"Rubix is {'ON' if self.rubix_enabled else 'OFF'}")
+
+    def _cmd_rubixgrid(self, argv):
+        if len(argv) == 4:
+            self.rubix_numcells = int(_atof(argv[1]))
+            self.rubix_cell_size = _atof(argv[2])
+            self.rubix_pad_size = _atof(argv[3])
+            self._changed = True  # need to recompute lens to update grid
+        else:
+            self._print("RubixGrid <numcells> <cellsize> <padsize>")
+            self._print(f"   numcells (default 10) = {self.rubix_numcells}")
+            self._print(f"   cellsize (default  4) = {self.rubix_cell_size:f}")
+            self._print(f"   padsize  (default  1) = {self.rubix_pad_size:f}")
+
+    def _cmd_saveglobe(self, argv):
+        if len(argv) < 2:
+            self._print("f_saveglobe <name> [full flag=0]: screenshot the globe plates")
+            return
+        with_margins = int(_atof(argv[2])) if len(argv) >= 3 else 0
+        self.save_request = (argv[1][:32], with_margins)
+
+    def _cmd_dumppal(self, argv):
+        Path("palette").write_text(palette_mod.save_dumppal(self.palette))
+
+    def _cmd_shortcutkeys(self, argv):
+        self.shortcutkeys_enabled = not self.shortcutkeys_enabled
+        if self.shortcutkeys_enabled:
+            self._print(
+                "Enabled Fisheye shortcut keys: 1-9 = Lenses, Y,U,I,O,P = Globes"
+            )
+            for key, command in SHORTCUT_BINDINGS.items():
+                self.bindings[key] = command
+        else:
+            self._print("Disabled Fisheye shortcut keys")
+            for key in "12345678":
+                self.bindings[key] = f"impulse {key}"
+            for key in ("9", "y", "u", "i", "o", "p"):
+                self.bindings.pop(key, None)
+
+    def _cmd_bind(self, argv):
+        if len(argv) >= 3:
+            self.bindings[argv[1]] = argv[2]
+
+    def _cmd_unbind(self, argv):
+        if len(argv) >= 2:
+            self.bindings.pop(argv[1], None)
+
+    def _cmd_exec(self, argv):
+        if len(argv) >= 2:
+            self.exec_config(argv[1])
+
+    def press_key(self, key: str) -> None:
+        """Run the command bound to *key* (the shortcut-key surface)."""
+        if key in self.bindings:
+            self.cmd(self.bindings[key])
+
+    # ------------------------------------------------------ lens/globe load
+    def _load_lens(self) -> bool:
+        try:
+            if self.lens_name in lenses_mod.BUILTIN_LENSES:
+                self.lens = lenses_mod.get(self.lens_name, self.globe)
+                return True
+            for d in self.lens_dirs:
+                p = d / f"{self.lens_name}.py"
+                if p.exists():
+                    self.lens = lenses_mod.load_lens_module(p, self.globe)
+                    return True
+        except Exception as e:  # loader diagnostics, fisheye.c:1671-1677
+            self._print(f"could not load lens: {e}")
+        return False
+
+    def _load_globe(self) -> bool:
+        try:
+            if self.globe_name in globes_mod.names():
+                self.globe = globes_mod.get(self.globe_name)
+                return True
+            for d in self.globe_dirs:
+                p = d / f"{self.globe_name}.py"
+                if p.exists():
+                    self.globe = globes_mod.load_globe_module(p)
+                    return True
+        except Exception as e:
+            self._print(f"could not load globe: {e}")
+        return False
+
+    # ------------------------------------------------------------ pipeline
+    def _rebuild(self) -> None:
+        """Change-driven lensmap rebuild (``F_RenderView``,
+        ``fisheye.c:730-746``): reload the lens (its metadata may depend on
+        the globe), re-solve the zoom, rebuild the gather table."""
+        self._lensmap = None
+        self._kernel = None
+        if not (self.lens_valid and self.globe_valid):
+            self._changed = False
+            return
+        # reload lens so globe-dependent metadata is fresh (fisheye.c:734-737)
+        self.lens_valid = self._load_lens()
+        if not self.lens_valid:
+            self.lens_name = ""
+            self._print("not a valid lens")
+            self._changed = False
+            return
+        try:
+            scale = calc_scale(self.zoom, self.lens, self.width_px, self.height_px)
+        except ZoomError as e:
+            self._print(str(e))
+            self._changed = False
+            return
+        self._lensmap = build_lensmap(
+            self.lens,
+            self.globe,
+            scale,
+            self.width_px,
+            self.height_px,
+            self.platesize,
+            numcells=self.rubix_numcells,
+            cell_size=self.rubix_cell_size,
+            pad_size=self.rubix_pad_size,
+            backend=self.backend,
+        )
+        self._kernel = RemapKernel(self._lensmap, self.palette, self._background)
+        self._changed = False
+
+    @property
+    def lensmap(self):
+        if self._changed or self._lensmap is None:
+            self._rebuild()
+        return self._lensmap
+
+    def set_background(self, background) -> None:
+        """Set the underlay shown where the lensmap is unmapped (the
+        reference's ``Draw_TileClear`` tile, ``fisheye.c:802``)."""
+        self._background = np.asarray(background, dtype=np.uint8)
+        self._kernel = None
+
+    def set_size(self, width: int, height: int, platesize: Optional[int] = None) -> None:
+        self.width_px = int(width)
+        self.height_px = int(height)
+        self.platesize = int(platesize) if platesize else min(width, height)
+        self._changed = True  # sizechange, fisheye.c:709
+
+    def render(self, frames, rubix: Optional[bool] = None, decode_rgb: bool = False):
+        """Remap a cubemap frame ([P, S, S] u8) or batch ([P, S, S, B] u8)
+        through the current lensmap.  Returns [H, W] / [H, W, B] uint8 (or
+        RGB with ``decode_rgb``).  Returns the background when disabled or
+        when the current lens/zoom is invalid (the reference keeps running
+        and shows the cleared screen)."""
+        frames = np.asarray(frames)
+        S = frames.shape[1]
+        if S != self.platesize:
+            self.platesize = S
+            self._changed = True
+        lm = self.lensmap
+        if self.save_request is not None:
+            name, with_margins = self.save_request
+            self.save_request = None
+            fr = frames if frames.ndim == 3 else frames[..., 0]
+            paths = save_globe_pcx(name, fr, self.globe, self.palette, bool(with_margins))
+            for p in paths:
+                self._print(f"Wrote {p}")
+        if not self.fisheye_enabled or lm is None or self._kernel is None:
+            bg = self._background
+            if bg is None:
+                bg = np.zeros((self.height_px, self.width_px), np.uint8)
+            if frames.ndim == 4:
+                return np.broadcast_to(bg[..., None], bg.shape + (frames.shape[-1],))
+            return bg
+        rubix = self.rubix_enabled if rubix is None else rubix
+        return self._kernel(frames, rubix=rubix, decode_rgb=decode_rgb)
+
+    # ------------------------------------------------------------- config
+    def config_str(self) -> str:
+        """``F_WriteConfig`` (``fisheye.c:683-696``)."""
+        lines = [
+            f"fisheye {int(self.fisheye_enabled)}",
+            f'f_lens "{self.lens_name}"',
+            f'f_globe "{self.globe_name}"',
+            f"f_rubixgrid {self.rubix_numcells} {self.rubix_cell_size:f} {self.rubix_pad_size:f}",
+        ]
+        zc = self.zoom.command()
+        if zc:
+            lines.append(zc)
+        return "\n".join(lines) + "\n"
+
+    def write_config(self, path) -> None:
+        Path(path).write_text(self.config_str())
+
+    def exec_config(self, path) -> None:
+        for line in Path(path).read_text().splitlines():
+            line = line.strip()
+            if line and not line.startswith("//"):
+                self.cmd(line)
+
+    # -------------------------------------------------------- completion
+    def complete_lens(self, prefix: str = "") -> list:
+        """Tab-completion analog (``cmdarg_lens`` -> ``COM_ScanDir``,
+        ``fisheye.c:1106-1118``): built-ins plus user script dirs."""
+        names = set(lenses_mod.names())
+        for d in self.lens_dirs:
+            names.update(p.stem for p in d.glob("*.py"))
+        return sorted(n for n in names if n.startswith(prefix))
+
+    def complete_globe(self, prefix: str = "") -> list:
+        names = set(globes_mod.names())
+        for d in self.globe_dirs:
+            names.update(p.stem for p in d.glob("*.py"))
+        return sorted(n for n in names if n.startswith(prefix))

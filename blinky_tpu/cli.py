@@ -1,0 +1,147 @@
+"""Command-line interface: the ``f_*`` vocabulary outside the console.
+
+The reference's user surface is the Quake console (13 commands +
+``fisheye``, ``engine/NQ/fisheye.c:651-665``); this CLI drives the same
+vocabulary for batch use::
+
+    python -m blinky_tpu.cli remap --frames glb --numplates 6 \\
+        --cmd "f_lens stereographic" --cmd "f_fov 200" --out warped.pcx
+    python -m blinky_tpu.cli lenses          # f_lens <tab> analog
+    python -m blinky_tpu.cli bench --quick
+    python -m blinky_tpu.cli parity --lens panini --globe cube
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_session_args(p):
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--cmd", action="append", default=[], help="console command, repeatable")
+
+
+def cmd_remap(args) -> int:
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.cubemap import load_globe_pcx, synthetic_cubemap
+    from blinky_tpu.io.pcx import encode_pcx
+
+    sess = Session(args.width, args.height, echo=True)
+    for c in args.cmd:
+        sess.cmd(c)
+    if args.frames:
+        frames, pal = load_globe_pcx(args.frames, args.numplates)
+        if pal is not None and pal.any():
+            sess.palette = pal
+    else:
+        frames = synthetic_cubemap(sess.platesize)
+    out = np.asarray(sess.render(frames, rubix=args.rubix or None))
+    if args.out.endswith(".pcx"):
+        with open(args.out, "wb") as f:
+            f.write(encode_pcx(out, sess.palette))
+    else:
+        np.savez(args.out, screen=out, palette=sess.palette)
+    print(f"wrote {args.out} ({out.shape[1]}x{out.shape[0]})")
+    return 0
+
+
+def cmd_lenses(args) -> int:
+    from blinky_tpu import lenses
+
+    for n in lenses.names():
+        print(n)
+    return 0
+
+
+def cmd_globes(args) -> int:
+    from blinky_tpu import globes
+
+    for n in globes.names():
+        print(n)
+    return 0
+
+
+def cmd_help(args) -> int:
+    from blinky_tpu.api import HELP_TEXT
+
+    print(HELP_TEXT)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from blinky_tpu.bench.throughput import run_build_bench, run_throughput
+
+    batch, iters = (16, 3) if args.quick else (128, 10)
+    r = run_throughput(batch=batch, iters=iters, rubix=args.rubix, decode_rgb=args.rgb)
+    print(json.dumps(r))
+    if args.sweep:
+        print(json.dumps(run_build_bench()))
+    return 0
+
+
+def cmd_parity(args) -> int:
+    from blinky_tpu import globes, lenses
+    from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+    from blinky_tpu.parity.oracle import oracle_inverse_lensmap
+
+    g = globes.get(args.globe)
+    lens = lenses.get(args.lens, g)
+    zoom = Zoom(args.zoom, args.fov)
+    scale = calc_scale(zoom, lens, args.width, args.height)
+    S = min(args.width, args.height)
+    o = oracle_inverse_lensmap(lens, g, scale, args.width, args.height, S)
+    b = build_lensmap(lens, g, scale, args.width, args.height, S, backend=args.backend)
+    mism = {
+        f: int((np.asarray(getattr(b, f)) != o[f]).sum())
+        for f in ("plate", "px", "py", "valid", "tint", "flat_idx")
+    }
+    total = sum(mism.values())
+    print(json.dumps(dict(lens=args.lens, globe=args.globe, backend=args.backend,
+                          mismatches=mism, total=total)))
+    return 0 if total == 0 else 1
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="blinky-tpu")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("remap", help="warp a cubemap through a lens")
+    _add_session_args(p)
+    p.add_argument("--frames", default=None, help="PCX prefix from f_saveglobe")
+    p.add_argument("--numplates", type=int, default=6)
+    p.add_argument("--rubix", action="store_true")
+    p.add_argument("--out", default="warped.pcx")
+    p.set_defaults(fn=cmd_remap)
+
+    sub.add_parser("lenses", help="list lenses (f_lens <tab>)").set_defaults(fn=cmd_lenses)
+    sub.add_parser("globes", help="list globes (f_globe <tab>)").set_defaults(fn=cmd_globes)
+    sub.add_parser("help", help="f_help").set_defaults(fn=cmd_help)
+
+    p = sub.add_parser("bench", help="timedemo-style throughput")
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--rubix", action="store_true")
+    p.add_argument("--rgb", action="store_true")
+    p.add_argument("--sweep", action="store_true", help="also run the f_fov rebuild sweep")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("parity", help="oracle vs builder check")
+    p.add_argument("--lens", default="panini")
+    p.add_argument("--globe", default="cube")
+    p.add_argument("--zoom", default="fov", choices=["fov", "vfov", "cover", "contain"])
+    p.add_argument("--fov", type=int, default=180)
+    p.add_argument("--width", type=int, default=96)
+    p.add_argument("--height", type=int, default=72)
+    p.add_argument("--backend", default="numpy", choices=["numpy", "jax"])
+    p.set_defaults(fn=cmd_parity)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

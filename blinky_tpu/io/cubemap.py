@@ -1,0 +1,114 @@
+"""Cubemap (globe plate) import/export and synthetic fixtures.
+
+The reference's frame source is the Quake software renderer filling the
+vid buffer per plate (``render_plate``, ``engine/NQ/fisheye.c:2427-2450``)
+and its export is ``f_saveglobe`` -> per-plate PCX with other-plate texels
+masked to 0xFE unless "full" (``WritePCXplate``, ``fisheye.c:1441-1443``).
+Here the framework consumes recorded/synthetic plates; this module provides
+the same export/import plus deterministic procedural cubemaps for tests
+and benchmarks (the game content itself is out of scope — SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from blinky_tpu import geometry
+from blinky_tpu.io.pcx import decode_pcx, encode_pcx
+from blinky_tpu.palette import MAX_PLATES
+
+MASK_COLOR = 0xFE  # fisheye.c:1443
+
+
+def plate_ownership_mask(globe, plate: int, platesize: int) -> np.ndarray:
+    """True where a texel's corner ray resolves to *plate*.
+
+    Mirrors the saveglobe mask: ``u = j/width, v = i/height`` (texel
+    corners) -> ray -> ``ray_to_plate_index`` (``fisheye.c:1435-1443``).
+    """
+    S = platesize
+    ts = np.arange(S, dtype=np.float64) / S
+    U, V = np.meshgrid(ts, ts, indexing="xy")
+    rx, ry, rz = geometry.plate_uv_to_ray(
+        U, V, globe.forward[plate], globe.right[plate],
+        globe.up[plate], np.float64(globe.dist[plate]),
+    )
+    if globe.plate_resolver is not None:
+        owner = np.asarray(globe.plate_resolver(rx, ry, rz, globe))
+    else:
+        owner = geometry.ray_to_plate_index(rx, ry, rz, globe.forward)
+    return owner == plate
+
+
+def save_globe_pcx(prefix, frames, globe, palette, with_margins: bool = False) -> list:
+    """``f_saveglobe <name> [full]``: write ``<prefix><i>.pcx`` per plate
+    (``cmd_saveglobe``/``save_globe``, ``fisheye.c:1120-1136,1467-1486``).
+
+    Returns the written paths.
+    """
+    frames = np.asarray(frames, dtype=np.uint8)
+    paths = []
+    for i in range(globe.numplates):
+        img = frames[i]
+        if not with_margins:
+            img = np.where(plate_ownership_mask(globe, i, img.shape[0]), img, MASK_COLOR)
+        p = Path(f"{prefix}{i}.pcx")
+        p.write_bytes(encode_pcx(img.astype(np.uint8), palette, mode="reference"))
+        paths.append(p)
+    return paths
+
+
+def load_globe_pcx(prefix, numplates: int):
+    """Read ``<prefix><i>.pcx`` back into a [MAX_PLATES, S, S] uint8 array
+    (unused plates zero) plus the file palette."""
+    imgs, palette = [], None
+    for i in range(numplates):
+        img, palette = decode_pcx(Path(f"{prefix}{i}.pcx").read_bytes())
+        imgs.append(img)
+    S = imgs[0].shape[0]
+    out = np.zeros((MAX_PLATES, S, S), dtype=np.uint8)
+    for i, img in enumerate(imgs):
+        out[i] = img
+    return out, palette
+
+
+def synthetic_cubemap(platesize: int, numplates: int = 6, seed: int = 0) -> np.ndarray:
+    """Deterministic procedural cubemap, [MAX_PLATES, S, S] uint8.
+
+    Each plate gets a distinct checker + gradient + border pattern in
+    palette-index space so remap errors (wrong plate, flipped axes,
+    off-by-one) are visually and numerically obvious.
+    """
+    S = platesize
+    py, px = np.mgrid[0:S, 0:S]
+    out = np.zeros((MAX_PLATES, S, S), dtype=np.uint8)
+    for p in range(numplates):
+        checker = ((px // 8 + py // 8) % 2) * 16
+        grad = (px * 3 + py * 5 + p * 37 + seed * 11) % 128
+        border = (px < 2) | (py < 2) | (px >= S - 2) | (py >= S - 2)
+        val = (p * 40 + 8 + checker + grad) % 255
+        out[p] = np.where(border, 200 + p, val).astype(np.uint8)
+    return out
+
+
+def synthetic_cubemap_batch(platesize: int, batch: int, numplates: int = 6) -> np.ndarray:
+    """Batched fixture in the native layout [MAX_PLATES, S, S, B] uint8;
+    frame b is the base cubemap rolled by b pixels (cheap distinct frames,
+    standing in for a recorded demo's frame stream)."""
+    base = synthetic_cubemap(platesize, numplates)
+    out = np.empty((MAX_PLATES, platesize, platesize, batch), dtype=np.uint8)
+    for b in range(batch):
+        out[..., b] = np.roll(base, b, axis=2)
+    return out
+
+
+def to_batch_layout(frames_bpss: np.ndarray) -> np.ndarray:
+    """[B, P, S, S] -> native [P, S, S, B]."""
+    return np.ascontiguousarray(np.moveaxis(frames_bpss, 0, -1))
+
+
+def from_batch_layout(frames_pssb: np.ndarray) -> np.ndarray:
+    """native [P, S, S, B] -> [B, P, S, S]."""
+    return np.ascontiguousarray(np.moveaxis(frames_pssb, -1, 0))

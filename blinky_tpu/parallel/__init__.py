@@ -1,0 +1,83 @@
+"""Multi-chip scale-out: frame-data-parallel + screen-space sharding.
+
+The reference is strictly single-device; its parallel structure (SURVEY.md
+§2 note) is plate- / pixel- / frame-level data parallelism.  On TPU the
+natural mesh is::
+
+    ("data", "space")   # frames batch x screen rows
+
+* frames ``[P, S, S, B]`` shard on ``B`` -> "data" (pure DP — remap is
+  embarrassingly parallel across frames, so the only communication is
+  input distribution / output collection, riding ICI);
+* the lensmap row arrays ``[H, W]`` shard on ``H`` -> "space" (spatial
+  sharding with plate broadcast — each device gathers only its screen
+  rows; the flattened source stays replicated like the reference's globe
+  pixel store).
+
+Everything goes through ``jax.jit`` with :class:`NamedSharding` operands —
+XLA's SPMD partitioner propagates the shardings through the gather with no
+hand-written collectives, which is the whole point of the design.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from blinky_tpu.kernels.remap import RemapKernel, _remap
+
+
+def make_mesh(n_data: int | None = None, n_space: int = 1, devices=None) -> Mesh:
+    """Build a ("data", "space") mesh from the first n_data*n_space devices."""
+    devs = np.array(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = devs.size // n_space
+    n = n_data * n_space
+    if n > devs.size:
+        raise ValueError(f"need {n} devices, have {devs.size}")
+    return Mesh(devs[:n].reshape(n_data, n_space), ("data", "space"))
+
+
+def shard_kernel(kernel: RemapKernel, mesh: Mesh) -> RemapKernel:
+    """Re-place a kernel's lensmap operands row-sharded over "space"."""
+    rows = NamedSharding(mesh, P("space", None))
+    kernel.flat_idx = jax.device_put(kernel.flat_idx, rows)
+    kernel.valid = jax.device_put(kernel.valid, rows)
+    kernel.tint = jax.device_put(kernel.tint, rows)
+    kernel.background = jax.device_put(kernel.background, rows)
+    if kernel.tint_lut is not None:
+        rep = NamedSharding(mesh, P())
+        kernel.tint_lut = jax.device_put(kernel.tint_lut, rep)
+        kernel.rgb_lut = jax.device_put(kernel.rgb_lut, rep)
+    return kernel
+
+
+def shard_frames(frames, mesh: Mesh):
+    """Place a [P, S, S, B] batch with B sharded over "data"."""
+    fs = NamedSharding(mesh, P(None, None, None, "data"))
+    return jax.device_put(jnp.asarray(frames, jnp.uint8), fs)
+
+
+def remap_sharded(kernel: RemapKernel, frames, mesh: Mesh, rubix: bool = False,
+                  decode_rgb: bool = False):
+    """Run the remap with frames DP-sharded and screen rows space-sharded.
+
+    The gather's index operand is row-sharded and its source replicated
+    per data-shard, so SPMD partitioning keeps every gather local — zero
+    cross-device traffic inside the step.
+    """
+    frames = shard_frames(frames, mesh)
+    kernel = shard_kernel(kernel, mesh)
+    return _remap(
+        frames,
+        kernel.flat_idx,
+        kernel.valid,
+        kernel.tint,
+        kernel.background,
+        kernel.tint_lut if kernel.tint_lut is not None else jnp.zeros((1,), jnp.uint8),
+        kernel.rgb_lut if kernel.rgb_lut is not None else jnp.zeros((1,), jnp.uint8),
+        rubix=rubix,
+        decode_rgb=decode_rgb,
+    )

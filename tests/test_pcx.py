@@ -1,0 +1,55 @@
+"""PCX codec tests: reference-mode byte layout and RLE round trips."""
+
+import numpy as np
+
+from blinky_tpu.io.pcx import decode_pcx, encode_pcx
+from blinky_tpu.palette import default_palette
+
+
+def _img(h=33, w=47):
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    img[5, :10] = 0xC5  # force escape bytes
+    img[6, :10] = 0x3F
+    return img
+
+
+def test_reference_mode_roundtrip():
+    pal = default_palette()
+    img = _img()
+    data = encode_pcx(img, pal, mode="reference")
+    out, pal2 = decode_pcx(data)
+    assert np.array_equal(out, img)
+    assert np.array_equal(pal2, pal)
+
+
+def test_reference_mode_byte_layout():
+    """Mirror WritePCXplate's stream rule (fisheye.c:1445-1448): bytes
+    >= 0xC0 escaped as (0xC1, b), others literal."""
+    pal = default_palette()
+    img = np.array([[0x10, 0xC0, 0xFE, 0x05]], np.uint8)
+    data = encode_pcx(img, pal, mode="reference")
+    body = data[128:-769]
+    assert bytes(body) == bytes([0x10, 0xC1, 0xC0, 0xC1, 0xFE, 0x05])
+    assert data[-769] == 0x0C  # palette marker
+
+
+def test_rle_mode_roundtrip_and_smaller():
+    pal = default_palette()
+    img = np.zeros((64, 64), np.uint8)
+    img[:32] = 7
+    a = encode_pcx(img, pal, mode="reference")
+    b = encode_pcx(img, pal, mode="rle")
+    assert len(b) < len(a)
+    out, _ = decode_pcx(b)
+    assert np.array_equal(out, img)
+
+
+def test_header_fields():
+    pal = default_palette()
+    data = encode_pcx(np.zeros((10, 20), np.uint8), pal)
+    assert data[0] == 0x0A and data[1] == 5 and data[2] == 1 and data[3] == 8
+    import struct
+
+    xmin, ymin, xmax, ymax = struct.unpack_from("<4H", data, 4)
+    assert (xmax + 1, ymax + 1) == (20, 10)

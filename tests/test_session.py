@@ -1,0 +1,142 @@
+"""Session / command-vocabulary tests (the console API surface)."""
+
+import numpy as np
+import pytest
+
+from blinky_tpu.api import SHORTCUT_BINDINGS, Session
+from blinky_tpu.io.cubemap import load_globe_pcx, synthetic_cubemap
+
+
+@pytest.fixture()
+def sess():
+    return Session(64, 48, backend="numpy")
+
+
+def test_defaults_mirror_f_init(sess):
+    # fisheye.c:668-672
+    assert sess.fisheye_enabled
+    assert sess.globe_name == "cube"
+    assert sess.lens_name == "panini"
+    assert sess.zoom.command() == "f_fov 180"
+    assert (sess.rubix_numcells, sess.rubix_cell_size, sess.rubix_pad_size) == (10, 4.0, 1.0)
+
+
+def test_render_and_lens_switch(sess):
+    frames = synthetic_cubemap(48)
+    a = np.asarray(sess.render(frames))
+    assert a.shape == (48, 64)
+    sess.cmd("f_lens fisheye1")  # onload f_contain
+    assert sess.zoom.command() == "f_contain"
+    b = np.asarray(sess.render(frames))
+    assert (a != b).any()
+
+
+def test_invalid_lens_keeps_running(sess):
+    sess.cmd("f_lens nosuch")
+    assert sess.lens_name == ""
+    assert "not a valid lens" in sess.console
+    frames = synthetic_cubemap(48)
+    out = np.asarray(sess.render(frames))  # previous lensmap discarded -> bg
+    assert out.shape == (48, 64)
+
+
+def test_zoom_error_renders_background(sess):
+    sess.cmd("f_lens quincuncial")
+    sess.cmd("f_fov 180")  # quincuncial has no max_fov -> zoom error
+    frames = synthetic_cubemap(48)
+    out = np.asarray(sess.render(frames))
+    assert (out == 0).all()
+    assert any("max_fov" in line for line in sess.console)
+
+
+def test_fisheye_toggle(sess):
+    frames = synthetic_cubemap(48)
+    on = np.asarray(sess.render(frames))
+    sess.cmd("fisheye 0")
+    off = np.asarray(sess.render(frames))
+    assert (off == 0).all() and (on != off).any()
+    sess.cmd("fisheye 1")
+    assert np.array_equal(np.asarray(sess.render(frames)), on)
+
+
+def test_rubix_toggle_and_grid(sess):
+    frames = synthetic_cubemap(48)
+    plain = np.asarray(sess.render(frames))
+    sess.cmd("f_rubix")
+    tinted = np.asarray(sess.render(frames))
+    assert (plain != tinted).any()
+    sess.cmd("f_rubixgrid 5 3 2")
+    assert (sess.rubix_numcells, sess.rubix_cell_size, sess.rubix_pad_size) == (5, 3.0, 2.0)
+    tinted2 = np.asarray(sess.render(frames))
+    assert (tinted != tinted2).any()
+
+
+def test_config_roundtrip(tmp_path, sess):
+    sess.cmd("f_lens hammer")
+    sess.cmd("f_vfov 120")
+    p = tmp_path / "config.cfg"
+    sess.write_config(p)
+    text = p.read_text()
+    assert 'f_lens "hammer"' in text and "f_vfov 120" in text
+    s2 = Session(64, 48, backend="numpy", defaults=False)
+    s2.exec_config(p)
+    assert s2.lens_name == "hammer" and s2.zoom.command() == "f_vfov 120"
+
+
+def test_shortcutkeys(sess):
+    sess.cmd("f_shortcutkeys")
+    assert sess.bindings == SHORTCUT_BINDINGS
+    sess.press_key("3")
+    assert sess.lens_name == "hammer"
+    sess.press_key("i")
+    assert sess.globe_name == "trism"
+    sess.cmd("f_shortcutkeys")
+    assert sess.bindings.get("1") == "impulse 1"
+    assert "9" not in sess.bindings
+
+
+def test_globe_switch_reloads_lens_metadata(sess):
+    sess.cmd("f_lens debug")
+    frames = synthetic_cubemap(48)
+    sess.render(frames)
+    assert sess.lens.width == 3  # cube -> cols 3
+    sess.cmd("f_globe fast")
+    sess.render(synthetic_cubemap(48, numplates=2))
+    assert sess.lens.width == 2  # numplates=2 -> one row of 2
+
+
+def test_saveglobe(tmp_path, sess, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    frames = synthetic_cubemap(48)
+    sess.cmd("f_saveglobe g 1")
+    sess.render(frames)
+    assert any("Wrote g0.pcx" in line for line in sess.console)
+    back, _ = load_globe_pcx("g", 6)
+    assert np.array_equal(back[:6], frames[:6])  # full mode: no masking
+
+
+def test_help_and_unknown(sess):
+    sess.cmd("f_help")
+    assert any("FISHEYE" in line for line in sess.console)
+    sess.cmd("frobnicate")
+    assert any("Unknown command" in line for line in sess.console)
+
+
+def test_user_script_dirs(tmp_path):
+    (tmp_path / "sq.py").write_text(
+        "def make(ctx):\n"
+        "    def lens_inverse(x, y):\n"
+        "        import numpy as np\n"
+        "        r2 = x * x + y * y\n"
+        "        z = (1 - r2) / (1 + r2)\n"
+        "        s = (1 + z) / 1\n"
+        "        return x * s, y * s, z + 0 * x, True\n"
+        "    return dict(lens_inverse=lens_inverse, lens_width=2.0, lens_height=2.0,\n"
+        "                onload='f_contain')\n"
+    )
+    sess = Session(64, 48, backend="numpy", lens_dirs=[tmp_path])
+    assert "sq" in sess.complete_lens()
+    sess.cmd("f_lens sq")
+    assert sess.lens_name == "sq"
+    out = np.asarray(sess.render(synthetic_cubemap(48)))
+    assert (out != 0).any()
