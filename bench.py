@@ -14,10 +14,10 @@ TARGET = 10_000.0
 
 
 def main() -> None:
-    batch = 128
-    iters = 10
+    batch = 1024
+    iters = 8
     if "--quick" in sys.argv:
-        batch, iters = 16, 3
+        batch, iters = 128, 3
     from blinky_tpu.bench.throughput import run_throughput
 
     r = run_throughput(batch=batch, iters=iters)

@@ -1,0 +1,71 @@
+"""Camera pose math: view angles -> basis, and plate world-frame bases.
+
+The reference drives each plate render by composing the plate's
+camera-relative frame with the player's view basis:
+``AngleVectors(r_refdef.viewangles)`` (``engine/common/mathlib.c:311-341``)
+then ``plate (x) camera`` (``engine/NQ/fisheye.c:750,777-792``).  Our frame
+sources are recorded plates, but pose streams still ride along in demo
+containers so a renderer-side producer can reproduce the exact plate
+cameras.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from blinky_tpu import xmath as m
+
+
+def angle_vectors(pitch, yaw, roll):
+    """Quake view angles (degrees) -> (forward, right, up) world basis.
+
+    Transcribes ``AngleVectors`` (``engine/common/mathlib.c:311-341``)
+    including its sign conventions.  Vectorized over leading dimensions;
+    returns arrays [..., 3].
+    """
+    xp = m.xp(pitch, yaw, roll)
+    d2r = m.pi / 180
+    sy, cy = m.sin(yaw * d2r), m.cos(yaw * d2r)
+    sp, cp = m.sin(pitch * d2r), m.cos(pitch * d2r)
+    sr, cr = m.sin(roll * d2r), m.cos(roll * d2r)
+
+    forward = xp.stack([cp * cy, cp * sy, -sp], axis=-1)
+    right = xp.stack(
+        [
+            -sr * sp * cy + cr * sy,
+            -sr * sp * sy - cr * cy,
+            -sr * cp,
+        ],
+        axis=-1,
+    )
+    up = xp.stack(
+        [
+            cr * sp * cy + sr * sy,
+            cr * sp * sy - sr * cy,
+            cr * cp,
+        ],
+        axis=-1,
+    )
+    return forward, right, up
+
+
+def plate_world_basis(globe, forward, right, up):
+    """World-frame (forward, right, up) for every plate of *globe* given a
+    camera basis.
+
+    Transcribes the per-plate composition in ``F_RenderView``
+    (``fisheye.c:777-792``): each plate vector's components weight the
+    camera's (right, up, forward) axes.
+
+    Args:
+        globe: a :class:`blinky_tpu.globes.Globe`.
+        forward, right, up: camera basis, arrays [..., 3].
+    Returns:
+        (f, r, u): arrays [..., numplates, 3].
+    """
+    cam = np.stack([np.asarray(right), np.asarray(up), np.asarray(forward)], axis=-2)
+
+    def mix(plate_vecs):  # [n, 3] x [..., 3, 3] -> [..., n, 3]
+        return np.einsum("nc,...cw->...nw", plate_vecs, cam)
+
+    return mix(globe.forward), mix(globe.right), mix(globe.up)

@@ -105,10 +105,20 @@ def synthetic_cubemap_batch(platesize: int, batch: int, numplates: int = 6) -> n
 
 
 def to_batch_layout(frames_bpss: np.ndarray) -> np.ndarray:
-    """[B, P, S, S] -> native [P, S, S, B]."""
+    """[B, P, S, S] -> device layout [P, S, S, B] (C++ packer when built)."""
+    from blinky_tpu import native
+
+    out = native.pack_batch(frames_bpss)
+    if out is not None:
+        return out
     return np.ascontiguousarray(np.moveaxis(frames_bpss, 0, -1))
 
 
 def from_batch_layout(frames_pssb: np.ndarray) -> np.ndarray:
-    """native [P, S, S, B] -> [B, P, S, S]."""
+    """device layout [P, S, S, B] -> [B, P, S, S]."""
+    from blinky_tpu import native
+
+    out = native.unpack_batch(frames_pssb)
+    if out is not None:
+        return out
     return np.ascontiguousarray(np.moveaxis(frames_pssb, -1, 0))

@@ -1,0 +1,113 @@
+"""Demo containers and the prefetching frame-batch pipeline.
+
+The reference records demos (server-message stream + view angles,
+``CL_Record_f``, ``engine/NQ/cl_demo.c:204``) and replays them
+deterministically; ``timedemo`` (``cl_demo.c:393``) replays as fast as
+possible and reports fps.  Here a *demo* is a recorded cubemap sequence
+(+ optional camera poses): the framework's batch-reprojection input.
+
+Container format (``.npz``):
+    frames   [N, P, S, S] uint8   — palette-indexed plate images
+    palette  [256, 3] uint8
+    poses    [N, 3] float32       — optional (pitch, yaw, roll) per frame
+
+:class:`FrameBatchIterator` packs frames into the device layout
+[P, S, S, B] (C++ packer) on a background thread so host packing overlaps
+device compute — the framework's data-loader, standing in for the
+reference's demo playback feeding the renderer.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from blinky_tpu.io.cubemap import to_batch_layout
+from blinky_tpu.utils.timing import FrameClock
+
+
+def write_demo(path, frames, palette, poses=None) -> None:
+    """Write a demo container.  frames: [N, P, S, S] uint8."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    arrs = dict(frames=frames, palette=np.asarray(palette, dtype=np.uint8))
+    if poses is not None:
+        arrs["poses"] = np.asarray(poses, dtype=np.float32)
+    np.savez_compressed(path, **arrs)
+
+
+def read_demo(path):
+    """Read a demo container -> dict(frames, palette, poses|None)."""
+    with np.load(path) as z:
+        return dict(
+            frames=z["frames"],
+            palette=z["palette"],
+            poses=z["poses"] if "poses" in z.files else None,
+        )
+
+
+class FrameBatchIterator:
+    """Iterate [P, S, S, B] device-layout batches with background prefetch.
+
+    The last batch is zero-padded to *batch* frames (static shapes keep the
+    remap kernel warm); ``n_valid`` on each yielded item gives the real
+    frame count.
+    """
+
+    def __init__(self, frames: np.ndarray, batch: int, prefetch: int = 2):
+        self.frames = np.asarray(frames, dtype=np.uint8)
+        self.batch = int(batch)
+        self.n = self.frames.shape[0]
+        self.prefetch = max(1, prefetch)
+
+    def __len__(self):
+        return (self.n + self.batch - 1) // self.batch
+
+    def _pack(self, i0: int):
+        chunk = self.frames[i0 : i0 + self.batch]
+        n_valid = chunk.shape[0]
+        if n_valid < self.batch:
+            pad = np.zeros((self.batch - n_valid,) + chunk.shape[1:], np.uint8)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        return to_batch_layout(chunk), n_valid
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for i0 in range(0, self.n, self.batch):
+                    q.put(self._pack(i0))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()
+
+
+def timedemo(session, frames, batch: int = 64, rubix=None, decode_rgb=False):
+    """Replay a frame sequence through the session as fast as possible and
+    report throughput — the ``timedemo`` analog (``cl_demo.c:364-393``).
+
+    Returns (outputs_last_batch, FrameClock) and logs the reference's
+    "frames seconds fps" line to the session console.
+    """
+    clock = FrameClock()
+    out = None
+    for batch_frames, n_valid in FrameBatchIterator(frames, batch):
+        out = session.render(batch_frames, rubix=rubix, decode_rgb=decode_rgb)
+        clock.tick(n_valid)
+    if out is not None:
+        # realize the final device batch before stopping the clock
+        _ = int(np.asarray(out.reshape(-1)[0]) if hasattr(out, "reshape") else 0)
+    session._print(clock.report())
+    return out, clock

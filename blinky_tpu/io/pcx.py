@@ -42,8 +42,12 @@ def encode_pcx(image: np.ndarray, palette: np.ndarray, mode: str = "reference") 
         b"\x00" * 58,
     )
     out = bytearray(header)
-    flat = image.reshape(-1)
-    if mode == "reference":
+    from blinky_tpu import native
+
+    body = native.pcx_encode_body(image, mode) if mode in ("reference", "rle") else None
+    if body is not None:
+        out += body
+    elif mode == "reference":
         # fisheye.c:1445-1448: run-of-one escape for bytes >= 0xC0.
         esc = flat >= 0xC0
         n = flat.size + int(esc.sum())
@@ -81,33 +85,37 @@ def decode_pcx(data: bytes):
         raise ValueError("unsupported PCX variant")
     w = xmax - xmin + 1
     h = ymax - ymin + 1
-    pix = np.empty(h * w, dtype=np.uint8)
     raw = np.frombuffer(data, dtype=np.uint8)
     pos = _HEADER.size
-    out_i = 0
     total = h * bpl
-    row = np.empty(total, dtype=np.uint8)
     if enc == 1:
-        while out_i < total:
-            b = int(raw[pos]); pos += 1
-            if b >= 0xC0:
-                run = b & 0x3F
-                row[out_i : out_i + run] = raw[pos]
-                pos += 1
-                out_i += run
-            else:
-                row[out_i] = b
-                out_i += 1
+        from blinky_tpu import native
+
+        # the RLE body ends 769 bytes before EOF when a VGA palette trailer
+        # is present; the native decoder consumes exactly `total` outputs.
+        nat = native.pcx_decode_body(data[pos:], total) if native.available() else None
+        if nat is not None:
+            row = nat
+            pos = len(raw)
+        else:
+            row = np.empty(total, dtype=np.uint8)
+            out_i = 0
+            while out_i < total:
+                b = int(raw[pos]); pos += 1
+                if b >= 0xC0:
+                    run = b & 0x3F
+                    row[out_i : out_i + run] = raw[pos]
+                    pos += 1
+                    out_i += run
+                else:
+                    row[out_i] = b
+                    out_i += 1
     else:
-        row[:] = raw[pos : pos + total]
+        row = raw[pos : pos + total].copy()
         pos += total
     pix = row.reshape(h, bpl)[:, :w].copy()
+    # VGA palette trailer: 0x0C marker + 768 bytes at EOF.
     palette = np.zeros((256, 3), dtype=np.uint8)
-    tail = raw[pos:]
-    marker = np.nonzero(tail == 0x0C)[0]
-    if len(tail) >= 769 and tail[-769] == 0x0C:
-        palette = tail[-768:].reshape(256, 3).copy()
-    elif marker.size:
-        m = int(marker[0])
-        palette = tail[m + 1 : m + 769].reshape(256, 3).copy()
+    if len(raw) >= _HEADER.size + 769 and raw[-769] == 0x0C:
+        palette = raw[-768:].reshape(256, 3).copy()
     return pix, palette

@@ -1,0 +1,148 @@
+"""ctypes bindings for the native host runtime (with pure-Python fallback).
+
+Builds ``libblinky_native.so`` on first use if a C++ toolchain is present
+(the reference ships native fast paths the same way — built by its
+Makefile, with C fallbacks under ``USE_X86_ASM=N``,
+``engine/Makefile:17``).  All entry points degrade gracefully to the NumPy
+implementations when the library is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).parent
+_SO = _DIR / "libblinky_native.so"
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not _SO.exists():
+        try:
+            subprocess.run(
+                ["make", "-s", "-C", str(_DIR)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError:
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.pal_nearest.restype = ctypes.c_int
+    lib.pal_nearest.argtypes = [u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.palmap_build.argtypes = [u8p, u8p]
+    lib.pcx_encode_body_ref.restype = ctypes.c_long
+    lib.pcx_encode_body_ref.argtypes = [u8p, ctypes.c_long, u8p]
+    lib.pcx_encode_body_rle.restype = ctypes.c_long
+    lib.pcx_encode_body_rle.argtypes = [u8p, ctypes.c_int, ctypes.c_int, u8p]
+    lib.pcx_decode_body.restype = ctypes.c_int
+    lib.pcx_decode_body.argtypes = [u8p, ctypes.c_long, u8p, ctypes.c_long]
+    lib.pcx_decode_body_many.restype = ctypes.c_int
+    lib.pcx_decode_body_many.argtypes = [
+        ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+        u8p, ctypes.c_long, ctypes.c_int,
+    ]
+    lib.pack_batch.argtypes = [u8p, u8p, ctypes.c_long, ctypes.c_long, ctypes.c_long]
+    lib.unpack_batch.argtypes = [u8p, u8p, ctypes.c_long, ctypes.c_long, ctypes.c_long]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def palmap_build(pal: np.ndarray):
+    """Native create_palmap; returns None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    pal = np.ascontiguousarray(pal, dtype=np.uint8)
+    out = np.empty((6, 256), dtype=np.uint8)
+    lib.palmap_build(_u8(pal), _u8(out))
+    return out
+
+
+def pcx_decode_body(body: bytes, total: int):
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.frombuffer(body, dtype=np.uint8)
+    out = np.empty(total, dtype=np.uint8)
+    rc = lib.pcx_decode_body(_u8(data), len(data), _u8(out), total)
+    if rc != 0:
+        raise ValueError("truncated PCX body")
+    return out
+
+
+def pcx_encode_body(img: np.ndarray, mode: str = "reference"):
+    lib = _load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    out = np.empty(2 * h * w + 16, dtype=np.uint8)
+    if mode == "reference":
+        n = lib.pcx_encode_body_ref(_u8(img), img.size, _u8(out))
+    else:
+        n = lib.pcx_encode_body_rle(_u8(img), w, h, _u8(out))
+    return out[:n].tobytes()
+
+
+def pcx_decode_body_many(bodies: list, total: int, nthreads: int | None = None):
+    """Decode many equal-size PCX bodies in parallel -> [count, total] u8."""
+    lib = _load()
+    if lib is None:
+        return None
+    arrs = [np.frombuffer(b, dtype=np.uint8) for b in bodies]
+    count = len(arrs)
+    ptrs = (ctypes.POINTER(ctypes.c_uint8) * count)(*[_u8(a) for a in arrs])
+    lens = (ctypes.c_long * count)(*[len(a) for a in arrs])
+    out = np.empty((count, total), dtype=np.uint8)
+    nt = nthreads or min(8, os.cpu_count() or 1)
+    rc = lib.pcx_decode_body_many(ptrs, lens, count, _u8(out), total, nt)
+    if rc != 0:
+        raise ValueError("truncated PCX body in batch")
+    return out
+
+
+def pack_batch(frames_bpss: np.ndarray):
+    """[B, P, S, S] -> [P, S, S, B]; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(frames_bpss, dtype=np.uint8)
+    B, P, S, S2 = src.shape
+    assert S == S2
+    dst = np.empty((P, S, S, B), dtype=np.uint8)
+    lib.pack_batch(_u8(src), _u8(dst), B, P, S)
+    return dst
+
+
+def unpack_batch(frames_pssb: np.ndarray):
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(frames_pssb, dtype=np.uint8)
+    P, S, S2, B = src.shape
+    dst = np.empty((B, P, S, S), dtype=np.uint8)
+    lib.unpack_batch(_u8(src), _u8(dst), B, P, S)
+    return dst

@@ -1,0 +1,183 @@
+// Native runtime kernels for blinky_tpu (host side).
+//
+// The reference implements its runtime in C with hand-written x86 assembly
+// fast paths (engine/common/d_draw.S, surf8.S, ...); the TPU compute path
+// here is XLA/Pallas, and this file is the native host runtime around it:
+// PCX codec (reference: WritePCXplate, engine/NQ/fisheye.c:1396-1465),
+// palette nearest-color search (create_palmap, fisheye.c:835-908), and the
+// batch layout packer feeding the device ([B,P,S,S] u8 -> [P,S,S,B]).
+//
+// Exposed via a C ABI for ctypes; built by the Makefile next to this file.
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------- palette
+
+// find_closest_pal_index (fisheye.c:835-855): squared-distance scan,
+// first minimum wins.
+int pal_nearest(const uint8_t* pal, int r, int g, int b) {
+  int mindist = 256 * 256 * 256;
+  int minindex = 0;
+  for (int i = 0; i < 256; ++i) {
+    const int dr = (int)pal[3 * i + 0] - r;
+    const int dg = (int)pal[3 * i + 1] - g;
+    const int db = (int)pal[3 * i + 2] - b;
+    const int dist = dr * dr + dg * dg + db * db;
+    if (dist < mindist) {
+      mindist = dist;
+      minindex = i;
+    }
+  }
+  return minindex;
+}
+
+// create_palmap (fisheye.c:857-908): 6 tint palettes, C integer arithmetic
+// (arithmetic shift on possibly-negative products).
+void palmap_build(const uint8_t* pal, uint8_t* out /* [6][256] */) {
+  static const int tints[6][3] = {
+      {255, 255, 255}, {0, 0, 255},   {255, 0, 0},
+      {255, 255, 0},   {255, 0, 255}, {0, 255, 255},
+  };
+  const int percent = 256 / 6;
+  for (int j = 0; j < 6; ++j) {
+    for (int i = 0; i < 256; ++i) {
+      int r = pal[3 * i + 0];
+      int g = pal[3 * i + 1];
+      int b = pal[3 * i + 2];
+      r += percent * (tints[j][0] - r) >> 8;
+      g += percent * (tints[j][1] - g) >> 8;
+      b += percent * (tints[j][2] - b) >> 8;
+      if (r < 0) r = 0;
+      if (r > 255) r = 255;
+      if (g < 0) g = 0;
+      if (g > 255) g = 255;
+      if (b < 0) b = 0;
+      if (b > 255) b = 255;
+      out[j * 256 + i] = (uint8_t)pal_nearest(pal, r, g, b);
+    }
+  }
+}
+
+// ------------------------------------------------------------------- PCX
+
+// Reference-mode encoder body (fisheye.c:1445-1448): bytes >= 0xC0 escaped
+// as a run of one.  Returns bytes written (caller sizes out >= 2*w*h).
+long pcx_encode_body_ref(const uint8_t* img, long n, uint8_t* out) {
+  uint8_t* p = out;
+  for (long i = 0; i < n; ++i) {
+    const uint8_t col = img[i];
+    if ((col & 0xC0) == 0xC0) *p++ = 0xC1;
+    *p++ = col;
+  }
+  return (long)(p - out);
+}
+
+// Standard PCX RLE encoder body (max run 63).
+long pcx_encode_body_rle(const uint8_t* img, int w, int h, uint8_t* out) {
+  uint8_t* p = out;
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = img + (long)y * w;
+    int i = 0;
+    while (i < w) {
+      int run = 1;
+      while (i + run < w && row[i + run] == row[i] && run < 63) ++run;
+      const uint8_t val = row[i];
+      if (run > 1 || val >= 0xC0) *p++ = (uint8_t)(0xC0 | run);
+      *p++ = val;
+      i += run;
+    }
+  }
+  return (long)(p - out);
+}
+
+// RLE decode body: returns 0 on success, -1 on truncated input.
+int pcx_decode_body(const uint8_t* data, long n, uint8_t* out, long total) {
+  long pos = 0, o = 0;
+  while (o < total) {
+    if (pos >= n) return -1;
+    const uint8_t b = data[pos++];
+    if (b >= 0xC0) {
+      const int run = b & 0x3F;
+      if (pos >= n) return -1;
+      const uint8_t v = data[pos++];
+      if (o + run > total) return -1;
+      memset(out + o, v, (size_t)run);
+      o += run;
+    } else {
+      out[o++] = b;
+    }
+  }
+  return 0;
+}
+
+// Decode many same-size PCX bodies in parallel (dataset loading fast path).
+// datas/lens: per-item body pointers/lengths; out: [count, total] u8.
+int pcx_decode_body_many(const uint8_t** datas, const long* lens, int count,
+                         uint8_t* out, long total, int nthreads) {
+  if (nthreads < 1) nthreads = 1;
+  std::vector<int> rc(count, 0);
+  std::vector<std::thread> ts;
+  const int per = (count + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    const int lo = t * per;
+    const int hi = lo + per < count ? lo + per : count;
+    if (lo >= hi) break;
+    ts.emplace_back([=, &rc]() {
+      for (int i = lo; i < hi; ++i)
+        rc[i] = pcx_decode_body(datas[i], lens[i], out + (long)i * total, total);
+    });
+  }
+  for (auto& th : ts) th.join();
+  for (int i = 0; i < count; ++i)
+    if (rc[i] != 0) return -1;
+  return 0;
+}
+
+// ---------------------------------------------------------------- layout
+
+// [B, P, S, S] u8 -> [P, S, S, B] u8 (batch-innermost device layout).
+// Cache-blocked over the trailing image axis.
+void pack_batch(const uint8_t* src, uint8_t* dst, long B, long P, long S) {
+  const long img = S * S;        // one plate image
+  const long frame = P * img;    // one input frame
+  const long nthreads_max = (long)std::thread::hardware_concurrency();
+  long nthreads = nthreads_max > 0 ? nthreads_max : 1;
+  if (nthreads > P) nthreads = P;
+  std::vector<std::thread> ts;
+  for (long t = 0; t < nthreads; ++t) {
+    ts.emplace_back([=]() {
+      for (long p = t; p < P; p += nthreads) {
+        uint8_t* dplane = dst + p * img * B;
+        const uint8_t* splane = src + p * img;
+        for (long i = 0; i < img; ++i) {
+          uint8_t* drow = dplane + i * B;
+          const uint8_t* scol = splane + i;
+          for (long b = 0; b < B; ++b) drow[b] = scol[b * frame];
+        }
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+}
+
+// [P, S, S, B] u8 -> [B, P, S, S] u8.
+void unpack_batch(const uint8_t* src, uint8_t* dst, long B, long P, long S) {
+  const long img = S * S;
+  const long frame = P * img;
+  for (long p = 0; p < P; ++p) {
+    const uint8_t* splane = src + p * img * B;
+    uint8_t* dplane = dst + p * img;
+    for (long i = 0; i < img; ++i) {
+      const uint8_t* srow = splane + i * B;
+      uint8_t* dcol = dplane + i;
+      for (long b = 0; b < B; ++b) dcol[b * frame] = srow[b];
+    }
+  }
+}
+
+}  // extern "C"

@@ -121,6 +121,12 @@ def create_palmap(pal: np.ndarray) -> np.ndarray:
     (arithmetic shift, i.e. floor — matched by NumPy's ``>>`` on int64),
     then snapped to the nearest base-palette entry.
     """
+    from blinky_tpu import native
+
+    nat = native.palmap_build(pal)
+    if nat is not None:
+        return nat
+
     percent = 256 // MAX_PLATES
     base = pal.astype(np.int64)  # [256, 3]
     tinted = base[None, :, :] + ((percent * (PLATE_TINTS[:, None, :] - base)) >> 8)

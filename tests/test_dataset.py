@@ -1,0 +1,71 @@
+"""Demo container, prefetch iterator, timedemo, camera basis tests."""
+
+import numpy as np
+
+from blinky_tpu.api import Session
+from blinky_tpu.camera import angle_vectors, plate_world_basis
+from blinky_tpu.io.cubemap import synthetic_cubemap
+from blinky_tpu.io.dataset import FrameBatchIterator, read_demo, timedemo, write_demo
+from blinky_tpu.palette import default_palette
+
+
+def _demo_frames(n=10, S=48):
+    base = synthetic_cubemap(S)
+    return np.stack([np.roll(base, i, axis=2) for i in range(n)])
+
+
+def test_demo_roundtrip(tmp_path):
+    frames = _demo_frames(4)
+    poses = np.zeros((4, 3), np.float32)
+    p = tmp_path / "demo.npz"
+    write_demo(p, frames, default_palette(), poses)
+    d = read_demo(p)
+    assert np.array_equal(d["frames"], frames)
+    assert d["poses"].shape == (4, 3)
+
+
+def test_batch_iterator_pads_last():
+    frames = _demo_frames(10)
+    batches = list(FrameBatchIterator(frames, batch=4))
+    assert len(batches) == 3
+    assert [n for _, n in batches] == [4, 4, 2]
+    b0, _ = batches[0]
+    assert b0.shape == (6, 48, 48, 4)
+    assert np.array_equal(b0[..., 2], frames[2])
+    b2, _ = batches[2]
+    assert (b2[..., 2:] == 0).all()  # zero padding
+
+
+def test_timedemo(capsys):
+    sess = Session(64, 48, backend="numpy")
+    frames = _demo_frames(12)
+    out, clock = timedemo(sess, frames, batch=4)
+    assert clock.frames == 12
+    assert any("frames" in line and "fps" in line for line in sess.console)
+
+
+def test_angle_vectors_identity():
+    f, r, u = angle_vectors(0.0, 0.0, 0.0)
+    np.testing.assert_allclose(f, [1, 0, 0], atol=1e-12)
+    np.testing.assert_allclose(r, [0, -1, 0], atol=1e-12)
+    np.testing.assert_allclose(u, [0, 0, 1], atol=1e-12)
+
+
+def test_angle_vectors_yaw90():
+    f, r, u = angle_vectors(0.0, 90.0, 0.0)
+    np.testing.assert_allclose(f, [0, 1, 0], atol=1e-12)
+    np.testing.assert_allclose(r, [1, 0, 0], atol=1e-12)
+
+
+def test_plate_world_basis_identity_camera(cube_globe):
+    # with camera = (right=X, up=Y, forward=Z), plate world basis equals the
+    # plate's own camera-frame vectors
+    f, r, u = plate_world_basis(
+        cube_globe,
+        forward=np.array([0.0, 0, 1]),
+        right=np.array([1.0, 0, 0]),
+        up=np.array([0.0, 1, 0]),
+    )
+    np.testing.assert_allclose(f, cube_globe.forward, atol=1e-12)
+    np.testing.assert_allclose(r, cube_globe.right, atol=1e-12)
+    np.testing.assert_allclose(u, cube_globe.up, atol=1e-12)
