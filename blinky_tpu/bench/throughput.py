@@ -76,6 +76,88 @@ def make_bench_step(iters: int, rubix: bool, decode_rgb: bool):
     return step
 
 
+def make_gather_bench_step(iters: int):
+    """Bench step for the pure-gather paths (expanded / RGBA sources)."""
+    from blinky_tpu.kernels.remap import remap_gather_impl
+
+    @jax.jit
+    def step(frames, flat_idx, valid, background):
+        def body(i, acc):
+            fi = flat_idx.at[0, 0].set(i % (flat_idx.shape[0] * flat_idx.shape[1]))
+            out = remap_gather_impl(frames, fi, valid, background)
+            return acc + out.reshape(-1)[0].astype(jnp.int32)
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    return step
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def device_source(platesize, batch, expanded, rgba):
+    """On-device synthetic source in any of the remap's source layouts.
+
+    [NP, S, S, B] with NP = 12 when *expanded* (raw||tinted halves; the
+    tinted half is a distinct deterministic pattern — remap timing is
+    data-independent, and value-exactness of the tinted half is covered by
+    the CPU tests against ``create_palmap``), u32-packed when *rgba*."""
+    S = platesize
+    NP = 2 * MAX_PLATES if expanded else MAX_PLATES
+    shape = (NP, S, S, batch)
+    p = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    py = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    px = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    b = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
+    checker = ((px // 8 + py // 8) % 2) * 16
+    grad = (px * 3 + py * 5 + p * 37 + b * 11) % 128
+    v = (p * 40 + 8 + checker + grad) % 255
+    if rgba:
+        # synthetic packed RGBA from the index pattern
+        out = (v | ((v * 3 % 256) << 8) | ((v * 7 % 256) << 16)).astype(jnp.uint32)
+        return out | jnp.uint32(0xFF000000)
+    return v.astype(jnp.uint8)
+
+
+def run_gather_throughput(
+    width=1920,
+    height=1080,
+    platesize=1080,
+    batch=512,
+    iters=8,
+    lens_name="panini",
+    globe_name="cube",
+    zoom=Zoom("fov", 180),
+    rubix=True,
+    rgba=False,
+):
+    """Throughput of the expanded-source paths: rubix (raw||tinted u8),
+    RGBA (u32), or both.  See kernels/remap.py for why tint/decode live in
+    the source.  Returns a dict like :func:`run_throughput`."""
+    from blinky_tpu.kernels.remap import RemapKernel
+
+    g = globes.get(globe_name)
+    lens = lenses.get(lens_name, g)
+    scale = calc_scale(zoom, lens, width, height)
+    lm = build_lensmap(lens, g, scale, width, height, platesize)
+    kernel = RemapKernel(lm, default_palette())
+
+    frames = device_source(platesize, batch, rubix, rgba)
+    _sync(frames)
+    idx = kernel.flat_idx_rubix if rubix else kernel.flat_idx
+    bg = kernel.background_rgba if rgba else kernel.background
+
+    step = make_gather_bench_step(iters)
+    _sync(step(frames, idx, kernel.valid, bg))
+    t0 = time.perf_counter()
+    _sync(step(frames, idx, kernel.valid, bg))
+    dt = time.perf_counter() - t0
+    fps = batch * iters / dt
+    return dict(
+        config=f"{lens_name}+{globe_name} {width}x{height} S={platesize} B={batch}"
+        + (" rubix" if rubix else "") + (" rgba" if rgba else ""),
+        fps=fps,
+        ms_per_batch=dt / iters * 1000,
+    )
+
+
 def run_throughput(
     width=1920,
     height=1080,

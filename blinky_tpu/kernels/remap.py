@@ -13,28 +13,54 @@ TPU-native equivalent is a *layout* choice plus XLA gathers:
   built to do, instead of 2 M scalar pointer chases.
 * The lensmap (``flat_idx``/``valid``/``tint``) is static across frames,
   so the whole screen's gather indices are a constant operand; XLA hoists
-  and fuses the tint/RGB table lookups behind it.
-* Rubix tinting composes the 6 tint palettes + identity into one
-  ``[7 * 256]`` LUT (row 6 = no tint) so the overlay costs a single extra
-  small-table gather (``fisheye.c:2416-2419``).
+  and fuses the bounds/background select behind it.
 
-The kernel is compiled once per (H, W, S, B, flags) — switching lens,
+Why the gather is XLA's and not a hand-written Pallas kernel: on TPU v5e
+the dynamic row gather is bound by the chip's per-index gather capability
+(~21 ns/row measured, independent of row width 128 B..1 KB), and every
+alternative formulation measured *slower* — the full speed-of-light
+analysis with numbers is in ``docs/PERF.md``.
+
+Per-element palette work (rubix tint, RGB decode) cannot ride the VPU on
+v5e (no byte-gather instruction; see ``docs/PERF.md`` §3), so the fast
+path **precomputes it into the source**, exactly as the reference
+precomputes its tint palettes once at init (``create_palmap``,
+``fisheye.c:857-908``):
+
+* rubix: the source is *expanded* to ``[2*MAX_PLATES, S, S, B]`` — raw
+  plates followed by self-tinted plates (``palmap[p]`` applied) — and the
+  tint decision folds into the **static gather indices** (grid-line
+  pixels index the raw half, cell interiors the tinted half).  The
+  per-frame cost of rubix is then zero.
+* RGB decode: the source is decoded to packed RGBA little-endian uint32
+  (``r | g<<8 | b<<16 | 0xff<<24``) at ingest, and the same row gather
+  moves 4-byte texels.  This mirrors the reference, where palette->RGB
+  conversion was the display adapter's job, not the engine's.
+
+The kernel is compiled once per (H, W, S, B, dtype) — switching lens,
 globe, or zoom only changes *data*, keeping the kernel warm as required
 by the north star.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from blinky_tpu.palette import MAX_PLATES
+from blinky_tpu.palette import MAX_PLATES, create_palmap, rgba_lut
 
 
 def remap_impl(frames, flat_idx, valid, tint, background, tint_lut, rgb_lut, *, rubix, decode_rgb):
     """Pure remap body; frames: [MAX_PLATES, S, S, B] u8 -> [H, W, B] u8
-    (or [H, W, B, 3] with ``decode_rgb``)."""
+    (or [H, W, B, 3] with ``decode_rgb``).
+
+    This is the fully general path (arbitrary per-element tint LUT); on
+    TPU the per-element table lookups are slow — prefer the expanded-source
+    path (:func:`remap_gather_impl` + :func:`expand_frames_tinted`) there.
+    """
     P, S, _, B = frames.shape
     H, W = flat_idx.shape
     src = frames.reshape(P * S * S, B)
@@ -58,7 +84,71 @@ def remap_impl(frames, flat_idx, valid, tint, background, tint_lut, rgb_lut, *, 
 
 _remap = jax.jit(remap_impl, static_argnames=("rubix", "decode_rgb"))
 
+
+def remap_gather_impl(frames, flat_idx, valid, background):
+    """The pure-gather remap: frames [NP, S, S, B] (u8 or u32) -> [H, W, B].
+
+    All palette work is already in the source (expanded / RGBA-decoded),
+    so per frame this is exactly one row gather plus the background
+    select — the whole per-frame cost of the reference's
+    ``render_lensmap`` including rubix tinting.
+    """
+    NP, S, _, B = frames.shape
+    H, W = flat_idx.shape
+    src = frames.reshape(NP * S * S, B)
+    gathered = jnp.take(src, flat_idx.reshape(H * W), axis=0, mode="clip")
+    out = jnp.where(valid.reshape(H * W, 1), gathered, background.reshape(H * W, 1))
+    return out.reshape(H, W, B)
+
+
+_remap_gather = jax.jit(remap_gather_impl)
+
 _DUMMY_LUT = np.zeros((1,), np.uint8)
+
+
+def expanded_flat_idx(lensmap) -> np.ndarray:
+    """Gather indices into the expanded (raw||tinted) source, [H, W] i32.
+
+    Pixels whose rubix tint is a plate tint read from the tinted half
+    (offset ``MAX_PLATES*S*S``); grid-line / untinted pixels read raw.
+    Transcribes the tint branch of ``render_lensmap``
+    (``fisheye.c:2416-2419``) into static index arithmetic.
+    """
+    from blinky_tpu.lensmap.builder import TINT_NONE
+
+    S = lensmap.platesize
+    fi = np.asarray(lensmap.flat_idx)
+    tint = np.asarray(lensmap.tint)
+    valid = np.asarray(lensmap.valid)
+    off = np.where((tint != TINT_NONE) & valid, MAX_PLATES * S * S, 0)
+    return (fi + off).astype(np.int32)
+
+
+def expand_frames_tinted(frames, palette) -> np.ndarray:
+    """Host-side source expansion for the fast rubix path.
+
+    [P, S, S(, B)] u8 -> [2*MAX_PLATES, S, S(, B)]: raw plates (padded to
+    MAX_PLATES) followed by each plate run through its own tint palette
+    (``palmap[p]``, the reference's per-plate rubix tint,
+    ``fisheye.c:2416-2419``).  Done once at ingest; the device remap then
+    gets rubix for free.
+    """
+    frames = np.asarray(frames, dtype=np.uint8)
+    palmap = create_palmap(np.asarray(palette))
+    S = frames.shape[1]
+    out = np.zeros((2 * MAX_PLATES,) + frames.shape[1:], dtype=np.uint8)
+    out[: frames.shape[0]] = frames
+    for p in range(frames.shape[0]):
+        out[MAX_PLATES + p] = palmap[p][frames[p]]
+    return out
+
+
+def frames_to_rgba(frames, palette) -> np.ndarray:
+    """Host-side palette decode to packed RGBA uint32 (little-endian
+    r|g<<8|b<<16|ff<<24), same shape as *frames*.  The device remap then
+    moves 4-byte texels through the identical gather."""
+    lut = rgba_lut(np.asarray(palette))
+    return lut[np.asarray(frames, dtype=np.uint8)]
 
 
 class RemapKernel:
@@ -68,6 +158,15 @@ class RemapKernel:
 
         k = RemapKernel(lensmap, palette)     # palette: [256, 3] u8
         out = k(frames)                        # [6, S, S, B] u8 -> [H, W, B] u8
+
+    Source variants (see module docstring):
+
+    * ``[P<=6, S, S, B]`` u8 — plain palette-index frames; ``rubix=True``
+      uses the general per-element LUT path (slow on TPU).
+    * ``[12, S, S, B]`` u8 from :func:`expand_frames_tinted` — rubix rides
+      the static indices; per-frame cost identical to the plain remap.
+    * either of the above decoded by :func:`frames_to_rgba` (uint32) —
+      output is packed RGBA u32 [H, W, B].
     """
 
     def __init__(self, lensmap, palette=None, background=None):
@@ -78,44 +177,71 @@ class RemapKernel:
         self.width_px = lensmap.width_px
         self.platesize = lensmap.platesize
         self.flat_idx = jnp.asarray(lensmap.flat_idx, dtype=jnp.int32)
+        self.flat_idx_rubix = jnp.asarray(expanded_flat_idx(lensmap))
         self.valid = jnp.asarray(lensmap.valid)
         self.tint = jnp.asarray(lensmap.tint, dtype=jnp.uint8)
+        self.palette = None if palette is None else np.asarray(palette)
         if palette is not None:
-            self.tint_lut = jnp.asarray(pal.tint_lut(palette))
-            self.rgb_lut = jnp.asarray(palette, dtype=jnp.uint8)
+            self.tint_lut = jnp.asarray(pal.tint_lut(self.palette))
+            self.rgb_lut = jnp.asarray(self.palette, dtype=jnp.uint8)
         else:
             self.tint_lut = None
             self.rgb_lut = None
         if background is None:
             background = np.zeros((self.height_px, self.width_px), np.uint8)
-        self.background = jnp.asarray(background, dtype=jnp.uint8)
+        self.background_np = np.asarray(background, dtype=np.uint8)
+        self.background = jnp.asarray(self.background_np)
+        self._background_rgba = None
+
+    @property
+    def background_rgba(self):
+        if self._background_rgba is None:
+            if self.palette is None:
+                raise ValueError("RGBA remap needs a palette")
+            self._background_rgba = jnp.asarray(frames_to_rgba(self.background_np, self.palette))
+        return self._background_rgba
 
     def __call__(self, frames, rubix: bool = False, decode_rgb: bool = False):
-        frames = jnp.asarray(frames, dtype=jnp.uint8)
+        frames = jnp.asarray(frames)
         squeeze = False
         if frames.ndim == 3:  # single frame [P, S, S]
             frames = frames[..., None]
             squeeze = True
-        if frames.shape[0] != MAX_PLATES:
+        is_rgba = frames.dtype == jnp.uint32
+        expanded = frames.shape[0] == 2 * MAX_PLATES
+        if not expanded and frames.shape[0] != MAX_PLATES:
             pad = MAX_PLATES - frames.shape[0]
             frames = jnp.concatenate(
-                [frames, jnp.zeros((pad,) + frames.shape[1:], jnp.uint8)], axis=0
+                [frames, jnp.zeros((pad,) + frames.shape[1:], frames.dtype)], axis=0
             )
-        if (rubix or decode_rgb) and self.tint_lut is None:
-            raise ValueError("RemapKernel needs a palette for rubix/RGB decode")
-        out = _remap(
-            frames,
-            self.flat_idx,
-            self.valid,
-            self.tint,
-            self.background,
-            self.tint_lut if self.tint_lut is not None else jnp.asarray(_DUMMY_LUT),
-            self.rgb_lut if self.rgb_lut is not None else jnp.asarray(_DUMMY_LUT),
-            rubix=rubix,
-            decode_rgb=decode_rgb,
-        )
+
+        if expanded or is_rgba:
+            idx = self.flat_idx_rubix if (rubix and expanded) else self.flat_idx
+            if rubix and not expanded:
+                raise ValueError(
+                    "rubix on an RGBA source needs the expanded (raw||tinted) "
+                    "layout; use expand_frames_tinted before frames_to_rgba"
+                )
+            bg = self.background_rgba if is_rgba else self.background
+            out = _remap_gather(frames, idx, self.valid, bg)
+        else:
+            if (rubix or decode_rgb) and self.tint_lut is None:
+                raise ValueError("RemapKernel needs a palette for rubix/RGB decode")
+            out = _remap(
+                frames,
+                self.flat_idx,
+                self.valid,
+                self.tint,
+                self.background,
+                self.tint_lut if self.tint_lut is not None else jnp.asarray(_DUMMY_LUT),
+                self.rgb_lut if self.rgb_lut is not None else jnp.asarray(_DUMMY_LUT),
+                rubix=rubix,
+                decode_rgb=decode_rgb,
+            )
+        if decode_rgb and is_rgba:
+            raise ValueError("decode_rgb with an RGBA source is redundant")
         if squeeze:
-            out = out[..., 0, :] if decode_rgb else out[..., 0]
+            out = out[..., 0, :] if (decode_rgb and not is_rgba) else out[..., 0]
         return out
 
 

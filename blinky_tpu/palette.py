@@ -134,6 +134,16 @@ def create_palmap(pal: np.ndarray) -> np.ndarray:
     return find_closest_pal_index(pal, tinted[..., 0], tinted[..., 1], tinted[..., 2])
 
 
+def rgba_lut(pal: np.ndarray) -> np.ndarray:
+    """Packed RGBA decode table, [256] uint32 little-endian
+    ``r | g<<8 | b<<16 | 0xff<<24``.  The reference never decodes to RGB
+    in the engine (the 8-bit display palette did it); this is the
+    framework's video-export equivalent, applied at ingest so the remap
+    gather moves 4-byte texels (see kernels/remap.py)."""
+    p = pal.astype(np.uint32)
+    return p[:, 0] | (p[:, 1] << 8) | (p[:, 2] << 16) | np.uint32(0xFF000000)
+
+
 def tint_lut(pal: np.ndarray) -> np.ndarray:
     """Combined tint LUT, [7, 256] uint8: rows 0..5 are the plate tint
     palettes, row 6 is identity (the ``tint == 255`` no-filter branch of

@@ -1,0 +1,107 @@
+"""Expanded-source remap paths: rubix-by-static-index and RGBA decode.
+
+The fast TPU paths precompute palette work into the source
+(kernels/remap.py module docstring; perf rationale in docs/PERF.md).
+These tests pin them bit-exactly to the general per-element LUT path,
+which is itself pinned to the C semantics by test_remap / the oracle.
+"""
+
+import numpy as np
+import pytest
+
+from blinky_tpu import globes, lenses
+from blinky_tpu.io.cubemap import synthetic_cubemap, synthetic_cubemap_batch
+from blinky_tpu.kernels.remap import (
+    RemapKernel,
+    expand_frames_tinted,
+    expanded_flat_idx,
+    frames_to_rgba,
+)
+from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+from blinky_tpu.palette import MAX_PLATES, default_palette, rgba_lut
+
+W, H, S = 96, 64, 64
+
+
+@pytest.fixture(scope="module")
+def setup():
+    g = globes.get("cube")
+    lens = lenses.get("fisheye1", g)  # circular bound -> invalid corners
+    scale = calc_scale(Zoom("contain"), lens, W, H)
+    lm = build_lensmap(lens, g, scale, W, H, S, backend="numpy")
+    pal = default_palette()
+    bg = (np.arange(H * W).reshape(H, W) % 251).astype(np.uint8)
+    kernel = RemapKernel(lm, pal, bg)
+    frames = synthetic_cubemap_batch(S, 3)
+    return lm, pal, bg, kernel, frames
+
+
+def test_lensmap_has_invalid_pixels(setup):
+    lm = setup[0]
+    assert not np.asarray(lm.valid).all()
+
+
+def test_expanded_rubix_matches_lut_path(setup):
+    lm, pal, bg, kernel, frames = setup
+    ref = np.asarray(kernel(frames, rubix=True))
+    ex = expand_frames_tinted(frames, pal)
+    assert ex.shape == (2 * MAX_PLATES, S, S, 3)
+    out = np.asarray(kernel(ex, rubix=True))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_expanded_no_rubix_matches_plain(setup):
+    lm, pal, bg, kernel, frames = setup
+    ref = np.asarray(kernel(frames))
+    out = np.asarray(kernel(expand_frames_tinted(frames, pal)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_rgba_source_matches_decoded_output(setup):
+    lm, pal, bg, kernel, frames = setup
+    idx_out = np.asarray(kernel(frames))  # [H, W, B] u8
+    ref = rgba_lut(pal)[idx_out]
+    out = np.asarray(kernel(frames_to_rgba(frames, pal)))
+    assert out.dtype == np.uint32
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_rgba_expanded_rubix(setup):
+    lm, pal, bg, kernel, frames = setup
+    ref = rgba_lut(pal)[np.asarray(kernel(frames, rubix=True))]
+    src = frames_to_rgba(expand_frames_tinted(frames, pal), pal)
+    out = np.asarray(kernel(src, rubix=True))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_rgba_background_on_invalid(setup):
+    lm, pal, bg, kernel, frames = setup
+    out = np.asarray(kernel(frames_to_rgba(frames, pal)))
+    invalid = ~np.asarray(lm.valid)
+    exp = rgba_lut(pal)[bg][invalid][:, None]
+    np.testing.assert_array_equal(out[invalid], np.broadcast_to(exp, out[invalid].shape))
+
+
+def test_rubix_on_plain_rgba_raises(setup):
+    lm, pal, bg, kernel, frames = setup
+    with pytest.raises(ValueError):
+        kernel(frames_to_rgba(frames, pal), rubix=True)
+
+
+def test_expanded_flat_idx_offsets(setup):
+    lm = setup[0]
+    from blinky_tpu.lensmap.builder import TINT_NONE
+
+    fi = expanded_flat_idx(lm)
+    tinted = (np.asarray(lm.tint) != TINT_NONE) & np.asarray(lm.valid)
+    np.testing.assert_array_equal(
+        fi - np.asarray(lm.flat_idx), np.where(tinted, MAX_PLATES * S * S, 0)
+    )
+
+
+def test_single_frame_expanded(setup):
+    lm, pal, bg, kernel, _ = setup
+    frame = synthetic_cubemap(S)
+    ref = np.asarray(kernel(frame, rubix=True))
+    out = np.asarray(kernel(expand_frames_tinted(frame, pal), rubix=True))
+    np.testing.assert_array_equal(out, ref)
