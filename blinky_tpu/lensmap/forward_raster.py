@@ -125,7 +125,10 @@ def build_forward(
     numcells: int = 10,
     cell_size: float = 4.0,
     pad_size: float = 1.0,
+    use_native: bool = True,
 ) -> LensMap:
+    from blinky_tpu import native
+
     S = platesize
     W, H = width_px, height_px
     plate_a = np.full((H, W), -1, dtype=np.int32)
@@ -150,6 +153,14 @@ def build_forward(
         else:
             owner = geometry.ray_to_plate_index(rx, ry, rz, globe.forward)
         owned = owner == plate  # [S, S] indexed [py, px]
+
+        if use_native:
+            wrote = native.forward_rasterize_plate(
+                lx, ly, ok, owned, plate, plate_a, px_a, py_a
+            )
+            if wrote is not None:  # native library handled this plate
+                used[plate] = used[plate] or wrote
+                continue
 
         for py in range(S - 1, -1, -1):  # fisheye.c:2138 (descending rows)
             row_owned = owned[py]

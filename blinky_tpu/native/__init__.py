@@ -27,7 +27,11 @@ def _load():
     if _tried:
         return _lib
     _tried = True
-    if not _SO.exists():
+    src = _DIR / "src" / "blinky_native.cpp"
+    stale = not _SO.exists() or (
+        src.exists() and src.stat().st_mtime > _SO.stat().st_mtime
+    )
+    if stale:
         try:
             subprocess.run(
                 ["make", "-s", "-C", str(_DIR)],
@@ -36,7 +40,8 @@ def _load():
                 timeout=120,
             )
         except Exception:
-            return None
+            if not _SO.exists():
+                return None
     try:
         lib = ctypes.CDLL(str(_SO))
     except OSError:
@@ -55,6 +60,13 @@ def _load():
     lib.pcx_decode_body_many.argtypes = [
         ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_long), ctypes.c_int,
         u8p, ctypes.c_long, ctypes.c_int,
+    ]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.forward_rasterize_plate.restype = ctypes.c_int
+    lib.forward_rasterize_plate.argtypes = [
+        i32p, i32p, u8p, u8p,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+        i32p, i32p, i32p,
     ]
     lib.pack_batch.argtypes = [u8p, u8p, ctypes.c_long, ctypes.c_long, ctypes.c_long]
     lib.unpack_batch.argtypes = [u8p, u8p, ctypes.c_long, ctypes.c_long, ctypes.c_long]
@@ -122,6 +134,31 @@ def pcx_decode_body_many(bodies: list, total: int, nthreads: int | None = None):
     if rc != 0:
         raise ValueError("truncated PCX body in batch")
     return out
+
+
+def forward_rasterize_plate(lx, ly, ok, owned, plate, plate_a, px_a, py_a):
+    """Native quad rasterizer for one plate (draw_quad scan-order
+    transcription); mutates plate_a/px_a/py_a in place.  Returns True if
+    any pixel was written, None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    S = owned.shape[0]
+    H, W = plate_a.shape
+    lx = np.ascontiguousarray(lx, dtype=np.int32)
+    ly = np.ascontiguousarray(ly, dtype=np.int32)
+    ok = np.ascontiguousarray(ok, dtype=np.uint8)
+    owned = np.ascontiguousarray(owned, dtype=np.uint8)
+    assert plate_a.flags.c_contiguous and plate_a.dtype == np.int32
+
+    def _i32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    wrote = lib.forward_rasterize_plate(
+        _i32(lx), _i32(ly), _u8(ok), _u8(owned), S, W, H, plate,
+        _i32(plate_a), _i32(px_a), _i32(py_a),
+    )
+    return bool(wrote)
 
 
 def pack_batch(frames_bpss: np.ndarray):

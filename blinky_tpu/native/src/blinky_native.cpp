@@ -138,6 +138,98 @@ int pcx_decode_body_many(const uint8_t** datas, const long* lens, int count,
   return 0;
 }
 
+// ------------------------------------------------------- forward raster
+
+// Forward-path quad rasterization for one plate: walks the texel grid in
+// the reference's exact order (rows descending, cols ascending,
+// resume_lensmap_forward, engine/NQ/fisheye.c:2126-2217) and scanline-
+// fills each texel's screen quad (draw_quad, fisheye.c:2246-2338) with
+// last-writer-wins stores.  This is the host-side latency-critical path
+// at lens switch for forward-only lenses — the reference's acknowledged
+// slow path, time-sliced there, native here.
+//
+// lx, ly: [(S+1)*(S+1)] i32 corner screen coords (row-major, row = v).
+// ok:     [(S+1)*(S+1)] u8 corner validity.
+// owned:  [S*S] u8, texel-corner ownership by this plate.
+// plate_a/px_a/py_a: [H*W] i32 accumulators (plate_a preset to -1).
+// Returns 1 if any pixel was written.
+static const int kMaxDiff = 20;  // fisheye.c:2271
+
+int forward_rasterize_plate(const int32_t* lx, const int32_t* ly,
+                            const uint8_t* ok, const uint8_t* owned, long S,
+                            long W, long H, int plate, int32_t* plate_a,
+                            int32_t* px_a, int32_t* py_a) {
+  const long C = S + 1;  // corner grid pitch
+  int wrote = 0;
+  for (long py = S - 1; py >= 0; --py) {      // fisheye.c:2138
+    const uint8_t* orow = owned + py * S;
+    for (long px = 0; px < S; ++px) {
+      if (!orow[px]) continue;
+      const long c00 = py * C + px;
+      if (!(ok[c00] && ok[c00 + 1] && ok[c00 + C] && ok[c00 + C + 1]))
+        continue;
+      // clockwise: tl, tr, br, bl (fisheye.c:2250)
+      const int qx[4] = {lx[c00], lx[c00 + 1], lx[c00 + C + 1], lx[c00 + C]};
+      const int qy[4] = {ly[c00], ly[c00 + 1], ly[c00 + C + 1], ly[c00 + C]};
+      int minx = qx[0], maxx = qx[0], miny = qy[0], maxy = qy[0];
+      for (int i = 1; i < 4; ++i) {
+        if (qx[i] < minx) minx = qx[i];
+        else if (qx[i] > maxx) maxx = qx[i];
+        if (qy[i] < miny) miny = qy[i];
+        else if (qy[i] > maxy) maxy = qy[i];
+      }
+      if (maxx - minx > kMaxDiff || maxy - miny > kMaxDiff) continue;
+
+      // emit helper: bounds-checked last-writer-wins store
+      #define EMIT(EX, EY)                                             \
+        do {                                                           \
+          const long ex = (EX), ey = (EY);                             \
+          if (ex >= 0 && ex < W && ey >= 0 && ey < H) {                \
+            const long o = ey * W + ex;                                \
+            plate_a[o] = plate;                                        \
+            px_a[o] = (int32_t)px;                                     \
+            py_a[o] = (int32_t)py;                                     \
+            wrote = 1;                                                 \
+          }                                                            \
+        } while (0)
+
+      if (miny == maxy && minx == maxx) {  // single pixel
+        EMIT(qx[0], qy[0]);
+        continue;
+      }
+      if (miny == maxy) {  // horizontal line
+        for (int tx = minx; tx <= maxx; ++tx) EMIT(tx, miny);
+        continue;
+      }
+      if (minx == maxx) {  // vertical line
+        for (int ty = miny; ty <= maxy; ++ty) EMIT(qx[0], ty);
+        continue;
+      }
+      for (int yy = miny; yy <= maxy; ++yy) {
+        int tx0 = minx, tx1 = maxx;
+        int txi = 0;
+        int j = 3;
+        for (int i = 0; i < 4; ++i) {
+          const int iy = qy[i], jy = qy[j];
+          if ((iy < yy && yy <= jy) || (jy < yy && yy <= iy)) {
+            const int v = (int)(qx[i] + (double)(yy - iy) / (jy - iy) *
+                                            (qx[j] - qx[i]));
+            if (txi == 0) tx0 = v; else tx1 = v;
+            if (++txi == 2) break;
+          }
+          j = i;
+        }
+        if (tx0 > tx1) { const int t = tx0; tx0 = tx1; tx1 = t; }
+        if (tx1 - tx0 > kMaxDiff) goto next_texel;  // fisheye.c:2327-2331
+        for (int xx = tx0; xx <= tx1; ++xx) EMIT(xx, yy);
+      }
+    next_texel:;
+      #undef EMIT
+    }
+  }
+  return wrote;
+}
+
 // ---------------------------------------------------------------- layout
 
 // [B, P, S, S] u8 -> [P, S, S, B] u8 (batch-innermost device layout).

@@ -52,3 +52,34 @@ def test_pack_unpack_roundtrip():
     pk = native.pack_batch(fr)
     assert np.array_equal(pk, np.moveaxis(fr, 0, -1))
     assert np.array_equal(native.unpack_batch(pk), fr)
+
+
+@pytest.mark.parametrize("lens_name", ["eckert1", "sinusoidal", "winkel1"])
+def test_forward_rasterizer_matches_python(lens_name):
+    """The C++ draw_quad transcription must match the Python scan-order
+    rasterizer bit-exactly (both transcribe fisheye.c:2126-2338)."""
+    from blinky_tpu import globes, lenses
+    from blinky_tpu.lensmap import Zoom, calc_scale
+    from blinky_tpu.lensmap.forward_raster import build_forward
+
+    g = globes.get("cube")
+    lens = lenses.get(lens_name, g)
+    scale = calc_scale(Zoom("contain"), lens, 80, 60)
+    a = build_forward(lens, g, scale, 80, 60, 60, use_native=True)
+    b = build_forward(lens, g, scale, 80, 60, 60, use_native=False)
+    for f in ("plate", "px", "py", "valid", "tint", "flat_idx", "plates_used"):
+        assert np.array_equal(np.asarray(getattr(a, f)), np.asarray(getattr(b, f))), f
+
+
+def test_forward_rasterizer_low_poly_globe():
+    from blinky_tpu import globes, lenses
+    from blinky_tpu.lensmap import Zoom, calc_scale
+    from blinky_tpu.lensmap.forward_raster import build_forward
+
+    g = globes.get("trism")
+    lens = lenses.get("eckert5", g)
+    scale = calc_scale(Zoom("contain"), lens, 64, 48)
+    a = build_forward(lens, g, scale, 64, 48, 48, use_native=True)
+    b = build_forward(lens, g, scale, 64, 48, 48, use_native=False)
+    for f in ("plate", "px", "py", "valid", "tint", "flat_idx", "plates_used"):
+        assert np.array_equal(np.asarray(getattr(a, f)), np.asarray(getattr(b, f))), f
