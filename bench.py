@@ -16,6 +16,13 @@ TARGET = 10_000.0
 def main() -> None:
     batch = 1024
     iters = 8
+    if "--all" in sys.argv:
+        # the full BASELINE.json config suite: one JSON line per config
+        from blinky_tpu.bench.configs import run_all
+
+        for r in run_all(quick="--quick" in sys.argv):
+            print(json.dumps(r))
+        return
     if "--quick" in sys.argv:
         batch, iters = 128, 3
     from blinky_tpu.bench.throughput import run_throughput

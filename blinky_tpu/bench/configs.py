@@ -1,0 +1,145 @@
+"""The five BASELINE.json benchmark configs as a runnable suite.
+
+Each config returns one JSON-able dict with correctness evidence and
+timings.  ``python bench.py --all`` runs the suite; the driver's default
+invocation stays the single headline metric.
+
+Configs (BASELINE.json `configs[0..4]`):
+  0. panini+cube 640x480: single-frame remap of f_saveglobe faces.
+  1. stereographic/fisheye1 f_fov zoom sweep (lensmap rebuild path).
+  2. cartographic 360 lenses (quincuncial, mercator, winkeltripel).
+  3. low-poly globes (trism, fast) with f_cover/f_contain autofit.
+  4. batched 1080p reprojection with rubix overlay + palette decode.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+from blinky_tpu import globes, lenses
+from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+from blinky_tpu.palette import default_palette
+
+
+def _ms(t0):
+    return round((time.perf_counter() - t0) * 1000, 2)
+
+
+def config0_saveglobe_roundtrip():
+    """panini+cube 640x480: export plates as PCX, reload, remap one frame;
+    verify the remap against direct NumPy indexing of the lensmap."""
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.cubemap import load_globe_pcx, save_globe_pcx, synthetic_cubemap
+
+    sess = Session(640, 480)
+    frames = synthetic_cubemap(sess.platesize)
+    with tempfile.TemporaryDirectory() as d:
+        prefix = str(Path(d) / "glb")
+        t0 = time.perf_counter()
+        save_globe_pcx(prefix, frames, sess.globe, sess.palette, with_margins=True)
+        export_ms = _ms(t0)
+        loaded, pal = load_globe_pcx(prefix, sess.globe.numplates)
+    assert np.array_equal(loaded[: sess.globe.numplates], frames[: sess.globe.numplates])
+    t0 = time.perf_counter()
+    out = np.asarray(sess.render(loaded))
+    remap_ms = _ms(t0)
+    lm = sess.lensmap.to_numpy()
+    exp = np.where(lm.valid, loaded[np.clip(lm.plate, 0, 5), lm.py, lm.px], 0)
+    ok = bool(np.array_equal(out, exp.astype(np.uint8)))
+    return dict(config=0, name="panini+cube 640x480 saveglobe roundtrip",
+                exact=ok, pcx_export_ms=export_ms, remap_ms=remap_ms)
+
+
+def config1_zoom_sweep():
+    """f_fov sweep on stereographic + fisheye1: after first compile every
+    rebuild is a warm jitted call (the reference resumed a time-sliced
+    scan; here the whole rebuild is ms-scale)."""
+    from blinky_tpu.bench.throughput import run_build_bench
+
+    out = {}
+    for lens_name in ("stereographic", "fisheye1"):
+        r = run_build_bench(lens_name=lens_name)
+        out[lens_name] = dict(first_ms=round(r["first_ms"], 1), warm_ms=round(r["warm_ms"], 1))
+    return dict(config=1, name="f_fov zoom sweep rebuild", **out)
+
+
+def config2_cartographic():
+    """360-degree cartographic lenses, full-sphere inverse path."""
+    from blinky_tpu.bench.throughput import _sync
+
+    res = {}
+    for lens_name in ("quincuncial", "mercator", "winkeltripel"):
+        g = globes.get("cube")
+        lens = lenses.get(lens_name, g)
+        zoom = Zoom("cover") if lens_name == "mercator" else Zoom("contain")
+        scale = calc_scale(zoom, lens, 1280, 720)
+        t0 = time.perf_counter()
+        lm = build_lensmap(lens, g, scale, 1280, 720)
+        _sync(lm.flat_idx)
+        res[lens_name] = dict(
+            build_ms=_ms(t0),
+            coverage=round(float(np.asarray(lm.valid).mean()), 4),
+            plates_used=int(np.asarray(lm.plates_used).sum()),
+        )
+    return dict(config=2, name="cartographic 360 lenses", **res)
+
+
+def config3_low_poly():
+    """trism (5 plates) and fast (2 overlaid plates, custom resolver) with
+    autofit zooms — the reference's quality<->speed tradeoff globes."""
+    from blinky_tpu.bench.throughput import _sync
+
+    res = {}
+    for globe_name, lens_name, zoom in (
+        ("trism", "fisheye1", Zoom("contain")),
+        ("fast", "panini", Zoom("fov", 140)),
+        ("tetra", "cylinder", Zoom("cover")),
+    ):
+        g = globes.get(globe_name)
+        lens = lenses.get(lens_name, g)
+        scale = calc_scale(zoom, lens, 1280, 720)
+        t0 = time.perf_counter()
+        lm = build_lensmap(lens, g, scale, 1280, 720)
+        _sync(lm.flat_idx)
+        res[globe_name] = dict(
+            build_ms=_ms(t0),
+            numplates=g.numplates,
+            plates_used=int(np.asarray(lm.plates_used).sum()),
+        )
+    return dict(config=3, name="low-poly globes autofit", **res)
+
+
+def config4_batched_demo(quick=False):
+    """1080p batched reprojection: plain, rubix overlay (expanded source),
+    and palette-decoded RGBA output."""
+    from blinky_tpu.bench.throughput import run_gather_throughput, run_throughput
+
+    b_plain, b_rubix, b_rgba = (128, 64, 32) if quick else (1024, 512, 256)
+    iters = 3 if quick else 6
+    plain = run_throughput(batch=b_plain, iters=iters)
+    rubix = run_gather_throughput(batch=b_rubix, iters=iters, rubix=True, rgba=False)
+    rgba = run_gather_throughput(batch=b_rgba, iters=iters, rubix=False, rgba=True)
+    return dict(
+        config=4,
+        name="batched 1080p demo reprojection",
+        plain_fps=round(plain["fps"], 1),
+        rubix_fps=round(rubix["fps"], 1),
+        rgba_fps=round(rgba["fps"], 1),
+        build_ms=round(plain["build_ms"], 1),
+        rebuild_ms=round(plain["rebuild_ms"], 1),
+    )
+
+
+def run_all(quick=False):
+    out = [
+        config0_saveglobe_roundtrip(),
+        config1_zoom_sweep(),
+        config2_cartographic(),
+        config3_low_poly(),
+        config4_batched_demo(quick=quick),
+    ]
+    return out
