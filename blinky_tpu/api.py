@@ -93,6 +93,8 @@ class Session:
         self.console: list = []
 
         self.fisheye_enabled = False
+        self.fov = 90.0  # the engine "fov" cvar (scr_fov, NQ/view.c:116)
+        self._plain_cache = None  # (key, kernel) for the fisheye-0 view
         self.shortcutkeys_enabled = False
         self.bindings: dict = {}
         self.lens_name = ""
@@ -114,6 +116,7 @@ class Session:
         self._background = None
 
         self._commands = {
+            "fov": self._cmd_plainfov,
             "fisheye": self._cmd_fisheye,
             "f_help": self._cmd_help,
             "f_lens": self._cmd_lens,
@@ -175,6 +178,16 @@ class Session:
             self.fisheye_enabled = bool(int(argv[1]))
         except ValueError:
             self.fisheye_enabled = False  # Q_atoi returns 0 if not valid
+
+    def _cmd_plainfov(self, argv):
+        """The engine ``fov`` cvar: horizontal FOV of the normal
+        (fisheye-off) view; clamped 10..170 (``SCR_CalcRefdef``,
+        ``common/screen.c:589-592``)."""
+        if len(argv) < 2:
+            self._print(f'"fov" is "{self.fov:g}"')
+            return
+        self.fov = min(170.0, max(10.0, _atof(argv[1])))
+        self._plain_cache = None
 
     def _cmd_help(self, argv):
         self._print(HELP_TEXT)
@@ -395,6 +408,12 @@ class Session:
             paths = save_globe_pcx(name, fr, self.globe, self.palette, bool(with_margins))
             for p in paths:
                 self._print(f"Wrote {p}")
+        if not self.fisheye_enabled:
+            # fisheye 0 = the normal rectilinear view at the "fov" cvar
+            # (V_RenderView's non-fisheye branch, NQ/view.c:947-952).
+            kernel = self._plain_view_kernel()
+            if kernel is not None:
+                return kernel(frames, rubix=False, decode_rgb=decode_rgb)
         if not self.fisheye_enabled or lm is None or self._kernel is None:
             bg = self._background
             if bg is None:
@@ -405,10 +424,33 @@ class Session:
         rubix = self.rubix_enabled if rubix is None else rubix
         return self._kernel(frames, rubix=rubix, decode_rgb=decode_rgb)
 
+    def _plain_view_kernel(self):
+        """Remap kernel reconstructing the normal (fisheye-off) rectilinear
+        view at the ``fov`` cvar from the current globe's plates."""
+        if not self.globe_valid:
+            return None
+        key = (self.fov, self.width_px, self.height_px, self.platesize, self.globe_name)
+        if self._plain_cache is not None and self._plain_cache[0] == key:
+            return self._plain_cache[1]
+        try:
+            lens = lenses_mod.get("rectilinear", self.globe)
+            scale = calc_scale(Zoom("fov", self.fov), lens, self.width_px, self.height_px)
+            lm = build_lensmap(
+                lens, self.globe, scale, self.width_px, self.height_px,
+                self.platesize, backend=self.backend,
+            )
+        except Exception as e:
+            self._print(f"plain view unavailable: {e}")
+            return None
+        kernel = RemapKernel(lm, self.palette, self._background)
+        self._plain_cache = (key, kernel)
+        return kernel
+
     # ------------------------------------------------------------- config
     def config_str(self) -> str:
         """``F_WriteConfig`` (``fisheye.c:683-696``)."""
         lines = [
+            f"fov {self.fov:g}",
             f"fisheye {int(self.fisheye_enabled)}",
             f'f_lens "{self.lens_name}"',
             f'f_globe "{self.globe_name}"',

@@ -50,6 +50,71 @@ def cmd_remap(args) -> int:
     return 0
 
 
+def cmd_demo_synth(args) -> int:
+    """Write a synthetic demo container (recorded cubemap sequence with a
+    camera-pose track) for pipeline testing without game assets."""
+    from blinky_tpu.io.cubemap import synthetic_cubemap
+    from blinky_tpu.io.dataset import write_demo
+    from blinky_tpu.palette import default_palette
+
+    S, N = args.platesize, args.frames
+    base = synthetic_cubemap(S)
+    frames = np.empty((N,) + base.shape, np.uint8)
+    for i in range(N):
+        frames[i] = np.roll(base, 2 * i, axis=2)  # cheap distinct frames
+    t = np.arange(N, dtype=np.float32)
+    poses = np.stack([10 * np.sin(t / 20), 3 * t, 0 * t], axis=1)  # pitch/yaw/roll
+    write_demo(args.out, frames, default_palette(), poses)
+    print(f"wrote {args.out}: {N} frames, platesize {S}")
+    return 0
+
+
+def cmd_reproject(args) -> int:
+    """Batch-reproject a demo container through a lens — the framework's
+    ``timedemo``-style offline pipeline (BASELINE config 4)."""
+    from pathlib import Path
+
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.dataset import FrameBatchIterator, read_demo
+    from blinky_tpu.io.pcx import encode_pcx
+    from blinky_tpu.io.ppm import encode_ppm
+    from blinky_tpu.kernels.remap import expand_frames_tinted
+    from blinky_tpu.utils.timing import FrameClock
+
+    demo = read_demo(args.demo)
+    frames, pal = demo["frames"], demo["palette"]
+    N, P, S, _ = frames.shape
+    sess = Session(args.width, args.height, platesize=S, palette=pal, echo=True)
+    for c in args.cmd:
+        sess.cmd(c)
+
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    clock = FrameClock()
+    wrote = 0
+    stack = [] if args.format == "npz" else None
+    for batch_frames, n_valid in FrameBatchIterator(frames, args.batch):
+        if args.rubix:
+            batch_frames = expand_frames_tinted(batch_frames, sess.palette)
+        out = np.asarray(sess.render(batch_frames, rubix=args.rubix))
+        clock.tick(n_valid)
+        for b in range(n_valid):
+            img = out[..., b]
+            if args.format == "pcx":
+                (outdir / f"frame{wrote:06d}.pcx").write_bytes(encode_pcx(img, sess.palette))
+            elif args.format == "ppm":
+                (outdir / f"frame{wrote:06d}.ppm").write_bytes(encode_ppm(sess.palette[img]))
+            else:
+                stack.append(img)
+            wrote += 1
+    if stack is not None:
+        np.savez_compressed(outdir / "warped.npz",
+                            screen=np.stack(stack), palette=sess.palette)
+    print(clock.report())
+    print(f"wrote {wrote} frames to {outdir}")
+    return 0
+
+
 def cmd_lenses(args) -> int:
     from blinky_tpu import lenses
 
@@ -117,6 +182,21 @@ def main(argv=None) -> int:
     p.add_argument("--rubix", action="store_true")
     p.add_argument("--out", default="warped.pcx")
     p.set_defaults(fn=cmd_remap)
+
+    p = sub.add_parser("demo-synth", help="write a synthetic demo container")
+    p.add_argument("--frames", type=int, default=32)
+    p.add_argument("--platesize", type=int, default=128)
+    p.add_argument("--out", default="demo.npz")
+    p.set_defaults(fn=cmd_demo_synth)
+
+    p = sub.add_parser("reproject", help="batch-reproject a demo (timedemo pipeline)")
+    _add_session_args(p)
+    p.add_argument("--demo", required=True, help="demo .npz from demo-synth / write_demo")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--rubix", action="store_true")
+    p.add_argument("--format", default="pcx", choices=["pcx", "ppm", "npz"])
+    p.add_argument("--outdir", default="warped")
+    p.set_defaults(fn=cmd_reproject)
 
     sub.add_parser("lenses", help="list lenses (f_lens <tab>)").set_defaults(fn=cmd_lenses)
     sub.add_parser("globes", help="list globes (f_globe <tab>)").set_defaults(fn=cmd_globes)

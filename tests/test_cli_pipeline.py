@@ -1,0 +1,46 @@
+"""CLI demo-reprojection pipeline + PPM codec."""
+
+import numpy as np
+
+from blinky_tpu.io.ppm import decode_ppm, encode_ppm
+
+
+def test_ppm_roundtrip():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (33, 47, 3), np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+def test_demo_synth_and_reproject(tmp_path):
+    from blinky_tpu.cli import main
+
+    demo = tmp_path / "demo.npz"
+    out = tmp_path / "warped"
+    assert main(["demo-synth", "--frames", "5", "--platesize", "48",
+                 "--out", str(demo)]) == 0
+    assert main([
+        "reproject", "--demo", str(demo), "--width", "64", "--height", "48",
+        "--batch", "3", "--cmd", "f_lens fisheye1", "--format", "ppm",
+        "--outdir", str(out),
+    ]) == 0
+    files = sorted(out.glob("frame*.ppm"))
+    assert len(files) == 5
+    img = decode_ppm(files[0].read_bytes())
+    assert img.shape == (48, 64, 3)
+    # fisheye1 at contain: corners outside the image circle -> background
+    assert (img[0, 0] == 0).all() and img.any()
+
+
+def test_reproject_npz_stack(tmp_path):
+    from blinky_tpu.cli import main
+
+    demo = tmp_path / "demo.npz"
+    out = tmp_path / "warped"
+    main(["demo-synth", "--frames", "4", "--platesize", "48", "--out", str(demo)])
+    assert main([
+        "reproject", "--demo", str(demo), "--width", "64", "--height", "48",
+        "--batch", "4", "--format", "npz", "--outdir", str(out),
+    ]) == 0
+    with np.load(out / "warped.npz") as z:
+        assert z["screen"].shape == (4, 48, 64)
+        assert z["palette"].shape == (256, 3)

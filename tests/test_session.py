@@ -54,7 +54,9 @@ def test_fisheye_toggle(sess):
     on = np.asarray(sess.render(frames))
     sess.cmd("fisheye 0")
     off = np.asarray(sess.render(frames))
-    assert (off == 0).all() and (on != off).any()
+    # fisheye 0 shows the normal rectilinear view (NQ/view.c:947-952),
+    # not a blank screen — different from the warped view, but rendered.
+    assert (on != off).any() and (off != 0).any()
     sess.cmd("fisheye 1")
     assert np.array_equal(np.asarray(sess.render(frames)), on)
 
@@ -140,3 +142,34 @@ def test_user_script_dirs(tmp_path):
     assert sess.lens_name == "sq"
     out = np.asarray(sess.render(synthetic_cubemap(48)))
     assert (out != 0).any()
+
+
+def test_fisheye_disabled_renders_plain_rectilinear_view():
+    """fisheye 0 shows the normal view at the `fov` cvar (scr_fov default
+    90), reconstructed from the plates — not a blank screen."""
+    import numpy as np
+    from blinky_tpu import globes, lenses
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.cubemap import synthetic_cubemap
+    from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+
+    s = Session(96, 72)
+    frames = synthetic_cubemap(s.platesize)
+    s.cmd("fisheye 0")
+    out = np.asarray(s.render(frames))
+
+    g = globes.get("cube")
+    lens = lenses.get("rectilinear", g)
+    scale = calc_scale(Zoom("fov", 90), lens, 96, 72)
+    lm = build_lensmap(lens, g, scale, 96, 72, s.platesize, backend="jax").to_numpy()
+    exp = np.where(lm.valid, frames[np.clip(lm.plate, 0, 5), lm.py, lm.px], 0)
+    np.testing.assert_array_equal(out, exp)
+
+    # fov cvar clamps to 10..170 and changes the view
+    s.cmd("fov 500")
+    assert s.fov == 170.0
+    out2 = np.asarray(s.render(frames))
+    assert (out2 != out).any()
+    # console query form
+    s.cmd("fov")
+    assert '"fov" is "170"' in s.console[-1]
