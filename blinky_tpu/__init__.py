@@ -32,7 +32,35 @@ Public entry points:
 
 __version__ = "0.1.0"
 
-from blinky_tpu import geometry, palette  # noqa: F401
+import os as _os
+
+
+def _enable_persistent_jit_cache():
+    """Persist compiled executables across processes (lens-switch first
+    compiles run 5-45 s on a cold backend; warm cache makes them ms-scale).
+    Opt out with BLINKY_TPU_NO_JIT_CACHE=1 or by setting
+    JAX_COMPILATION_CACHE_DIR yourself."""
+    if _os.environ.get("BLINKY_TPU_NO_JIT_CACHE"):
+        return
+    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # user already configured it via env
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = _os.path.join(
+                _os.path.expanduser("~"), ".cache", "blinky_tpu", "jax"
+            )
+            _os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization only
+
+
+_enable_persistent_jit_cache()
+
+from blinky_tpu import geometry, palette  # noqa: F401,E402
 
 
 def __getattr__(name):
