@@ -130,6 +130,7 @@ class Session:
             "f_saveglobe": self._cmd_saveglobe,
             "f_dumppal": self._cmd_dumppal,
             "f_shortcutkeys": self._cmd_shortcutkeys,
+            "impulse": lambda argv: None,  # game-sim command: no-op here
             "bind": self._cmd_bind,
             "unbind": self._cmd_unbind,
             "exec": self._cmd_exec,

@@ -217,9 +217,16 @@ def run_throughput(
 
 
 def run_build_bench(width=1920, height=1080, lens_name="stereographic",
-                    globe_name="cube", fovs=(90, 120, 150, 180, 210, 240, 270)):
+                    globe_name="cube", fovs=(90, 120, 150, 180, 210, 240, 270),
+                    device_iters=16):
     """f_fov zoom-sweep rebuild latency (BASELINE config[1]): after the
-    first compile, every rebuild must be a warm jitted call."""
+    first compile, every rebuild must be a warm jitted call.
+
+    ``warm_ms`` is end-to-end through the host (incl. relay sync);
+    ``device_ms`` times an on-device rebuild loop — the true per-rebuild
+    kernel cost a pipelined zoom sweep would see."""
+    from blinky_tpu.lensmap.builder import _compiled_inverse_builder
+
     g = globes.get(globe_name)
     lens = lenses.get(lens_name, g)
     S = min(width, height)
@@ -230,4 +237,23 @@ def run_build_bench(width=1920, height=1080, lens_name="stereographic",
         lm = build_lensmap(lens, g, scale, width, height, S)
         _sync(lm.flat_idx)
         times.append((time.perf_counter() - t0) * 1000)
-    return dict(first_ms=times[0], warm_ms=sorted(times[1:])[len(times[1:]) // 2])
+
+    # device-side: rebuild in a fori loop with a per-iteration scale
+    # perturbation + data dependence (same methodology as the remap bench)
+    builder = _compiled_inverse_builder(lens, g, width, height, S, jnp.float32)
+
+    @jax.jit
+    def loop(scale0):
+        def body(i, acc):
+            out = builder(scale0 * (1 + i.astype(jnp.float32) * 1e-7),
+                          jnp.float32(10), jnp.float32(4), jnp.float32(1))
+            return acc + out["flat_idx"].reshape(-1)[0] + acc * 0
+        return jax.lax.fori_loop(0, device_iters, body, jnp.int32(0))
+
+    scale0 = jnp.float32(calc_scale(Zoom("fov", fovs[0]), lens, width, height))
+    _sync(loop(scale0))
+    t0 = time.perf_counter()
+    _sync(loop(scale0))
+    device_ms = (time.perf_counter() - t0) / device_iters * 1000
+    return dict(first_ms=times[0], warm_ms=sorted(times[1:])[len(times[1:]) // 2],
+                device_ms=device_ms)

@@ -38,6 +38,20 @@ class Timings:
         )
 
 
+@contextmanager
+def profile_trace(logdir: str):
+    """Capture a JAX/XLA profiler trace for the enclosed block (the
+    framework's ``r_dspeeds``-style deep inspection: per-kernel device
+    timings, viewable in TensorBoard/Perfetto)."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
 class FrameClock:
     """timedemo-style throughput: frames / seconds / fps
     (``CL_FinishTimeDemo``, ``NQ/cl_demo.c:364-382``)."""

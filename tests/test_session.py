@@ -173,3 +173,36 @@ def test_fisheye_disabled_renders_plain_rectilinear_view():
     # console query form
     s.cmd("fov")
     assert '"fov" is "170"' in s.console[-1]
+
+
+def test_user_lens_and_globe_script_dirs(tmp_path):
+    """User lens/globe modules load from script dirs (the Lua script-dir
+    analog, fisheye.c:1106-1118 completion + LUA_load_lens)."""
+    import numpy as np
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.cubemap import synthetic_cubemap
+
+    (tmp_path / "mylens.py").write_text(
+        "import math\n"
+        "def make(ctx):\n"
+        "    def lens_inverse(x, y):\n"
+        "        # trivial rectilinear-ish: ray = (x, y, 1)\n"
+        "        return x, y, 1.0 + 0*x, abs(x) < 10\n"
+        "    def lens_forward(rx, ry, rz):\n"
+        "        return rx / rz, ry / rz, rz > 0\n"
+        "    return dict(lens_inverse=lens_inverse, lens_forward=lens_forward,\n"
+        "                max_fov=170, max_vfov=170, onload='f_fov 110')\n"
+    )
+    s = Session(64, 48, lens_dirs=[tmp_path])
+    assert "mylens" in s.complete_lens("my")
+    s.cmd("f_lens mylens")
+    assert s.lens_valid and s.lens_name == "mylens"
+    assert s.zoom.command() == "f_fov 110"  # onload ran
+    out = np.asarray(s.render(synthetic_cubemap(48)))
+    assert out.any()
+    # a broken user lens is rejected but keeps the session alive
+    (tmp_path / "bad.py").write_text("def make(ctx):\n    return dict()\n")
+    s.cmd("f_lens bad")
+    assert not s.lens_valid
+    s.cmd("f_lens panini")
+    assert s.lens_valid
