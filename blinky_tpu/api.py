@@ -382,7 +382,8 @@ class Session:
         """Set the underlay shown where the lensmap is unmapped (the
         reference's ``Draw_TileClear`` tile, ``fisheye.c:802``)."""
         self._background = np.asarray(background, dtype=np.uint8)
-        self._kernel = None
+        self._kernel = None  # rebuilt lazily in render() from the lensmap
+        self._plain_cache = None
 
     def set_size(self, width: int, height: int, platesize: Optional[int] = None) -> None:
         self.width_px = int(width)
@@ -401,6 +402,16 @@ class Session:
         if S != self.platesize:
             self.platesize = S
             self._changed = True
+        if not self.fisheye_enabled:
+            # fisheye 0 = the normal rectilinear view at the "fov" cvar
+            # (V_RenderView's non-fisheye branch, NQ/view.c:947-952); the
+            # warped lensmap is neither built nor consulted, and a pending
+            # f_saveglobe stays queued until fisheye is re-enabled, as in
+            # the reference where only F_RenderView services it.
+            kernel = self._plain_view_kernel()
+            if kernel is not None:
+                return kernel(frames, rubix=False, decode_rgb=decode_rgb)
+            return self._background_screen(frames)
         lm = self.lensmap
         if self.save_request is not None:
             name, with_margins = self.save_request
@@ -409,21 +420,20 @@ class Session:
             paths = save_globe_pcx(name, fr, self.globe, self.palette, bool(with_margins))
             for p in paths:
                 self._print(f"Wrote {p}")
-        if not self.fisheye_enabled:
-            # fisheye 0 = the normal rectilinear view at the "fov" cvar
-            # (V_RenderView's non-fisheye branch, NQ/view.c:947-952).
-            kernel = self._plain_view_kernel()
-            if kernel is not None:
-                return kernel(frames, rubix=False, decode_rgb=decode_rgb)
-        if not self.fisheye_enabled or lm is None or self._kernel is None:
-            bg = self._background
-            if bg is None:
-                bg = np.zeros((self.height_px, self.width_px), np.uint8)
-            if frames.ndim == 4:
-                return np.broadcast_to(bg[..., None], bg.shape + (frames.shape[-1],))
-            return bg
+        if lm is None:
+            return self._background_screen(frames)
+        if self._kernel is None:  # e.g. invalidated by set_background
+            self._kernel = RemapKernel(lm, self.palette, self._background)
         rubix = self.rubix_enabled if rubix is None else rubix
         return self._kernel(frames, rubix=rubix, decode_rgb=decode_rgb)
+
+    def _background_screen(self, frames):
+        bg = self._background
+        if bg is None:
+            bg = np.zeros((self.height_px, self.width_px), np.uint8)
+        if frames.ndim == 4:
+            return np.broadcast_to(bg[..., None], bg.shape + (frames.shape[-1],))
+        return bg
 
     def _plain_view_kernel(self):
         """Remap kernel reconstructing the normal (fisheye-off) rectilinear

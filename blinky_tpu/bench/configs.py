@@ -63,7 +63,11 @@ def config1_zoom_sweep():
     out = {}
     for lens_name in ("stereographic", "fisheye1"):
         r = run_build_bench(lens_name=lens_name)
-        out[lens_name] = dict(first_ms=round(r["first_ms"], 1), warm_ms=round(r["warm_ms"], 1))
+        out[lens_name] = dict(
+            first_ms=round(r["first_ms"], 1),
+            warm_ms=round(r["warm_ms"], 1),
+            device_ms=None if r["device_ms"] is None else round(r["device_ms"], 1),
+        )
     return dict(config=1, name="f_fov zoom sweep rebuild", **out)
 
 

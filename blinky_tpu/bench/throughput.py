@@ -41,18 +41,10 @@ def _sync(x) -> int:
     return int(x.reshape(-1)[0])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
 def device_cubemap_batch(platesize, batch):
     """On-device synthetic cubemap batch [6, S, S, B] u8 (checker+gradient
     family of io.cubemap.synthetic_cubemap, jitted to avoid relay upload)."""
-    S = platesize
-    p = jax.lax.broadcasted_iota(jnp.int32, (MAX_PLATES, S, S, batch), 0)
-    py = jax.lax.broadcasted_iota(jnp.int32, (MAX_PLATES, S, S, batch), 1)
-    px = jax.lax.broadcasted_iota(jnp.int32, (MAX_PLATES, S, S, batch), 2)
-    b = jax.lax.broadcasted_iota(jnp.int32, (MAX_PLATES, S, S, batch), 3)
-    checker = ((px // 8 + py // 8) % 2) * 16
-    grad = (px * 3 + py * 5 + p * 37 + b * 11) % 128
-    return ((p * 40 + 8 + checker + grad) % 255).astype(jnp.uint8)
+    return device_source(platesize, batch, False, False)
 
 
 def make_bench_step(iters: int, rubix: bool, decode_rgb: bool):
@@ -237,6 +229,11 @@ def run_build_bench(width=1920, height=1080, lens_name="stereographic",
         lm = build_lensmap(lens, g, scale, width, height, S)
         _sync(lm.flat_idx)
         times.append((time.perf_counter() - t0) * 1000)
+
+    if lens.map_type != "inverse":  # forward lenses rasterize on the host
+        return dict(first_ms=times[0],
+                    warm_ms=sorted(times[1:])[len(times[1:]) // 2],
+                    device_ms=None)
 
     # device-side: rebuild in a fori loop with a per-iteration scale
     # perturbation + data dependence (same methodology as the remap bench)

@@ -177,7 +177,7 @@ class RemapKernel:
         self.width_px = lensmap.width_px
         self.platesize = lensmap.platesize
         self.flat_idx = jnp.asarray(lensmap.flat_idx, dtype=jnp.int32)
-        self.flat_idx_rubix = jnp.asarray(expanded_flat_idx(lensmap))
+        self._flat_idx_rubix = None  # lazy: costs host<->device roundtrips
         self.valid = jnp.asarray(lensmap.valid)
         self.tint = jnp.asarray(lensmap.tint, dtype=jnp.uint8)
         self.palette = None if palette is None else np.asarray(palette)
@@ -194,6 +194,12 @@ class RemapKernel:
         self._background_rgba = None
 
     @property
+    def flat_idx_rubix(self):
+        if self._flat_idx_rubix is None:
+            self._flat_idx_rubix = jnp.asarray(expanded_flat_idx(self.lensmap))
+        return self._flat_idx_rubix
+
+    @property
     def background_rgba(self):
         if self._background_rgba is None:
             if self.palette is None:
@@ -203,11 +209,13 @@ class RemapKernel:
 
     def __call__(self, frames, rubix: bool = False, decode_rgb: bool = False):
         frames = jnp.asarray(frames)
+        is_rgba = frames.dtype == jnp.uint32
+        if not is_rgba and frames.dtype != jnp.uint8:
+            frames = frames.astype(jnp.uint8)  # normalize palette indices
         squeeze = False
         if frames.ndim == 3:  # single frame [P, S, S]
             frames = frames[..., None]
             squeeze = True
-        is_rgba = frames.dtype == jnp.uint32
         expanded = frames.shape[0] == 2 * MAX_PLATES
         if not expanded and frames.shape[0] != MAX_PLATES:
             pad = MAX_PLATES - frames.shape[0]
@@ -224,6 +232,10 @@ class RemapKernel:
                 )
             bg = self.background_rgba if is_rgba else self.background
             out = _remap_gather(frames, idx, self.valid, bg)
+            if decode_rgb and not is_rgba:
+                if self.rgb_lut is None:
+                    raise ValueError("RemapKernel needs a palette for RGB decode")
+                out = jnp.take(self.rgb_lut, out.astype(jnp.int32), axis=0)
         else:
             if (rubix or decode_rgb) and self.tint_lut is None:
                 raise ValueError("RemapKernel needs a palette for rubix/RGB decode")
@@ -238,8 +250,6 @@ class RemapKernel:
                 rubix=rubix,
                 decode_rgb=decode_rgb,
             )
-        if decode_rgb and is_rgba:
-            raise ValueError("decode_rgb with an RGBA source is redundant")
         if squeeze:
             out = out[..., 0, :] if (decode_rgb and not is_rgba) else out[..., 0]
         return out

@@ -46,6 +46,15 @@ def _load():
         lib = ctypes.CDLL(str(_SO))
     except OSError:
         return None
+    try:
+        _bind(lib)
+    except AttributeError:
+        return None  # stale .so missing newer symbols -> Python fallbacks
+    _lib = lib
+    return _lib
+
+
+def _bind(lib) -> None:
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.pal_nearest.restype = ctypes.c_int
     lib.pal_nearest.argtypes = [u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
@@ -70,8 +79,6 @@ def _load():
     ]
     lib.pack_batch.argtypes = [u8p, u8p, ctypes.c_long, ctypes.c_long, ctypes.c_long]
     lib.unpack_batch.argtypes = [u8p, u8p, ctypes.c_long, ctypes.c_long, ctypes.c_long]
-    _lib = lib
-    return _lib
 
 
 def available() -> bool:
