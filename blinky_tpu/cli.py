@@ -115,6 +115,34 @@ def cmd_reproject(args) -> int:
     return 0
 
 
+def cmd_gallery(args) -> int:
+    """Render every shipped lens once (its onload default zoom) into an
+    output directory — the visual-QA sweep the reference did by tabbing
+    through ``f_lens`` in game."""
+    from pathlib import Path
+
+    from blinky_tpu import lenses
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.cubemap import synthetic_cubemap
+    from blinky_tpu.io.ppm import encode_ppm
+
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    sess = Session(args.width, args.height)
+    if args.rubix:
+        sess.cmd("f_rubix")
+    frames = synthetic_cubemap(sess.platesize)
+    for name in lenses.names():
+        sess.cmd(f"f_lens {name}")
+        if not sess.lens_valid:
+            print(f"{name}: SKIPPED (invalid)")
+            continue
+        img = np.asarray(sess.render(frames))
+        (outdir / f"{name}.ppm").write_bytes(encode_ppm(sess.palette[img]))
+        print(f"{name}: {sess.zoom.command() or 'no zoom'}")
+    return 0
+
+
 def cmd_lenses(args) -> int:
     from blinky_tpu import lenses
 
@@ -197,6 +225,13 @@ def main(argv=None) -> int:
     p.add_argument("--format", default="pcx", choices=["pcx", "ppm", "npz"])
     p.add_argument("--outdir", default="warped")
     p.set_defaults(fn=cmd_reproject)
+
+    p = sub.add_parser("gallery", help="render every lens to an image dir")
+    p.add_argument("--width", type=int, default=480)
+    p.add_argument("--height", type=int, default=360)
+    p.add_argument("--rubix", action="store_true")
+    p.add_argument("--outdir", default="gallery")
+    p.set_defaults(fn=cmd_gallery)
 
     sub.add_parser("lenses", help="list lenses (f_lens <tab>)").set_defaults(fn=cmd_lenses)
     sub.add_parser("globes", help="list globes (f_globe <tab>)").set_defaults(fn=cmd_globes)
