@@ -245,3 +245,23 @@ def test_non_uint8_frames_normalized(sess):
     b = np.asarray(sess.render(frames.astype(np.int64)))
     np.testing.assert_array_equal(a, b)
     assert b.dtype == np.uint8
+
+
+def test_user_globe_script_dir(tmp_path):
+    """User globe modules load from globe_dirs with LUA_load_globe
+    validation semantics (plates triples, fov>0, custom resolver)."""
+    (tmp_path / "duo.py").write_text(
+        "plates = [((0, 0, 1), (0, 1, 0), 120), ((0, 0, -1), (0, 1, 0), 250)]\n"
+    )
+    s = Session(64, 48, backend="numpy", globe_dirs=[tmp_path])
+    assert "duo" in s.complete_globe("d")
+    s.cmd("f_globe duo")
+    assert s.globe_valid and s.globe.numplates == 2
+    out = np.asarray(s.render(synthetic_cubemap(48, numplates=2)))
+    assert out.any()
+    # bad fov rejected, session keeps running on the old globe
+    (tmp_path / "bad.py").write_text("plates = [((0,0,1),(0,1,0),0)]\n")
+    s.cmd("f_globe bad")
+    assert not s.globe_valid and any("fov" in c for c in s.console)
+    s.cmd("f_globe cube")
+    assert s.globe_valid
