@@ -49,6 +49,7 @@ def encode_pcx(image: np.ndarray, palette: np.ndarray, mode: str = "reference") 
         out += body
     elif mode == "reference":
         # fisheye.c:1445-1448: run-of-one escape for bytes >= 0xC0.
+        flat = image.reshape(-1)
         esc = flat >= 0xC0
         n = flat.size + int(esc.sum())
         buf = np.empty(n, dtype=np.uint8)

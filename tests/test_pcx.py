@@ -53,3 +53,25 @@ def test_header_fields():
 
     xmin, ymin, xmax, ymax = struct.unpack_from("<4H", data, 4)
     assert (xmax + 1, ymax + 1) == (20, 10)
+
+
+def test_python_fallback_matches_native():
+    """With the native library disabled, the pure-Python encoders must
+    produce byte-identical PCX streams (the fallback path is what ships on
+    hosts without a toolchain)."""
+    from unittest import mock
+
+    import blinky_tpu.native as native
+    from blinky_tpu.palette import default_palette
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (33, 47), np.uint8)
+    pal = default_palette()
+    ref_n = encode_pcx(img, pal, "reference")
+    rle_n = encode_pcx(img, pal, "rle")
+    with mock.patch.object(native, "_lib", None), \
+         mock.patch.object(native, "_tried", True):
+        assert encode_pcx(img, pal, "reference") == ref_n
+        assert encode_pcx(img, pal, "rle") == rle_n
+        out, _ = decode_pcx(ref_n)
+        assert np.array_equal(out, img)
