@@ -45,17 +45,118 @@ def plate_frames(forward, up):
 
     ``right = up x forward; up = forward x right`` with **no** normalization
     (``fisheye.c:1849-1850``); unit-length inputs (all shipped globes) yield
-    orthonormal frames.
+    orthonormal frames.  The C stores plate vectors as ``vec_t`` =
+    **float32** (``fisheye.c:354-356``) and the cross products run in
+    float arithmetic, so the inputs are truncated to float32 and the math
+    stays float32.
 
     Args:
         forward, up: arrays [..., 3].
     Returns:
-        (forward, right, up) arrays [..., 3].
+        (forward, right, up) float32 arrays [..., 3].
     """
-    x = m.xp(forward, up)
-    right = x.cross(up, forward)
-    up2 = x.cross(forward, right)
+    import numpy as np
+
+    forward = np.asarray(forward, dtype=np.float32)
+    up = np.asarray(up, dtype=np.float32)
+    right = np.cross(up, forward).astype(np.float32)
+    up2 = np.cross(forward, right).astype(np.float32)
     return forward, right, up2
+
+
+def latlon_to_ray_f32(lat, lon):
+    """``latlon_to_ray`` as the Lua scripts see it through the C builtin
+    (``CtoLUA_latlon_to_ray``, ``fisheye.c:1494-1505``): the double math
+    passes through a ``vec3_t`` (float32) before reaching Lua.  Returns the
+    float32-truncated components as float64 values."""
+    import numpy as np
+
+    x, y, z = latlon_to_ray(lat, lon)
+    xp_ = m.xp(lat, lon)
+    if xp_ is np:
+        return (
+            np.float64(np.float32(x)),
+            np.float64(np.float32(y)),
+            np.float64(np.float32(z)),
+        )
+    return (
+        x.astype(xp_.float32).astype(x.dtype),
+        y.astype(xp_.float32).astype(y.dtype),
+        z.astype(xp_.float32).astype(z.dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C mixed-precision emulation (vec_t = float32, lens math = double).
+# The reference stores rays and plate frames in float32 while the Lua lens
+# math and the uv projection run in double (SURVEY.md "hard parts"); these
+# variants reproduce that boundary bit-exactly for the float64 parity path.
+# ---------------------------------------------------------------------------
+
+
+def normalize_c(x, y, z, xp, f32, f64):
+    """``VectorNormalize`` (``engine/common/mathlib.c:412-429``) on float32
+    components: float32 sum of squares, ``sqrt`` computed in double and
+    truncated back to float32 (C calls the double ``sqrt`` on a float),
+    float32 reciprocal, float32 multiplies.  Zero length leaves the vector
+    unchanged (NaN lengths proceed — NaN is truthy in ``if (length)``)."""
+    x = x.astype(f32)
+    y = y.astype(f32)
+    z = z.astype(f32)
+    sumsq = x * x + y * y + z * z  # f32, left-to-right
+    length = xp.sqrt(sumsq.astype(f64)).astype(f32)
+    # C's if (length): false only for exactly 0 (NaN is truthy and then
+    # propagates through 1/NaN).  IEEE NaN != 0 is True, matching that.
+    nonzero = length != 0
+    inv = xp.where(nonzero, (f32(1.0) / xp.where(nonzero, length, f32(1.0))), f32(1.0))
+    return x * inv, y * inv, z * inv
+
+
+def ray_to_plate_index_c(x32, y32, z32, plate_forward32, xp):
+    """``ray_to_plate_index`` (``fisheye.c:2023-2050``) with the C types:
+    ``DotProduct`` of two float32 vectors evaluates in float32 (SSE), the
+    result is compared in double; strict ``>`` keeps the first maximum."""
+    dots = (
+        x32[..., None] * plate_forward32[:, 0]
+        + y32[..., None] * plate_forward32[:, 1]
+        + z32[..., None] * plate_forward32[:, 2]
+    )  # f32 arithmetic; comparisons identical in f32 or promoted f64
+    return xp.argmax(dots, axis=-1).astype(xp.int32)
+
+
+def ray_to_plate_uv_c(x32, y32, z32, p_forward32, p_right32, p_up32, p_fov32, f64):
+    """``ray_to_plate_uv`` (``fisheye.c:2052-2066``) with the C types:
+    float32 dot products promoted to double, ``dist`` recomputed in double
+    from the float32-stored fov, u/v in double, closed-interval bounds."""
+    rx = (p_right32[..., 0] * x32 + p_right32[..., 1] * y32 + p_right32[..., 2] * z32).astype(f64)
+    ry = (p_up32[..., 0] * x32 + p_up32[..., 1] * y32 + p_up32[..., 2] * z32).astype(f64)
+    rz = (p_forward32[..., 0] * x32 + p_forward32[..., 1] * y32 + p_forward32[..., 2] * z32).astype(f64)
+    dist = 0.5 / m.tan(p_fov32.astype(f64) / 2)
+    u = m.safe_div(rx, rz) * dist + 0.5
+    v = m.safe_div(-ry, rz) * dist + 0.5
+    valid = (rz != 0) & (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
+    return u, v, valid
+
+
+def plate_uv_to_ray_c(u, v, forward32, right32, up32, dist32, xp, f32, f64):
+    """``plate_uv_to_ray`` (``fisheye.c:1198-1214``) with the C types:
+    u/v in double, three ``VectorMA`` steps each computing double
+    ``scale * vec3_t`` products but storing float32 accumulators, then the
+    float32 ``VectorNormalize``."""
+    u = u - 0.5
+    v = -(v - 0.5)
+    # first VectorMA: scale is the float32-stored plate dist, so the
+    # product is float32 arithmetic (both operands vec_t)
+    rx = dist32 * forward32[..., 0]
+    ry = dist32 * forward32[..., 1]
+    rz = dist32 * forward32[..., 2]
+    rx = (rx.astype(f64) + u * right32[..., 0].astype(f64)).astype(f32)
+    ry = (ry.astype(f64) + u * right32[..., 1].astype(f64)).astype(f32)
+    rz = (rz.astype(f64) + u * right32[..., 2].astype(f64)).astype(f32)
+    rx = (rx.astype(f64) + v * up32[..., 0].astype(f64)).astype(f32)
+    ry = (ry.astype(f64) + v * up32[..., 1].astype(f64)).astype(f32)
+    rz = (rz.astype(f64) + v * up32[..., 2].astype(f64)).astype(f32)
+    return normalize_c(rx, ry, rz, xp, f32, f64)
 
 
 def plate_dist(fov_rad):

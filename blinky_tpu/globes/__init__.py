@@ -35,14 +35,17 @@ from blinky_tpu.palette import MAX_PLATES
 
 @dataclasses.dataclass(frozen=True, eq=False)  # identity hash: ndarray fields
 class Globe:
-    """A validated globe: derived plate frames in float64 NumPy arrays."""
+    """A validated globe: derived plate frames in **float32** NumPy arrays,
+    matching the reference's ``vec_t`` plate storage (``fisheye.c:354-358``)
+    — the mixed float32/double precision boundary is part of the contract
+    (see geometry.py's C-emulation section)."""
 
     name: str
-    forward: np.ndarray  # [n, 3] as given by the script (not normalized)
-    right: np.ndarray  # [n, 3] = up x forward
-    up: np.ndarray  # [n, 3] = forward x right
-    fov_rad: np.ndarray  # [n]
-    dist: np.ndarray  # [n] = 0.5 / tan(fov/2)
+    forward: np.ndarray  # [n, 3] f32 as given by the script (not normalized)
+    right: np.ndarray  # [n, 3] f32 = up x forward
+    up: np.ndarray  # [n, 3] f32 = forward x right
+    fov_rad: np.ndarray  # [n] f32 (vec_t fov, fisheye.c:357)
+    dist: np.ndarray  # [n] f32 = 0.5 / tan(fov/2) (fisheye.c:1868)
     # Optional vectorized resolver (x, y, z, globe) -> plate index, -1 = none.
     plate_resolver: Optional[Callable] = None
 
@@ -77,9 +80,11 @@ def make_globe(
         raise ValueError(f"globe '{name}': forward/up must be 3-vectors")
     if np.any(fov_deg <= 0):
         raise ValueError(f"globe '{name}': plate fov must be > 0")
-    forward, right, up = geometry.plate_frames(fwd, up_in)
-    fov_rad = fov_deg * np.pi / 180.0
-    dist = geometry.plate_dist(fov_rad)
+    forward, right, up = geometry.plate_frames(fwd, up_in)  # f32, f32 math
+    # fov computed in double, stored vec_t (fisheye.c:1858); dist computed
+    # in double FROM the f32-stored fov, stored vec_t (fisheye.c:1868).
+    fov_rad = (fov_deg * np.pi / 180.0).astype(np.float32)
+    dist = geometry.plate_dist(fov_rad.astype(np.float64)).astype(np.float32)
     return Globe(
         name=name,
         forward=forward,

@@ -31,14 +31,16 @@ def plate_ownership_mask(globe, plate: int, platesize: int) -> np.ndarray:
     S = platesize
     ts = np.arange(S, dtype=np.float64) / S
     U, V = np.meshgrid(ts, ts, indexing="xy")
-    rx, ry, rz = geometry.plate_uv_to_ray(
+    rx, ry, rz = geometry.plate_uv_to_ray_c(
         U, V, globe.forward[plate], globe.right[plate],
-        globe.up[plate], np.float64(globe.dist[plate]),
+        globe.up[plate], globe.dist[plate], np, np.float32, np.float64,
     )
     if globe.plate_resolver is not None:
-        owner = np.asarray(globe.plate_resolver(rx, ry, rz, globe))
+        owner = np.asarray(globe.plate_resolver(
+            rx.astype(np.float64), ry.astype(np.float64), rz.astype(np.float64), globe
+        ))
     else:
-        owner = geometry.ray_to_plate_index(rx, ry, rz, globe.forward)
+        owner = geometry.ray_to_plate_index_c(rx, ry, rz, globe.forward, np)
     return owner == plate
 
 

@@ -133,12 +133,18 @@ def make_context(globe) -> SimpleNamespace:
     from blinky_tpu import xmath as m
 
     def plate_to_ray(i, u, v):
+        # CtoLUA_plate_to_ray (fisheye.c:1521-1538): goes through the
+        # float32 plate_uv_to_ray, Lua receives the f32-valued components.
+        import numpy as np
+
         xp = m.xp(i, u, v)
+        f32 = xp.float32
+        f64 = np.float64 if xp is np else f32
         fwd = xp.asarray(globe.forward)[i]
         rgt = xp.asarray(globe.right)[i]
         up = xp.asarray(globe.up)[i]
         dist = xp.asarray(globe.dist)[i]
-        return geometry.plate_uv_to_ray(u, v, fwd, rgt, up, dist)
+        return geometry.plate_uv_to_ray_c(u, v, fwd, rgt, up, dist, xp, f32, f64)
 
     return SimpleNamespace(
         numplates=globe.numplates,

@@ -26,8 +26,11 @@ def _forward(x, y, z):
 
 
 def make(ctx):
-    wx, _, _ = _forward(*latlon_to_ray(0.0, math.pi))
-    _, hy, _ = _forward(*latlon_to_ray(math.pi / 2, 0.0))
+    # load-time probes go through the float32 C builtin (gins8.lua:21-24)
+    from blinky_tpu.geometry import latlon_to_ray_f32
+
+    wx, _, _ = _forward(*latlon_to_ray_f32(0.0, math.pi))
+    _, hy, _ = _forward(*latlon_to_ray_f32(math.pi / 2, 0.0))
     return dict(
         lens_forward=_forward,
         max_fov=360,

@@ -27,8 +27,11 @@ def make(ctx):
         vx, vy, vz = latlon_to_ray(lat * _SCALE_INV, lon * _SCALE_INV)
         return vx, vy, vz, True
 
-    hx, hy, _ = _forward(*latlon_to_ray(math.pi / 2, 0.0))
-    wx, wy, _ = _forward(*latlon_to_ray(0.0, math.pi))
+    # load-time probes go through the float32 C builtin (gumby.lua:31-35)
+    from blinky_tpu.geometry import latlon_to_ray_f32
+
+    hx, hy, _ = _forward(*latlon_to_ray_f32(math.pi / 2, 0.0))
+    wx, wy, _ = _forward(*latlon_to_ray_f32(0.0, math.pi))
     return dict(
         lens_inverse=lens_inverse,
         lens_forward=_forward,

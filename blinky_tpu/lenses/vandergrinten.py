@@ -20,7 +20,18 @@ _PISQ = 9.86960440108935861869
 _TPISQ = 19.73920880217871723738
 _HPISQ = 4.93480220054467930934
 
-_MAXR = math.pi  # lens_forward(latlon_to_ray(0, pi)) -> lat == 0 branch -> lon
+def _maxr():
+    """Load-time probe ``lens_forward(latlon_to_ray(0, pi))``
+    (vandergrinten.lua:108): the ray passes through the float32 C builtin,
+    lat resolves to exactly 0 (equator branch) and the result is the
+    float32-roundtripped longitude."""
+    from blinky_tpu.geometry import latlon_to_ray_f32, ray_to_latlon
+
+    _, lon = ray_to_latlon(*latlon_to_ray_f32(0.0, math.pi))
+    return float(lon)
+
+
+_MAXR = _maxr()
 
 
 def make(ctx):

@@ -10,10 +10,19 @@ artifact mask (``winkeltripel.lua:95-102``) and the lon = pi envelope test.
 import math
 
 from blinky_tpu import xmath as m
-from blinky_tpu.geometry import latlon_to_ray, ray_to_latlon
+from blinky_tpu.geometry import latlon_to_ray, latlon_to_ray_f32, ray_to_latlon
 
 _CLAT0 = 2 / math.pi  # cos of the standard parallel
 _EPS = 0.0001
+
+
+def _fwd_via_ray(lat, lon):
+    """``lens_forward(latlon_to_ray(lat, lon))`` as the Lua executes it:
+    the ray passes through the float32 C builtin, so the lat/lon the
+    forward map sees are the float32-ray roundtrip, not the originals."""
+    rx, ry, rz = latlon_to_ray_f32(lat, lon)
+    lat2, lon2 = ray_to_latlon(rx, ry, rz)
+    return _forward_latlon(lat2, lon2)
 
 
 def _forward_latlon(lat, lon):
@@ -33,9 +42,9 @@ def make(ctx):
         px, py = _forward_latlon(lat, lon)
         return px, py, True
 
-    # Load-time bound probes (winkeltripel.lua:85-89).
-    _, hy = _forward_latlon(math.pi / 2, 0.0)
-    wx, _ = _forward_latlon(0.0, math.pi)
+    # Load-time bound probes (winkeltripel.lua:85-89), through the f32 ray.
+    _, hy = _fwd_via_ray(math.pi / 2, 0.0)
+    wx, _ = _fwd_via_ray(0.0, math.pi)
     lens_height = 2 * float(hy)
     lens_width = 2 * float(wx)
     artifact_x = lens_width / 2 * 0.71
@@ -78,8 +87,8 @@ def make(ctx):
         artifact = (m.abs(x) > artifact_x) & (m.abs(y) > artifact_y)
         lon, lat = _newton(x, y)
         # Envelope test (winkeltripel.lua:80-84): compare |x| against the
-        # forward image of (lat, pi).
-        x0, _ = _forward_latlon(lat, lat * 0 + m.pi)
+        # forward image of (lat, pi) — through the f32 ray roundtrip.
+        x0, _ = _fwd_via_ray(lat, lat * 0 + m.pi)
         inside = m.abs(x) < m.abs(x0)
         valid = ~outside & ~artifact & inside
         vx, vy, vz = latlon_to_ray(lat, lon)

@@ -124,20 +124,38 @@ def inverse_grid(
 
     vx, vy, vz, lens_valid = lens.inverse(X, Y)
     lens_valid = xp.broadcast_to(xp.asarray(lens_valid), shape)
-    vx, vy, vz = geometry.normalize(vx, vy, vz)
 
-    fwd, rgt, up, fov, _dist = globe.arrays(dtype)
-    fwd, rgt, up, fov = (xp.asarray(a) for a in (fwd, rgt, up, fov))
+    # The reference stores the lens ray and the plate frames as vec_t =
+    # float32 while the lens math is double (LUAtoC_lens_inverse,
+    # fisheye.c:1545-1565; struct plates, fisheye.c:354-358) — emulate that
+    # boundary exactly.  On the f32 TPU path the casts are no-ops and the
+    # double-rounded sqrt degrades to a single f32 rounding (the builder is
+    # tolerance-tested against the f64 oracle there).
+    f32 = xp.float32
+    sqrt_dt = xp.float64 if dtype == xp.float64 else f32
+    vx32, vy32, vz32 = geometry.normalize_c(
+        xp.asarray(vx).astype(f32), xp.asarray(vy).astype(f32),
+        xp.asarray(vz).astype(f32), xp, f32, sqrt_dt,
+    )
+
+    fwd32 = xp.asarray(globe.forward)
+    rgt32 = xp.asarray(globe.right)
+    up32 = xp.asarray(globe.up)
+    fov32 = xp.asarray(globe.fov_rad)
 
     if globe.plate_resolver is not None:
-        plate = globe.plate_resolver(vx, vy, vz, globe)
+        # the Lua resolver computes in double on the promoted f32 ray
+        # (LUAtoC_globe_plate, fisheye.c:1634-1656)
+        plate = globe.plate_resolver(
+            vx32.astype(dtype), vy32.astype(dtype), vz32.astype(dtype), globe
+        )
         plate = xp.asarray(plate).astype(xp.int32)
     else:
-        plate = geometry.ray_to_plate_index(vx, vy, vz, fwd)
+        plate = geometry.ray_to_plate_index_c(vx32, vy32, vz32, fwd32, xp)
 
     pc = xp.clip(plate, 0, globe.numplates - 1)
-    u, v, uv_valid = geometry.ray_to_plate_uv(
-        vx, vy, vz, fwd[pc], rgt[pc], up[pc], fov[pc]
+    u, v, uv_valid = geometry.ray_to_plate_uv_c(
+        vx32, vy32, vz32, fwd32[pc], rgt32[pc], up32[pc], fov32[pc], dtype
     )
 
     u = xp.where(uv_valid, u, 0.0)

@@ -39,11 +39,13 @@ def _corner_screen(lens, globe, plate, scale, width_px, height_px, platesize):
     S = platesize
     cs = (np.arange(S + 1, dtype=np.float64) - 0.5) / S
     U, V = np.meshgrid(cs, cs, indexing="xy")  # V rows, U cols
-    fwd = globe.forward[plate]
-    rgt = globe.right[plate]
-    up = globe.up[plate]
-    dist = globe.dist[plate]
-    rx, ry, rz = geometry.plate_uv_to_ray(U, V, fwd, rgt, up, np.float64(dist))
+    # the corner rays pass through vec3_t float32 (plate_uv_to_ray,
+    # fisheye.c:1198-1214) before the double Lua forward math
+    rx, ry, rz = geometry.plate_uv_to_ray_c(
+        U, V, globe.forward[plate], globe.right[plate], globe.up[plate],
+        globe.dist[plate], np, np.float32, np.float64,
+    )
+    rx, ry, rz = rx.astype(np.float64), ry.astype(np.float64), rz.astype(np.float64)
     with np.errstate(all="ignore"):
         px, py, ok = lens.forward(rx, ry, rz)
     ok = np.broadcast_to(np.asarray(ok), U.shape)
@@ -144,14 +146,16 @@ def build_forward(
     for plate in range(globe.numplates):
         lx, ly, ok = _corner_screen(lens, globe, plate, scale, W, H, S)
 
-        rx, ry, rz = geometry.plate_uv_to_ray(
+        rx, ry, rz = geometry.plate_uv_to_ray_c(
             TU, TV, globe.forward[plate], globe.right[plate],
-            globe.up[plate], np.float64(globe.dist[plate]),
+            globe.up[plate], globe.dist[plate], np, np.float32, np.float64,
         )
         if globe.plate_resolver is not None:
-            owner = np.asarray(globe.plate_resolver(rx, ry, rz, globe))
+            owner = np.asarray(globe.plate_resolver(
+                rx.astype(np.float64), ry.astype(np.float64), rz.astype(np.float64), globe
+            ))
         else:
-            owner = geometry.ray_to_plate_index(rx, ry, rz, globe.forward)
+            owner = geometry.ray_to_plate_index_c(rx, ry, rz, globe.forward, np)
         owned = owner == plate  # [S, S] indexed [py, px]
 
         if use_native:

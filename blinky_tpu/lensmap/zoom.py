@@ -55,8 +55,15 @@ def calc_scale(zoom: Zoom, lens: LensDef, width_px: int, height_px: int) -> floa
                 "Please specify a forward mapping function in your script for FOV scaling"
             )
         fovr = zoom.fov * math.pi / 180
+        # The probe ray passes through a vec3_t (float32) before the Lua
+        # forward call (calc_zoom, fisheye.c:1316-1339) — truncate to match.
+        def _f32ray(lat, lon):
+            import numpy as np
+
+            return tuple(float(np.float32(c)) for c in latlon_to_ray(lat, lon))
+
         if zoom.type == "fov":
-            ray = latlon_to_ray(0.0, fovr * 0.5)
+            ray = _f32ray(0.0, fovr * 0.5)
             x, _, ok = lens.forward(*ray)
             if not bool(ok):
                 raise ZoomError(
@@ -64,7 +71,7 @@ def calc_scale(zoom: Zoom, lens: LensDef, width_px: int, height_px: int) -> floa
                 )
             scale = float(x) / (width_px * 0.5)
         else:
-            ray = latlon_to_ray(fovr * 0.5, 0.0)
+            ray = _f32ray(fovr * 0.5, 0.0)
             _, y, ok = lens.forward(*ray)
             if not bool(ok):
                 raise ZoomError(

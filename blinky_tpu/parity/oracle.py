@@ -17,18 +17,21 @@ from blinky_tpu.palette import MAX_PLATES
 
 
 def _normalize(ray):
-    """``VectorNormalize`` (``engine/common/mathlib.c:413-429``)."""
-    # plain multiplies, not **2: CPython's pow() can differ from x*x by an
-    # ulp, while C's DotProduct(v, v) multiplies directly
-    length = math.sqrt(ray[0] * ray[0] + ray[1] * ray[1] + ray[2] * ray[2])
-    if length != length or length != 0:  # NaN is truthy in C's if(length)
-        ilength = 1.0 / length  # reciprocal-multiply, as mathlib.c:421-425
-        return [c * ilength for c in ray]
-    return list(ray)
+    """``VectorNormalize`` (``engine/common/mathlib.c:412-429``) on vec_t =
+    float32 components: float32 sum of squares, the double ``sqrt`` result
+    truncated back to float32, float32 reciprocal and multiplies."""
+    v = [np.float32(c) for c in ray]
+    sumsq = v[0] * v[0] + v[1] * v[1] + v[2] * v[2]  # f32, left-to-right
+    length = np.float32(math.sqrt(np.float64(sumsq)))
+    if length:  # NaN is truthy, exactly like C's if (length)
+        ilength = np.float32(1.0) / length
+        return [c * ilength for c in v]
+    return v
 
 
 def _ray_to_plate_index(globe, ray):
-    """``ray_to_plate_index`` (``fisheye.c:2023-2050``)."""
+    """``ray_to_plate_index`` (``fisheye.c:2023-2050``): DotProduct of two
+    float32 vectors evaluates in float32, compared in double."""
     if globe.plate_resolver is not None:
         p = globe.plate_resolver(
             np.float64(ray[0]), np.float64(ray[1]), np.float64(ray[2]), globe
@@ -37,11 +40,11 @@ def _ray_to_plate_index(globe, ray):
     max_dp = -2.0
     plate_index = 0
     for i in range(globe.numplates):
-        dp = (
+        dp = float(
             ray[0] * globe.forward[i, 0]
             + ray[1] * globe.forward[i, 1]
             + ray[2] * globe.forward[i, 2]
-        )
+        )  # f32 arithmetic (ray and forward are float32), then promoted
         if dp > max_dp:
             max_dp = dp
             plate_index = i
@@ -49,17 +52,16 @@ def _ray_to_plate_index(globe, ray):
 
 
 def _ray_to_plate_uv(globe, plate, ray):
-    """``ray_to_plate_uv`` (``fisheye.c:2052-2066``)."""
-    # explicit left-to-right sums matching C's DotProduct macro
-    # (engine/include/mathlib.h) and the vectorized builder's order
+    """``ray_to_plate_uv`` (``fisheye.c:2052-2066``): float32 dots promoted
+    to double, dist recomputed in double from the float32-stored fov."""
     r_, u_, f_ = globe.right[plate], globe.up[plate], globe.forward[plate]
-    x = r_[0] * ray[0] + r_[1] * ray[1] + r_[2] * ray[2]
-    y = u_[0] * ray[0] + u_[1] * ray[1] + u_[2] * ray[2]
-    z = f_[0] * ray[0] + f_[1] * ray[1] + f_[2] * ray[2]
-    dist = 0.5 / math.tan(globe.fov_rad[plate] / 2)
+    x = np.float64(r_[0] * ray[0] + r_[1] * ray[1] + r_[2] * ray[2])
+    y = np.float64(u_[0] * ray[0] + u_[1] * ray[1] + u_[2] * ray[2])
+    z = np.float64(f_[0] * ray[0] + f_[1] * ray[1] + f_[2] * ray[2])
+    dist = 0.5 / math.tan(float(globe.fov_rad[plate]) / 2)
     with np.errstate(all="ignore"):
-        u = np.float64(x) / z * dist + 0.5
-        v = np.float64(-y) / z * dist + 0.5
+        u = x / z * dist + 0.5
+        v = -y / z * dist + 0.5
     ok = (u >= 0) and (u <= 1) and (v >= 0) and (v <= 1)
     return float(u), float(v), bool(ok)
 

@@ -27,10 +27,12 @@ def test_plate_frames_orthogonal():
     for name in globes.names():
         g = globes.get(name)
         for i in range(g.numplates):
+            # plate frames are vec_t float32 like the reference
+            # (fisheye.c:354-356), so orthogonality holds to f32 eps
             f, r, u = g.forward[i], g.right[i], g.up[i]
-            assert abs(np.dot(r, f)) < 1e-9, (name, i)
-            assert abs(np.dot(u, f)) < 1e-9, (name, i)
-            assert abs(np.dot(r, u)) < 1e-9, (name, i)
+            assert abs(np.dot(r, f)) < 1e-6, (name, i)
+            assert abs(np.dot(u, f)) < 1e-6, (name, i)
+            assert abs(np.dot(r, u)) < 1e-6, (name, i)
 
 
 def test_plate_uv_ray_roundtrip(cube_globe):
@@ -52,8 +54,9 @@ def test_plate_uv_ray_roundtrip(cube_globe):
             np.broadcast_to(g.fov_rad[plate], (500,)),
         )
         assert ok.all()
-        np.testing.assert_allclose(u2, u, atol=1e-9)
-        np.testing.assert_allclose(v2, v, atol=1e-9)
+        # the roundtrip passes through float32 plate frames (vec_t)
+        np.testing.assert_allclose(u2, u, atol=1e-6)
+        np.testing.assert_allclose(v2, v, atol=1e-6)
 
 
 def test_plate_index_tie_breaks_first(cube_globe):

@@ -74,7 +74,7 @@ def test_jax_f32_builder_close_to_oracle(cube_globe):
     o = oracle_inverse_lensmap(lens, cube_globe, scale, W, H, min(W, H))
     b = build_lensmap(lens, cube_globe, scale, W, H, backend="jax", dtype=jnp.float32)
     frac = (np.asarray(b.flat_idx) != o["flat_idx"]).mean()
-    assert frac < 0.1, frac
+    assert frac < 0.15, frac
     # where the same plate was chosen (seam ties may flip plates in f32),
     # pixel coords differ by at most one texel
     same = np.asarray(b.valid) & o["valid"] & (np.asarray(b.plate) == o["plate"])
