@@ -35,6 +35,20 @@ def test_numpy_builder_matches_oracle(lens_name, globe_name):
         assert np.array_equal(np.asarray(getattr(b, f)), o[f]), (lens_name, globe_name, f)
 
 
+@pytest.mark.parametrize("lens_name", ["panini", "stereographic", "hammer"])
+@pytest.mark.parametrize("globe_name", ["cube_edge", "cube_corner", "trism"])
+def test_numpy_builder_matches_oracle_remaining_globes(lens_name, globe_name):
+    """Close the globe coverage: the rotated cubes and the prism also pin
+    bit-exactly to the oracle (fast/tetra/cube are in the main matrix)."""
+    g = globes.get(globe_name)
+    lens = lenses.get(lens_name, g)
+    scale = calc_scale(_zoom_for(lens), lens, W, H)
+    o = oracle_inverse_lensmap(lens, g, scale, W, H, min(W, H))
+    b = build_lensmap(lens, g, scale, W, H, backend="numpy")
+    for f in FIELDS:
+        assert np.array_equal(np.asarray(getattr(b, f)), o[f]), (lens_name, globe_name, f)
+
+
 @pytest.mark.parametrize("lens_name", ["panini", "fisheye1", "quincuncial", "winkeltripel"])
 def test_jax_f64_builder_matches_oracle(lens_name, cube_globe):
     """The jitted builder in f64 on CPU: XLA transcendentals may differ
