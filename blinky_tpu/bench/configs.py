@@ -44,6 +44,7 @@ def config0_saveglobe_roundtrip():
         export_ms = _ms(t0)
         loaded, pal = load_globe_pcx(prefix, sess.globe.numplates)
     assert np.array_equal(loaded[: sess.globe.numplates], frames[: sess.globe.numplates])
+    np.asarray(sess.render(loaded))  # warm up (jit compile excluded)
     t0 = time.perf_counter()
     out = np.asarray(sess.render(loaded))
     remap_ms = _ms(t0)
