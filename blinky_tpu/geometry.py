@@ -140,22 +140,21 @@ def ray_to_plate_uv_c(x32, y32, z32, p_forward32, p_right32, p_up32, p_fov32, f6
 
 def plate_uv_to_ray_c(u, v, forward32, right32, up32, dist32, xp, f32, f64):
     """``plate_uv_to_ray`` (``fisheye.c:1198-1214``) with the C types:
-    u/v in double, three ``VectorMA`` steps each computing double
-    ``scale * vec3_t`` products but storing float32 accumulators, then the
-    float32 ``VectorNormalize``."""
-    u = u - 0.5
-    v = -(v - 0.5)
-    # first VectorMA: scale is the float32-stored plate dist, so the
-    # product is float32 arithmetic (both operands vec_t)
+    u/v computed in double, then truncated to float32 at each ``VectorMA``
+    call — ``VectorMA(veca, const float scale, vecb, vecc)`` is a float
+    function (``mathlib.c:349-355``), so all products and sums are
+    float32 — then the float32 ``VectorNormalize``."""
+    u32 = xp.asarray(u - 0.5).astype(f32)
+    v32 = xp.asarray(-(xp.asarray(v) - 0.5)).astype(f32)
     rx = dist32 * forward32[..., 0]
     ry = dist32 * forward32[..., 1]
     rz = dist32 * forward32[..., 2]
-    rx = (rx.astype(f64) + u * right32[..., 0].astype(f64)).astype(f32)
-    ry = (ry.astype(f64) + u * right32[..., 1].astype(f64)).astype(f32)
-    rz = (rz.astype(f64) + u * right32[..., 2].astype(f64)).astype(f32)
-    rx = (rx.astype(f64) + v * up32[..., 0].astype(f64)).astype(f32)
-    ry = (ry.astype(f64) + v * up32[..., 1].astype(f64)).astype(f32)
-    rz = (rz.astype(f64) + v * up32[..., 2].astype(f64)).astype(f32)
+    rx = rx + u32 * right32[..., 0]
+    ry = ry + u32 * right32[..., 1]
+    rz = rz + u32 * right32[..., 2]
+    rx = rx + v32 * up32[..., 0]
+    ry = ry + v32 * up32[..., 1]
+    rz = rz + v32 * up32[..., 2]
     return normalize_c(rx, ry, rz, xp, f32, f64)
 
 

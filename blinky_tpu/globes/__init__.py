@@ -53,16 +53,6 @@ class Globe:
     def numplates(self) -> int:
         return int(self.forward.shape[0])
 
-    def arrays(self, dtype):
-        """Plate frame arrays cast to *dtype* for the lensmap builder."""
-        return (
-            self.forward.astype(dtype),
-            self.right.astype(dtype),
-            self.up.astype(dtype),
-            self.fov_rad.astype(dtype),
-            self.dist.astype(dtype),
-        )
-
 
 def make_globe(
     name: str,

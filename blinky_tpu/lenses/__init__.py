@@ -139,7 +139,9 @@ def make_context(globe) -> SimpleNamespace:
 
         xp = m.xp(i, u, v)
         f32 = xp.float32
-        f64 = np.float64 if xp is np else f32
+        # key the sqrt precision on the trace dtype, like builder.py does
+        dt = getattr(u, "dtype", np.dtype(np.float64))
+        f64 = xp.float64 if dt == np.float64 else f32
         fwd = xp.asarray(globe.forward)[i]
         rgt = xp.asarray(globe.right)[i]
         up = xp.asarray(globe.up)[i]

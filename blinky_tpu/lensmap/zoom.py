@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 import math
 
-from blinky_tpu.geometry import latlon_to_ray
+from blinky_tpu.geometry import latlon_to_ray  # noqa: F401 (public solver surface)
 from blinky_tpu.lenses import LensDef
 
 
@@ -58,9 +58,9 @@ def calc_scale(zoom: Zoom, lens: LensDef, width_px: int, height_px: int) -> floa
         # The probe ray passes through a vec3_t (float32) before the Lua
         # forward call (calc_zoom, fisheye.c:1316-1339) — truncate to match.
         def _f32ray(lat, lon):
-            import numpy as np
+            from blinky_tpu.geometry import latlon_to_ray_f32
 
-            return tuple(float(np.float32(c)) for c in latlon_to_ray(lat, lon))
+            return tuple(float(c) for c in latlon_to_ray_f32(lat, lon))
 
         if zoom.type == "fov":
             ray = _f32ray(0.0, fovr * 0.5)
