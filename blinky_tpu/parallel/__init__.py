@@ -55,9 +55,13 @@ def shard_kernel(kernel: RemapKernel, mesh: Mesh) -> RemapKernel:
 
 
 def shard_frames(frames, mesh: Mesh):
-    """Place a [P, S, S, B] batch with B sharded over "data"."""
+    """Place a [NP, S, S, B] batch (u8 indices or u32 RGBA; NP may be the
+    expanded 2*MAX_PLATES) with B sharded over "data"."""
+    frames = jnp.asarray(frames)
+    if frames.dtype != jnp.uint32:
+        frames = frames.astype(jnp.uint8)
     fs = NamedSharding(mesh, P(None, None, None, "data"))
-    return jax.device_put(jnp.asarray(frames, jnp.uint8), fs)
+    return jax.device_put(frames, fs)
 
 
 def remap_sharded(kernel: RemapKernel, frames, mesh: Mesh, rubix: bool = False,
@@ -66,10 +70,26 @@ def remap_sharded(kernel: RemapKernel, frames, mesh: Mesh, rubix: bool = False,
 
     The gather's index operand is row-sharded and its source replicated
     per data-shard, so SPMD partitioning keeps every gather local — zero
-    cross-device traffic inside the step.
+    cross-device traffic inside the step.  Expanded (raw||tinted) and
+    RGBA-decoded sources take the pure-gather fast path exactly as on one
+    chip (kernels/remap.py).
     """
+    from blinky_tpu.kernels.remap import _remap_gather
+    from blinky_tpu.palette import MAX_PLATES
+
     frames = shard_frames(frames, mesh)
     kernel = shard_kernel(kernel, mesh)
+    expanded = frames.shape[0] == 2 * MAX_PLATES
+    is_rgba = frames.dtype == jnp.uint32
+    if expanded or is_rgba:
+        if rubix and not expanded:
+            raise ValueError("rubix on an RGBA source needs the expanded layout")
+        idx = kernel.flat_idx_rubix if (rubix and expanded) else kernel.flat_idx
+        rows = NamedSharding(mesh, P("space", None))
+        idx = jax.device_put(idx, rows)
+        bg = kernel.background_rgba if is_rgba else kernel.background
+        bg = jax.device_put(bg, rows)
+        return _remap_gather(frames, idx, kernel.valid, bg)
     return _remap(
         frames,
         kernel.flat_idx,

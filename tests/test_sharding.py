@@ -54,3 +54,40 @@ def test_graft_entry_jits():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (120, 160, 8)
+
+
+def test_sharded_expanded_and_rgba_paths():
+    """The expanded-source rubix and RGBA fast paths shard like the plain
+    remap and match the single-device results bit-exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from blinky_tpu import globes, lenses
+    from blinky_tpu.io.cubemap import synthetic_cubemap_batch
+    from blinky_tpu.kernels.remap import (
+        RemapKernel, expand_frames_tinted, frames_to_rgba,
+    )
+    from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+    from blinky_tpu.palette import default_palette
+    from blinky_tpu.parallel import make_mesh, remap_sharded
+
+    mesh = make_mesh(n_data=4, n_space=2)
+    W, H, S, B = 64, 32, 32, 8
+    g = globes.get("cube")
+    lens = lenses.get("panini", g)
+    scale = calc_scale(Zoom("fov", 180), lens, W, H)
+    lm = build_lensmap(lens, g, scale, W, H, S, backend="numpy").to_numpy()
+    pal = default_palette()
+    kernel = RemapKernel(lm, pal)
+    frames = synthetic_cubemap_batch(S, B)
+
+    ex = expand_frames_tinted(frames, pal)
+    ref = np.asarray(kernel(ex, rubix=True))
+    out = np.asarray(remap_sharded(kernel, ex, mesh, rubix=True))
+    np.testing.assert_array_equal(out, ref)
+
+    rgba = frames_to_rgba(frames, pal)
+    ref2 = np.asarray(kernel(rgba))
+    out2 = np.asarray(remap_sharded(RemapKernel(lm, pal), rgba, mesh))
+    assert out2.dtype == np.uint32
+    np.testing.assert_array_equal(out2, ref2)
