@@ -44,3 +44,13 @@ def test_reproject_npz_stack(tmp_path):
     with np.load(out / "warped.npz") as z:
         assert z["screen"].shape == (4, 48, 64)
         assert z["palette"].shape == (256, 3)
+
+
+def test_profile_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    from blinky_tpu.utils.timing import profile_trace
+
+    with profile_trace(str(tmp_path)):
+        _ = jnp.arange(16).sum().block_until_ready()
+    assert any(tmp_path.rglob("*")), "no trace artifacts written"

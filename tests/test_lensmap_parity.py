@@ -126,3 +126,29 @@ def test_invalid_lens_renders_nothing(cube_globe):
     lens = lenses.get("quincuncial", cube_globe)
     with pytest.raises(ZoomError):
         calc_scale(Zoom("fov", 180), lens, W, H)
+
+
+@pytest.mark.parametrize("dims", [(97, 73), (96, 73), (97, 72)])
+def test_numpy_builder_matches_oracle_odd_sizes(dims):
+    """Odd screen sizes exercise the C integer divisions (width_px/2 in
+    the pixel loop, fisheye.c:2100-2105) and non-square platesize."""
+    w, h = dims
+    g = globes.get("cube")
+    lens = lenses.get("panini", g)
+    scale = calc_scale(Zoom("fov", 180), lens, w, h)
+    o = oracle_inverse_lensmap(lens, g, scale, w, h, min(w, h))
+    b = build_lensmap(lens, g, scale, w, h, backend="numpy")
+    for f in FIELDS:
+        assert np.array_equal(np.asarray(getattr(b, f)), o[f]), (dims, f)
+
+
+def test_platesize_differs_from_screen_min():
+    """platesize is an independent parameter (the reference uses
+    min(screen w,h), fisheye.c:707, but the framework accepts any)."""
+    g = globes.get("cube")
+    lens = lenses.get("panini", g)
+    scale = calc_scale(Zoom("fov", 180), lens, W, H)
+    o = oracle_inverse_lensmap(lens, g, scale, W, H, 37)
+    b = build_lensmap(lens, g, scale, W, H, platesize=37, backend="numpy")
+    for f in FIELDS:
+        assert np.array_equal(np.asarray(getattr(b, f)), o[f]), f
