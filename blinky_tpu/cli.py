@@ -41,12 +41,15 @@ def cmd_remap(args) -> int:
     else:
         frames = synthetic_cubemap(sess.platesize)
     out = np.asarray(sess.render(frames, rubix=args.rubix or None))
-    if args.out.endswith(".pcx"):
-        with open(args.out, "wb") as f:
+    path = args.out
+    if path.endswith(".pcx"):
+        with open(path, "wb") as f:
             f.write(encode_pcx(out, sess.palette))
     else:
-        np.savez(args.out, screen=out, palette=sess.palette)
-    print(f"wrote {args.out} ({out.shape[1]}x{out.shape[0]})")
+        if not path.endswith(".npz"):
+            path += ".npz"  # np.savez appends it; report the real file
+        np.savez(path, screen=out, palette=sess.palette)
+    print(f"wrote {path} ({out.shape[1]}x{out.shape[0]})")
     return 0
 
 
@@ -93,10 +96,17 @@ def cmd_reproject(args) -> int:
     clock = FrameClock()
     wrote = 0
     stack = [] if args.format == "npz" else None
+    palmap = None
+    if args.rubix:
+        from blinky_tpu.palette import create_palmap
+
+        palmap = create_palmap(sess.palette)  # hoisted out of the loop
     for batch_frames, n_valid in FrameBatchIterator(frames, args.batch):
         if args.rubix:
-            batch_frames = expand_frames_tinted(batch_frames, sess.palette)
-        out = np.asarray(sess.render(batch_frames, rubix=args.rubix))
+            batch_frames = expand_frames_tinted(batch_frames, sess.palette,
+                                                palmap=palmap)
+        # rubix=None defers to session state (e.g. a user --cmd f_rubix)
+        out = np.asarray(sess.render(batch_frames, rubix=args.rubix or None))
         clock.tick(n_valid)
         for b in range(n_valid):
             img = out[..., b]
@@ -187,14 +197,28 @@ def cmd_parity(args) -> int:
     zoom = Zoom(args.zoom, args.fov)
     scale = calc_scale(zoom, lens, args.width, args.height)
     S = min(args.width, args.height)
-    o = oracle_inverse_lensmap(lens, g, scale, args.width, args.height, S)
-    b = build_lensmap(lens, g, scale, args.width, args.height, S, backend=args.backend)
+    if lens.map_type == "forward":
+        # forward lenses: the oracle is the pure-Python scan-order
+        # rasterizer; compare the native C++ rasterizer against it
+        from blinky_tpu.lensmap.forward_raster import build_forward
+
+        o_lm = build_forward(lens, g, scale, args.width, args.height, S,
+                             use_native=False)
+        o = {f: np.asarray(getattr(o_lm, f))
+             for f in ("plate", "px", "py", "valid", "tint", "flat_idx")}
+        b = build_forward(lens, g, scale, args.width, args.height, S,
+                          use_native=True)
+    else:
+        o = oracle_inverse_lensmap(lens, g, scale, args.width, args.height, S)
+        b = build_lensmap(lens, g, scale, args.width, args.height, S,
+                          backend=args.backend)
     mism = {
         f: int((np.asarray(getattr(b, f)) != o[f]).sum())
         for f in ("plate", "px", "py", "valid", "tint", "flat_idx")
     }
     total = sum(mism.values())
-    print(json.dumps(dict(lens=args.lens, globe=args.globe, backend=args.backend,
+    print(json.dumps(dict(lens=args.lens, globe=args.globe,
+                          map_type=lens.map_type, backend=args.backend,
                           mismatches=mism, total=total)))
     return 0 if total == 0 else 1
 

@@ -76,22 +76,40 @@ class FrameBatchIterator:
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        abort = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that gives up if the consumer went away
+            while not abort.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for i0 in range(0, self.n, self.batch):
-                    q.put(self._pack(i0))
-            finally:
-                q.put(stop)
+                    if not _put((self._pack(i0), None)):
+                        return
+                _put((stop, None))
+            except BaseException as e:  # propagate into the consumer
+                _put((stop, e))
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item, err = q.get()
+                if item is stop:
+                    if err is not None:
+                        raise err
+                    break
+                yield item
+            t.join()
+        finally:
+            abort.set()
 
 
 def timedemo(session, frames, batch: int = 64, rubix=None, decode_rgb=False):
@@ -101,13 +119,14 @@ def timedemo(session, frames, batch: int = 64, rubix=None, decode_rgb=False):
     Returns (outputs_last_batch, FrameClock) and logs the reference's
     "frames seconds fps" line to the session console.
     """
+    from blinky_tpu.utils.timing import device_fetch_sync
+
     clock = FrameClock()
     out = None
     for batch_frames, n_valid in FrameBatchIterator(frames, batch):
         out = session.render(batch_frames, rubix=rubix, decode_rgb=decode_rgb)
         clock.tick(n_valid)
     if out is not None:
-        # realize the final device batch before stopping the clock
-        _ = int(np.asarray(out.reshape(-1)[0]) if hasattr(out, "reshape") else 0)
+        device_fetch_sync(out)  # realize the final batch before stopping
     session._print(clock.report())
     return out, clock

@@ -99,12 +99,21 @@ def decode_pcx(data: bytes):
             row = nat
             pos = len(raw)
         else:
+            # same strictness as the native decoder: truncated input or a
+            # run overflowing the image is an error, not a silent clip
             row = np.empty(total, dtype=np.uint8)
             out_i = 0
+            n = len(raw)
             while out_i < total:
+                if pos >= n:
+                    raise ValueError("truncated PCX body")
                 b = int(raw[pos]); pos += 1
                 if b >= 0xC0:
                     run = b & 0x3F
+                    if pos >= n:
+                        raise ValueError("truncated PCX body")
+                    if out_i + run > total:
+                        raise ValueError("truncated PCX body")
                     row[out_i : out_i + run] = raw[pos]
                     pos += 1
                     out_i += run

@@ -124,7 +124,7 @@ def expanded_flat_idx(lensmap) -> np.ndarray:
     return (fi + off).astype(np.int32)
 
 
-def expand_frames_tinted(frames, palette) -> np.ndarray:
+def expand_frames_tinted(frames, palette, palmap=None) -> np.ndarray:
     """Host-side source expansion for the fast rubix path.
 
     [P, S, S(, B)] u8 -> [2*MAX_PLATES, S, S(, B)]: raw plates (padded to
@@ -134,7 +134,8 @@ def expand_frames_tinted(frames, palette) -> np.ndarray:
     gets rubix for free.
     """
     frames = np.asarray(frames, dtype=np.uint8)
-    palmap = create_palmap(np.asarray(palette))
+    if palmap is None:
+        palmap = create_palmap(np.asarray(palette))
     S = frames.shape[1]
     out = np.zeros((2 * MAX_PLATES,) + frames.shape[1:], dtype=np.uint8)
     out[: frames.shape[0]] = frames

@@ -38,6 +38,15 @@ class Timings:
         )
 
 
+def device_fetch_sync(x) -> int:
+    """Execution barrier that works through relayed TPU backends where
+    ``block_until_ready`` may return before device execution completes:
+    fetching one element forces the producing computation to finish."""
+    import numpy as np
+
+    return int(np.asarray(x).reshape(-1)[0])
+
+
 @contextmanager
 def profile_trace(logdir: str):
     """Capture a JAX/XLA profiler trace for the enclosed block (the

@@ -69,3 +69,24 @@ def test_plate_world_basis_identity_camera(cube_globe):
     np.testing.assert_allclose(f, cube_globe.forward, atol=1e-12)
     np.testing.assert_allclose(r, cube_globe.right, atol=1e-12)
     np.testing.assert_allclose(u, cube_globe.up, atol=1e-12)
+
+
+def test_iterator_propagates_worker_errors():
+    """A packing failure in the prefetch thread must raise in the
+    consumer, not silently truncate the stream."""
+    import pytest
+
+    from blinky_tpu.io.dataset import FrameBatchIterator
+
+    bad = np.zeros((5, 6, 8, 9), np.uint8)  # non-square plates -> pack fails
+    with pytest.raises(BaseException):
+        list(FrameBatchIterator(bad, batch=2))
+
+
+def test_iterator_abandonment_does_not_hang():
+    from blinky_tpu.io.dataset import FrameBatchIterator
+
+    frames = np.zeros((64, 6, 8, 8), np.uint8)
+    it = iter(FrameBatchIterator(frames, batch=4, prefetch=1))
+    next(it)
+    del it  # worker must not block the process on the bounded queue

@@ -75,3 +75,26 @@ def test_python_fallback_matches_native():
         assert encode_pcx(img, pal, "rle") == rle_n
         out, _ = decode_pcx(ref_n)
         assert np.array_equal(out, img)
+
+
+def test_python_decode_rejects_malformed_like_native():
+    import pytest
+    """The pure-Python RLE decoder must reject truncated/overflowing
+    bodies exactly like the native one (no silent clipping)."""
+    from unittest import mock
+
+    import blinky_tpu.native as native
+    from blinky_tpu.palette import default_palette
+
+    img = np.full((8, 8), 0xC5, np.uint8)
+    pal = default_palette()
+    data = bytearray(encode_pcx(img, pal, "rle"))
+    # corrupt the final RLE packet into a 63-run that overflows the image
+    data[-771] = 0xFF  # run length 63 with only 8 output slots left
+    bad = bytes(data)
+    with pytest.raises(ValueError):
+        decode_pcx(bad)  # native decoder
+    with mock.patch.object(native, "_lib", None), \
+         mock.patch.object(native, "_tried", True):
+        with pytest.raises(ValueError):
+            decode_pcx(bad)  # pure-Python fallback, same strictness
