@@ -94,6 +94,7 @@ class Session:
 
         self.fisheye_enabled = False
         self.fov = 90.0  # the engine "fov" cvar (scr_fov, NQ/view.c:116)
+        self.view_angles = None  # (pitch, yaw, roll) deg, None = identity
         self._plain_cache = None  # (key, kernel) for the fisheye-0 view
         self.shortcutkeys_enabled = False
         self.bindings: dict = {}
@@ -131,6 +132,7 @@ class Session:
             "f_dumppal": self._cmd_dumppal,
             "f_shortcutkeys": self._cmd_shortcutkeys,
             "impulse": lambda argv: None,  # game-sim command: no-op here
+            "setviewangles": self._cmd_setviewangles,
             "bind": self._cmd_bind,
             "unbind": self._cmd_unbind,
             "exec": self._cmd_exec,
@@ -189,6 +191,26 @@ class Session:
             return
         self.fov = min(170.0, max(10.0, _atof(argv[1])))
         self._plain_cache = None
+
+    def _cmd_setviewangles(self, argv):
+        """Rotate the view within recorded plates: ``setviewangles <pitch>
+        <yaw> <roll>`` (degrees).  The reference gets viewangles from game
+        input and re-renders the plates (``F_RenderView``,
+        ``fisheye.c:750``); with recorded cubemaps the rotation composes
+        into the lensmap instead.  ``setviewangles`` with no args resets."""
+        if len(argv) < 4:
+            self.view_angles = None
+        else:
+            self.view_angles = (_atof(argv[1]), _atof(argv[2]), _atof(argv[3]))
+        self._changed = True
+        self._plain_cache = None
+
+    def _view_basis(self):
+        if self.view_angles is None:
+            return None
+        from blinky_tpu.camera import view_basis_from_angles
+
+        return view_basis_from_angles(*self.view_angles)
 
     def _cmd_help(self, argv):
         self._print(HELP_TEXT)
@@ -368,6 +390,7 @@ class Session:
             cell_size=self.rubix_cell_size,
             pad_size=self.rubix_pad_size,
             backend=self.backend,
+            view_basis=self._view_basis(),
         )
         self._kernel = RemapKernel(self._lensmap, self.palette, self._background)
         self._changed = False
@@ -440,7 +463,8 @@ class Session:
         view at the ``fov`` cvar from the current globe's plates."""
         if not self.globe_valid:
             return None
-        key = (self.fov, self.width_px, self.height_px, self.platesize, self.globe_name)
+        key = (self.fov, self.width_px, self.height_px, self.platesize,
+               self.globe_name, self.view_angles)
         if self._plain_cache is not None and self._plain_cache[0] == key:
             return self._plain_cache[1]
         try:
@@ -449,6 +473,7 @@ class Session:
             lm = build_lensmap(
                 lens, self.globe, scale, self.width_px, self.height_px,
                 self.platesize, backend=self.backend,
+                view_basis=self._view_basis(),
             )
         except Exception as e:
             self._print(f"plain view unavailable: {e}")

@@ -49,6 +49,31 @@ def angle_vectors(pitch, yaw, roll):
     return forward, right, up
 
 
+def view_basis_from_angles(pitch, yaw, roll):
+    """(pitch, yaw, roll) degrees -> (forward, right, up) in the fisheye
+    camera convention (+X right, +Y up, +Z forward; ``fisheye.c:48-60``).
+
+    Used to rotate the view within *recorded* cubemaps (the reference
+    rotates by re-rendering plates with Quake's own ``AngleVectors``
+    world convention — :func:`angle_vectors` — which does not apply to
+    plates recorded in the camera frame).  Positive yaw looks right
+    (toward +X), positive pitch looks up (+Y), positive roll tilts the
+    up vector toward +X.
+    """
+    d2r = np.pi / 180
+    sp, cp = np.sin(pitch * d2r), np.cos(pitch * d2r)
+    sy, cy = np.sin(yaw * d2r), np.cos(yaw * d2r)
+    sr, cr = np.sin(roll * d2r), np.cos(roll * d2r)
+    forward = np.array([sy * cp, sp, cy * cp])
+    right0 = np.array([cy, 0.0, -sy])
+    up0 = np.cross(forward, right0)
+    up0 /= np.linalg.norm(up0)
+    right0 = np.cross(up0, forward)
+    right = cr * right0 + sr * up0
+    up = cr * up0 - sr * right0
+    return forward, right, up
+
+
 def plate_world_basis(globe, forward, right, up):
     """World-frame (forward, right, up) for every plate of *globe* given a
     camera basis.

@@ -90,6 +90,9 @@ def cmd_reproject(args) -> int:
     sess = Session(args.width, args.height, platesize=S, palette=pal, echo=True)
     for c in args.cmd:
         sess.cmd(c)
+    if args.pose:
+        p, y, r = (float(v) for v in args.pose.split(","))
+        sess.cmd(f"setviewangles {p} {y} {r}")
 
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -246,6 +249,8 @@ def main(argv=None) -> int:
     p.add_argument("--demo", required=True, help="demo .npz from demo-synth / write_demo")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--rubix", action="store_true")
+    p.add_argument("--pose", default=None, metavar="PITCH,YAW,ROLL",
+                   help="rotate the view within the recorded plates (deg)")
     p.add_argument("--format", default="pcx", choices=["pcx", "ppm", "npz"])
     p.add_argument("--outdir", default="warped")
     p.set_defaults(fn=cmd_reproject)

@@ -100,6 +100,7 @@ def inverse_grid(
     pad_size,
     xp,
     dtype,
+    view_basis=None,
 ):
     """The full inverse-path lensmap computation over the pixel grid.
 
@@ -108,6 +109,13 @@ def inverse_grid(
     ``lens_inverse`` -> ray -> normalize (``fisheye.c:1562``) -> plate by
     max-dot or custom resolver -> plate uv -> truncated pixel coords with
     bounds rejection (``fisheye.c:1963-1992``) -> tint via the rubix grid.
+
+    ``view_basis``: optional (forward, right, up) 3-vectors rotating the
+    view within *recorded* plates — the framework's analog of the
+    reference re-rendering plates with a composed camera basis
+    (``F_RenderView``, ``fisheye.c:750,777-792``).  With live rendering
+    the rotation happens upstream; with recorded cubemaps it composes
+    into the lensmap ray: ``ray' = rx*right + ry*up + rz*forward``.
     """
     S = platesize
     half_w = width_px // 2  # C int division, fisheye.c:2105
@@ -124,6 +132,17 @@ def inverse_grid(
 
     vx, vy, vz, lens_valid = lens.inverse(X, Y)
     lens_valid = xp.broadcast_to(xp.asarray(lens_valid), shape)
+
+    if view_basis is not None:
+        # rotate the camera-frame ray into the recording frame (same
+        # composition as the per-plate basis mix, fisheye.c:777-792),
+        # in the lens math's double domain before the f32 boundary
+        fwd_v, rgt_v, up_v = (xp.asarray(v, dtype=dtype) for v in view_basis)
+        vx, vy, vz = (
+            vx * rgt_v[0] + vy * up_v[0] + vz * fwd_v[0],
+            vx * rgt_v[1] + vy * up_v[1] + vz * fwd_v[1],
+            vx * rgt_v[2] + vy * up_v[2] + vz * fwd_v[2],
+        )
 
     # The reference stores the lens ray and the plate frames as vec_t =
     # float32 while the lens math is double (LUAtoC_lens_inverse,
@@ -194,7 +213,7 @@ def _compiled_inverse_builder(lens, globe, width_px, height_px, platesize, dtype
     zoom scale and rubix parameters — so f_fov sweeps and f_rubixgrid
     changes reuse the compiled executable."""
 
-    def build(scale, numcells, cell_size, pad_size):
+    def build(scale, numcells, cell_size, pad_size, view_basis):
         return inverse_grid(
             lens,
             globe,
@@ -207,6 +226,7 @@ def _compiled_inverse_builder(lens, globe, width_px, height_px, platesize, dtype
             pad_size,
             jnp,
             dtype,
+            view_basis=view_basis,
         )
 
     return jax.jit(build)
@@ -224,6 +244,7 @@ def build_lensmap(
     pad_size: float = 1.0,
     backend: str = "jax",
     dtype=None,
+    view_basis=None,
 ) -> LensMap:
     """Build the lensmap for the resolved map type of *lens*.
 
@@ -232,6 +253,10 @@ def build_lensmap(
     (host float64).  Forward-only lenses rasterize on the host — a
     per-lens-switch cost, as in the reference where forward mapping is the
     slow path (``lenses/README.md`` Mapping section).
+
+    ``view_basis``: optional (forward, right, up) camera basis rotating
+    the view within recorded plates (see :func:`inverse_grid`); a dynamic
+    jit argument, so pose changes never recompile.
     """
     if platesize is None:
         platesize = min(width_px, height_px)
@@ -240,15 +265,22 @@ def build_lensmap(
 
         return build_forward(
             lens, globe, scale, width_px, height_px, platesize,
-            numcells, cell_size, pad_size,
+            numcells, cell_size, pad_size, view_basis=view_basis,
         )
     if backend == "numpy":
         out = inverse_grid(
             lens, globe, np.float64(scale), width_px, height_px, platesize,
             numcells, cell_size, pad_size, np, np.float64,
+            view_basis=None if view_basis is None else tuple(
+                np.asarray(v, dtype=np.float64) for v in view_basis
+            ),
         )
     else:
         dtype = dtype or jnp.float32
+        if view_basis is None:
+            # identity basis keeps one compiled executable for both cases
+            view_basis = (np.array([0.0, 0.0, 1.0]), np.array([1.0, 0.0, 0.0]),
+                          np.array([0.0, 1.0, 0.0]))
         fn = _compiled_inverse_builder(
             lens, globe, width_px, height_px, platesize, dtype
         )
@@ -257,6 +289,7 @@ def build_lensmap(
             jnp.asarray(numcells, dtype=dtype),
             jnp.asarray(cell_size, dtype=dtype),
             jnp.asarray(pad_size, dtype=dtype),
+            tuple(jnp.asarray(v, dtype=dtype) for v in view_basis),
         )
     return LensMap(
         width_px=width_px,

@@ -29,7 +29,8 @@ from blinky_tpu.palette import MAX_PLATES
 _MAXDIFF = 20  # fisheye.c:2271
 
 
-def _corner_screen(lens, globe, plate, scale, width_px, height_px, platesize):
+def _corner_screen(lens, globe, plate, scale, width_px, height_px, platesize,
+                   view_basis=None):
     """Screen coordinates of the (S+1)x(S+1) texel-corner grid of a plate.
 
     Corner k sits at u = (k - 0.5)/S (``fisheye.c:2149-2184``); screen
@@ -46,6 +47,15 @@ def _corner_screen(lens, globe, plate, scale, width_px, height_px, platesize):
         globe.dist[plate], np, np.float32, np.float64,
     )
     rx, ry, rz = rx.astype(np.float64), ry.astype(np.float64), rz.astype(np.float64)
+    if view_basis is not None:
+        # recording-frame corner ray -> camera frame (inverse of the
+        # inverse-path mix; orthonormal basis, so the transpose)
+        fwd_v, rgt_v, up_v = (np.asarray(v, dtype=np.float64) for v in view_basis)
+        rx, ry, rz = (
+            rx * rgt_v[0] + ry * rgt_v[1] + rz * rgt_v[2],
+            rx * up_v[0] + ry * up_v[1] + rz * up_v[2],
+            rx * fwd_v[0] + ry * fwd_v[1] + rz * fwd_v[2],
+        )
     with np.errstate(all="ignore"):
         px, py, ok = lens.forward(rx, ry, rz)
     ok = np.broadcast_to(np.asarray(ok), U.shape)
@@ -128,6 +138,7 @@ def build_forward(
     cell_size: float = 4.0,
     pad_size: float = 1.0,
     use_native: bool = True,
+    view_basis=None,
 ) -> LensMap:
     from blinky_tpu import native
 
@@ -144,7 +155,8 @@ def build_forward(
     TU, TV = np.meshgrid(ts, ts, indexing="xy")
 
     for plate in range(globe.numplates):
-        lx, ly, ok = _corner_screen(lens, globe, plate, scale, W, H, S)
+        lx, ly, ok = _corner_screen(lens, globe, plate, scale, W, H, S,
+                                    view_basis=view_basis)
 
         rx, ry, rz = geometry.plate_uv_to_ray_c(
             TU, TV, globe.forward[plate], globe.right[plate],
