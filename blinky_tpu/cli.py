@@ -93,6 +93,9 @@ def cmd_reproject(args) -> int:
     if args.pose:
         p, y, r = (float(v) for v in args.pose.split(","))
         sess.cmd(f"setviewangles {p} {y} {r}")
+    poses = demo.get("poses") if args.follow_poses else None
+    if args.follow_poses and poses is None:
+        print("demo has no pose track; --follow-poses ignored")
 
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -105,6 +108,13 @@ def cmd_reproject(args) -> int:
 
         palmap = create_palmap(sess.palette)  # hoisted out of the loop
     for batch_frames, n_valid in FrameBatchIterator(frames, args.batch):
+        if poses is not None:
+            # pose-tracked playback at batch granularity: the lensmap
+            # rebuild is a warm dynamic-arg jit call, so each chunk pays
+            # ~one device rebuild (docs/PERF.md) — finer tracking = smaller
+            # --batch, coarser = faster
+            p, y, r = poses[wrote]
+            sess.cmd(f"setviewangles {p} {y} {r}")
         if args.rubix:
             batch_frames = expand_frames_tinted(batch_frames, sess.palette,
                                                 palmap=palmap)
@@ -251,6 +261,8 @@ def main(argv=None) -> int:
     p.add_argument("--rubix", action="store_true")
     p.add_argument("--pose", default=None, metavar="PITCH,YAW,ROLL",
                    help="rotate the view within the recorded plates (deg)")
+    p.add_argument("--follow-poses", action="store_true",
+                   help="track the demo's pose stream (per batch)")
     p.add_argument("--format", default="pcx", choices=["pcx", "ppm", "npz"])
     p.add_argument("--outdir", default="warped")
     p.set_defaults(fn=cmd_reproject)

@@ -54,3 +54,25 @@ def test_profile_trace_smoke(tmp_path):
     with profile_trace(str(tmp_path)):
         _ = jnp.arange(16).sum().block_until_ready()
     assert any(tmp_path.rglob("*")), "no trace artifacts written"
+
+
+def test_reproject_follow_poses(tmp_path):
+    from blinky_tpu.cli import main
+
+    demo = tmp_path / "demo.npz"
+    out = tmp_path / "warped"
+    out2 = tmp_path / "warped_static"
+    main(["demo-synth", "--frames", "6", "--platesize", "48", "--out", str(demo)])
+    assert main([
+        "reproject", "--demo", str(demo), "--width", "64", "--height", "48",
+        "--batch", "2", "--follow-poses", "--format", "npz", "--outdir", str(out),
+    ]) == 0
+    assert main([
+        "reproject", "--demo", str(demo), "--width", "64", "--height", "48",
+        "--batch", "2", "--format", "npz", "--outdir", str(out2),
+    ]) == 0
+    with np.load(out / "warped.npz") as z, np.load(out2 / "warped.npz") as z2:
+        a, b = z["screen"], z2["screen"]
+    assert a.shape == b.shape == (6, 48, 64)
+    # the synthetic pose track yaws over time -> later frames diverge
+    assert (a[-1] != b[-1]).any()
