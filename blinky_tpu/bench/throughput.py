@@ -208,6 +208,50 @@ def run_throughput(
     )
 
 
+def run_pose_tracked_throughput(
+    width=1920, height=1080, platesize=1080, batch=64, iters=8,
+    lens_name="panini", globe_name="cube", fov=180,
+):
+    """Sustained pose-tracked playback: every batch rebuilds the lensmap
+    for a new view basis (a warm dynamic-arg jit call) then remaps — the
+    360-video pan/tilt pipeline (`reproject --follow-poses`)."""
+    from blinky_tpu.kernels.remap import remap_gather_impl
+    from blinky_tpu.lensmap.builder import _compiled_inverse_builder
+
+    g = globes.get(globe_name)
+    lens = lenses.get(lens_name, g)
+    scale = calc_scale(Zoom("fov", fov), lens, width, height)
+    builder = _compiled_inverse_builder(lens, g, width, height, platesize, jnp.float32)
+
+    frames = device_source(platesize, batch, False, False)
+    _sync(frames)
+    bg = jnp.zeros((height, width), jnp.uint8)
+
+    @jax.jit
+    def step(frames, scale0, bg):
+        def body(i, acc):
+            a = i.astype(jnp.float32) * 0.01  # yaw drift per chunk
+            s, c = jnp.sin(a), jnp.cos(a)
+            basis = (jnp.stack([s, 0.0 * s, c]),      # forward
+                     jnp.stack([c, 0.0 * s, -s]),     # right
+                     jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
+            lm = builder(scale0, jnp.float32(10), jnp.float32(4), jnp.float32(1), basis)
+            out = remap_gather_impl(frames, lm["flat_idx"], lm["valid"], bg)
+            return acc + out.reshape(-1)[0].astype(jnp.int32)
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    s0 = jnp.float32(scale)
+    _sync(step(frames, s0, bg))
+    t0 = time.perf_counter()
+    _sync(step(frames, s0, bg))
+    dt = time.perf_counter() - t0
+    return dict(
+        config=f"pose-tracked {lens_name}+{globe_name} {width}x{height} chunk={batch}",
+        fps=batch * iters / dt,
+        ms_per_chunk=dt / iters * 1000,
+    )
+
+
 def run_build_bench(width=1920, height=1080, lens_name="stereographic",
                     globe_name="cube", fovs=(90, 120, 150, 180, 210, 240, 270),
                     device_iters=16):
