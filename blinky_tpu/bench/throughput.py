@@ -283,11 +283,15 @@ def run_build_bench(width=1920, height=1080, lens_name="stereographic",
     # perturbation + data dependence (same methodology as the remap bench)
     builder = _compiled_inverse_builder(lens, g, width, height, S, jnp.float32)
 
+    ident = (jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+             jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+             jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
+
     @jax.jit
     def loop(scale0):
         def body(i, acc):
             out = builder(scale0 * (1 + i.astype(jnp.float32) * 1e-7),
-                          jnp.float32(10), jnp.float32(4), jnp.float32(1))
+                          jnp.float32(10), jnp.float32(4), jnp.float32(1), ident)
             return acc + out["flat_idx"].reshape(-1)[0] + acc * 0
         return jax.lax.fori_loop(0, device_iters, body, jnp.int32(0))
 

@@ -57,8 +57,9 @@ def view_basis_from_angles(pitch, yaw, roll):
     rotates by re-rendering plates with Quake's own ``AngleVectors``
     world convention — :func:`angle_vectors` — which does not apply to
     plates recorded in the camera frame).  Positive yaw looks right
-    (toward +X), positive pitch looks up (+Y), positive roll tilts the
-    up vector toward +X.
+    (toward +X), positive pitch looks up (+Y), and positive roll tilts
+    the up vector toward the right vector — the same roll sense as
+    Quake's ``AngleVectors`` (``mathlib.c:311-341``).
     """
     d2r = np.pi / 180
     sp, cp = np.sin(pitch * d2r), np.cos(pitch * d2r)
@@ -69,8 +70,8 @@ def view_basis_from_angles(pitch, yaw, roll):
     up0 = np.cross(forward, right0)
     up0 /= np.linalg.norm(up0)
     right0 = np.cross(up0, forward)
-    right = cr * right0 + sr * up0
-    up = cr * up0 - sr * right0
+    right = cr * right0 - sr * up0
+    up = cr * up0 + sr * right0
     return forward, right, up
 
 

@@ -112,8 +112,9 @@ def cmd_reproject(args) -> int:
             # pose-tracked playback at batch granularity: the lensmap
             # rebuild is a warm dynamic-arg jit call, so each chunk pays
             # ~one device rebuild (docs/PERF.md) — finer tracking = smaller
-            # --batch, coarser = faster
-            p, y, r = poses[wrote]
+            # --batch, coarser = faster.  A short pose track holds its
+            # last pose for the remaining frames.
+            p, y, r = poses[min(wrote, len(poses) - 1)]
             sess.cmd(f"setviewangles {p} {y} {r}")
         if args.rubix:
             batch_frames = expand_frames_tinted(batch_frames, sess.palette,

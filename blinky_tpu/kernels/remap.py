@@ -106,22 +106,27 @@ _remap_gather = jax.jit(remap_gather_impl)
 _DUMMY_LUT = np.zeros((1,), np.uint8)
 
 
-def expanded_flat_idx(lensmap) -> np.ndarray:
+def expanded_flat_idx(lensmap):
     """Gather indices into the expanded (raw||tinted) source, [H, W] i32.
 
     Pixels whose rubix tint is a plate tint read from the tinted half
     (offset ``MAX_PLATES*S*S``); grid-line / untinted pixels read raw.
     Transcribes the tint branch of ``render_lensmap``
-    (``fisheye.c:2416-2419``) into static index arithmetic.
+    (``fisheye.c:2416-2419``) into static index arithmetic.  Stays on the
+    lensmap arrays' backend — device-built lensmaps never round-trip to
+    the host for this (pose-tracked rubix playback rebuilds per chunk).
     """
+    import jax
+
     from blinky_tpu.lensmap.builder import TINT_NONE
 
     S = lensmap.platesize
-    fi = np.asarray(lensmap.flat_idx)
-    tint = np.asarray(lensmap.tint)
-    valid = np.asarray(lensmap.valid)
-    off = np.where((tint != TINT_NONE) & valid, MAX_PLATES * S * S, 0)
-    return (fi + off).astype(np.int32)
+    xp = jnp if isinstance(lensmap.flat_idx, jax.Array) else np
+    fi = xp.asarray(lensmap.flat_idx)
+    tint = xp.asarray(lensmap.tint)
+    valid = xp.asarray(lensmap.valid)
+    off = xp.where((tint != TINT_NONE) & valid, MAX_PLATES * S * S, 0)
+    return (fi + off).astype(xp.int32)
 
 
 def expand_frames_tinted(frames, palette, palmap=None) -> np.ndarray:

@@ -89,7 +89,12 @@ def remap_sharded(kernel: RemapKernel, frames, mesh: Mesh, rubix: bool = False,
         idx = jax.device_put(idx, rows)
         bg = kernel.background_rgba if is_rgba else kernel.background
         bg = jax.device_put(bg, rows)
-        return _remap_gather(frames, idx, kernel.valid, bg)
+        out = _remap_gather(frames, idx, kernel.valid, bg)
+        if decode_rgb and not is_rgba:
+            if kernel.rgb_lut is None:
+                raise ValueError("RGB decode needs a palette")
+            out = jnp.take(kernel.rgb_lut, out.astype(jnp.int32), axis=0)
+        return out
     return _remap(
         frames,
         kernel.flat_idx,

@@ -85,3 +85,17 @@ def test_setviewangles_affects_plain_view():
     s.cmd("setviewangles 0 180 0")
     b = np.asarray(s.render(frames))
     assert (a != b).any()
+
+
+def test_roll_matches_quake_sense():
+    """Positive roll tilts up toward the right vector, like AngleVectors
+    (mathlib.c: roll +10 at pitch=yaw=0 gives up = (0, -sin, cos) which
+    leans toward Quake's right (0,-1,0))."""
+    f, r, u = view_basis_from_angles(0, 0, 10)
+    np.testing.assert_allclose(f, [0, 0, 1], atol=1e-15)
+    # up leans toward +X (the right vector at yaw 0)
+    assert u[0] > 0 and u[1] > 0.9
+    # right leans away from up's old direction (rotation, not reflection)
+    assert r[1] < 0 and r[0] > 0.9
+    for a, b in [(f, r), (f, u), (r, u)]:
+        assert abs(np.dot(a, b)) < 1e-12
