@@ -1,0 +1,35 @@
+"""PAK archive reader (COM_FOpenFile harness, common.c:1553)."""
+
+import numpy as np
+import pytest
+
+from blinky_tpu.io.pak import (
+    load_palette_from_pak, read_pak_directory, read_pak_entry, write_pak,
+)
+from blinky_tpu.palette import default_palette
+
+
+def test_pak_roundtrip(tmp_path):
+    pal = default_palette()
+    files = {
+        "gfx/palette.lmp": pal.tobytes(),
+        "maps/e1m1.bsp": b"\x01\x02\x03" * 100,
+        "sound/misc/menu1.wav": b"RIFFdata",
+    }
+    pak = tmp_path / "pak0.pak"
+    write_pak(pak, files)
+    d = read_pak_directory(pak.read_bytes())
+    assert set(d) == set(files)
+    for name, blob in files.items():
+        assert read_pak_entry(pak, name) == blob
+    np.testing.assert_array_equal(load_palette_from_pak(pak), pal)
+
+
+def test_pak_errors(tmp_path):
+    pak = tmp_path / "bad.pak"
+    pak.write_bytes(b"JUNK" + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        read_pak_entry(pak, "x")
+    write_pak(tmp_path / "ok.pak", {"a": b"1"})
+    with pytest.raises(KeyError):
+        read_pak_entry(tmp_path / "ok.pak", "missing")
