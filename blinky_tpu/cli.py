@@ -24,6 +24,29 @@ def _add_session_args(p):
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--cmd", action="append", default=[], help="console command, repeatable")
+    p.add_argument("--palette", default=None,
+                   help="palette source: a .pak (gfx/palette.lmp inside), "
+                        "a raw 768-byte .lmp, or an f_dumppal text file")
+
+
+def _load_palette(spec):
+    """Resolve a --palette argument (pak / lmp / dumppal text)."""
+    from pathlib import Path
+
+    from blinky_tpu.palette import load_dumppal, load_lmp
+
+    if spec is None:
+        return None
+    p = Path(spec)
+    if p.suffix.lower() == ".pak":
+        from blinky_tpu.io.pak import load_palette_from_pak
+
+        return load_palette_from_pak(p)
+    data = p.read_bytes()
+    try:
+        return load_lmp(data)
+    except ValueError:
+        return load_dumppal(data.decode())
 
 
 def cmd_remap(args) -> int:
@@ -32,11 +55,14 @@ def cmd_remap(args) -> int:
     from blinky_tpu.io.pcx import encode_pcx
 
     sess = Session(args.width, args.height, echo=True)
+    user_pal = _load_palette(args.palette)
+    if user_pal is not None:
+        sess.palette = user_pal
     for c in args.cmd:
         sess.cmd(c)
     if args.frames:
         frames, pal = load_globe_pcx(args.frames, args.numplates)
-        if pal is not None and pal.any():
+        if pal is not None and pal.any() and user_pal is None:
             sess.palette = pal
     else:
         frames = synthetic_cubemap(sess.platesize)
@@ -86,6 +112,9 @@ def cmd_reproject(args) -> int:
 
     demo = read_demo(args.demo)
     frames, pal = demo["frames"], demo["palette"]
+    user_pal = _load_palette(args.palette)
+    if user_pal is not None:
+        pal = user_pal
     N, P, S, _ = frames.shape
     sess = Session(args.width, args.height, platesize=S, palette=pal, echo=True)
     for c in args.cmd:
