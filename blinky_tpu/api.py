@@ -85,6 +85,8 @@ class Session:
         self.width_px = int(width)
         self.height_px = int(height)
         self.platesize = int(platesize) if platesize else min(width, height)
+        self._plain_cache = None  # (key, kernel) for the fisheye-0 view
+        self._kernel = None
         self.palette = palette if palette is not None else palette_mod.default_palette()
         self.lens_dirs = [Path(p) for p in lens_dirs]
         self.globe_dirs = [Path(p) for p in globe_dirs]
@@ -400,6 +402,18 @@ class Session:
         if self._changed or self._lensmap is None:
             self._rebuild()
         return self._lensmap
+
+    @property
+    def palette(self) -> np.ndarray:
+        return self._palette
+
+    @palette.setter
+    def palette(self, pal) -> None:
+        # Reassigning the palette must invalidate the cached remap kernels:
+        # their tint/rgb LUTs bake the palette in at construction.
+        self._palette = np.asarray(pal, dtype=np.uint8)
+        self._kernel = None
+        self._plain_cache = None
 
     def set_background(self, background) -> None:
         """Set the underlay shown where the lensmap is unmapped (the

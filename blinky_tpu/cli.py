@@ -43,10 +43,13 @@ def _load_palette(spec):
 
         return load_palette_from_pak(p)
     data = p.read_bytes()
-    try:
+    # Dispatch on file type: a raw .lmp is exactly 768 palette bytes (or
+    # carries the .lmp suffix); anything else is f_dumppal text ("r, g, b,"
+    # per line), which is itself >= 768 bytes and would silently misparse
+    # as garbage raw bytes if probed with load_lmp first.
+    if p.suffix.lower() == ".lmp" or len(data) == 768:
         return load_lmp(data)
-    except ValueError:
-        return load_dumppal(data.decode())
+    return load_dumppal(data.decode())
 
 
 def cmd_remap(args) -> int:

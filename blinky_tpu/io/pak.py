@@ -27,6 +27,8 @@ def read_pak_directory(data: bytes) -> dict:
         raise ValueError("not a PAK archive (missing PACK magic)")
     if dir_len % _ENTRY.size:
         raise ValueError("corrupt PAK directory length")
+    if dir_off < 0 or dir_len < 0 or dir_off + dir_len > len(data):
+        raise ValueError("corrupt PAK directory")
     entries = {}
     for i in range(dir_len // _ENTRY.size):
         raw_name, off, size = _ENTRY.unpack_from(data, dir_off + i * _ENTRY.size)

@@ -76,3 +76,19 @@ def test_reproject_follow_poses(tmp_path):
     assert a.shape == b.shape == (6, 48, 64)
     # the synthetic pose track yaws over time -> later frames diverge
     assert (a[-1] != b[-1]).any()
+
+
+def test_load_palette_dispatch(tmp_path):
+    from blinky_tpu.cli import _load_palette
+    from blinky_tpu.palette import default_palette, save_dumppal
+
+    pal = default_palette()
+    lmp = tmp_path / "palette.lmp"
+    lmp.write_bytes(pal.tobytes())
+    np.testing.assert_array_equal(_load_palette(str(lmp)), pal)
+    # f_dumppal text (the file the reference's f_dumppal command writes,
+    # fisheye.c:920) is ~2.3KB of "r, g, b," lines — must parse as text,
+    # not as raw .lmp bytes
+    txt = tmp_path / "palette"
+    txt.write_text(save_dumppal(pal))
+    np.testing.assert_array_equal(_load_palette(str(txt)), pal)

@@ -33,3 +33,16 @@ def test_pak_errors(tmp_path):
     write_pak(tmp_path / "ok.pak", {"a": b"1"})
     with pytest.raises(KeyError):
         read_pak_entry(tmp_path / "ok.pak", "missing")
+
+
+def test_pak_corrupt_directory_bounds(tmp_path):
+    import struct
+
+    # directory offset/length pointing past the buffer must raise the
+    # module's ValueError contract, not a struct.error
+    data = struct.pack("<4sii", b"PACK", 10_000, 64)
+    with pytest.raises(ValueError, match="corrupt PAK"):
+        read_pak_directory(data)
+    data = struct.pack("<4sii", b"PACK", -4, 64)
+    with pytest.raises(ValueError, match="corrupt PAK"):
+        read_pak_directory(data)

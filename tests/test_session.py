@@ -265,3 +265,19 @@ def test_user_globe_script_dir(tmp_path):
     assert not s.globe_valid and any("fov" in c for c in s.console)
     s.cmd("f_globe cube")
     assert s.globe_valid
+
+
+def test_palette_reassignment_invalidates_kernels(sess):
+    frames = synthetic_cubemap(sess.platesize)
+    sess.cmd("fisheye 0")
+    before_plain = np.asarray(sess.render(frames, decode_rgb=True))
+    sess.cmd("fisheye 1")
+    before_warp = np.asarray(sess.render(frames, decode_rgb=True))
+    pal = sess.palette.copy()
+    pal = pal[::-1].copy()  # reverse the palette: every index changes color
+    sess.palette = pal
+    after_warp = np.asarray(sess.render(frames, decode_rgb=True))
+    sess.cmd("fisheye 0")
+    after_plain = np.asarray(sess.render(frames, decode_rgb=True))
+    assert not np.array_equal(before_plain, after_plain)
+    assert not np.array_equal(before_warp, after_warp)
