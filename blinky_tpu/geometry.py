@@ -23,9 +23,29 @@ def latlon_to_ray(lat, lon):
 
 
 def ray_to_latlon(x, y, z):
-    """Direction -> spherical (radians). Reference: ``fisheye.c:1192-1196``."""
-    lon = m.atan2(x, z)
-    lat = m.atan2(y, m.sqrt(x * x + z * z))
+    """Direction -> spherical (radians). Reference: ``fisheye.c:1192-1196``.
+
+    Lens scripts only ever reach this through the Lua builtin
+    ``CtoLUA_ray_to_latlon`` (``fisheye.c:1506-1519``), which passes the
+    components through a ``vec3_t``: the inputs truncate to float32 and
+    the sum of squares under the sqrt evaluates in float32 (``vec_t``
+    arithmetic) before the double ``sqrt``/``atan2``.  Pinned bit-exactly
+    against the compiled reference C by tests/test_c_reference.py.
+    """
+    xp_ = m.xp(x, y, z)
+    if xp_ is not m.np:
+        # f32 production path: inputs are already float32, nothing to do
+        lon = m.atan2(x, z)
+        lat = m.atan2(y, m.sqrt(x * x + z * z))
+        return lat, lon
+    import numpy as np
+
+    x32 = np.asarray(x, dtype=np.float32)
+    y32 = np.asarray(y, dtype=np.float32)
+    z32 = np.asarray(z, dtype=np.float32)
+    sumsq = (x32 * x32 + z32 * z32).astype(np.float64)
+    lon = m.atan2(x32.astype(np.float64), z32.astype(np.float64))
+    lat = m.atan2(y32.astype(np.float64), m.sqrt(sumsq))
     return lat, lon
 
 

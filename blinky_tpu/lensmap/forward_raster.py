@@ -147,7 +147,17 @@ def build_forward(
     plate_a = np.full((H, W), -1, dtype=np.int32)
     px_a = np.zeros((H, W), dtype=np.int32)
     py_a = np.zeros((H, W), dtype=np.int32)
+    tint_a = np.full((H, W), TINT_NONE, dtype=np.uint8)
     used = np.zeros(MAX_PLATES, dtype=bool)
+
+    # Tint is written per rasterization event, not derived from the final
+    # px/py: set_lensmap_grid (fisheye.c:1955-1958) only WRITES the tint
+    # byte for off-grid texels, so an on-grid overwrite keeps the previous
+    # pixel's tint.  Pinned vs the compiled C by tests/test_c_reference.py.
+    PX, PY = np.meshgrid(np.arange(S, dtype=np.float64),
+                         np.arange(S, dtype=np.float64), indexing="xy")
+    offgrid = ~rubix_grid_mask(PX, PY, S, float(numcells), float(cell_size),
+                               float(pad_size), np)  # [S, S] indexed [py, px]
 
     # Texel-ownership test uses the texel *corner* ray (u = px/S, v = py/S,
     # fisheye.c:2189-2198) against the plate resolver.
@@ -172,7 +182,7 @@ def build_forward(
 
         if use_native:
             wrote = native.forward_rasterize_plate(
-                lx, ly, ok, owned, plate, plate_a, px_a, py_a
+                lx, ly, ok, owned, offgrid, plate, plate_a, px_a, py_a, tint_a
             )
             if wrote is not None:  # native library handled this plate
                 used[plate] = used[plate] or wrote
@@ -195,19 +205,18 @@ def build_forward(
                 br = (int(lx[py + 1, px + 1]), int(ly[py + 1, px + 1]))
                 events: list = []
                 _draw_quad(tl, tr, bl, br, events)
+                texel_offgrid = bool(offgrid[py, px])
                 for exx, eyy in events:
                     if 0 <= exx < W and 0 <= eyy < H:  # fisheye.c:1966-1973
                         used[plate] = True
                         plate_a[eyy, exx] = plate
                         px_a[eyy, exx] = px
                         py_a[eyy, exx] = py
+                        if texel_offgrid:
+                            tint_a[eyy, exx] = plate
 
     valid = plate_a >= 0
-    ongrid = rubix_grid_mask(
-        px_a.astype(np.float64), py_a.astype(np.float64), S,
-        float(numcells), float(cell_size), float(pad_size), np,
-    )
-    tint = np.where(valid & ~ongrid, plate_a, TINT_NONE).astype(np.uint8)
+    tint = tint_a
     flat_idx = np.where(valid, plate_a * (S * S) + py_a * S + px_a, 0).astype(np.int32)
 
     return LensMap(

@@ -73,12 +73,15 @@ def _bind(lib) -> None:
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.forward_rasterize_plate.restype = ctypes.c_int
     lib.forward_rasterize_plate.argtypes = [
-        i32p, i32p, u8p, u8p,
+        i32p, i32p, u8p, u8p, u8p,
         ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_int,
-        i32p, i32p, i32p,
+        i32p, i32p, i32p, u8p,
     ]
     lib.pack_batch.argtypes = [u8p, u8p, ctypes.c_long, ctypes.c_long, ctypes.c_long]
     lib.unpack_batch.argtypes = [u8p, u8p, ctypes.c_long, ctypes.c_long, ctypes.c_long]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.libm_unary.argtypes = [ctypes.c_int, f64p, f64p, ctypes.c_long]
+    lib.libm_binary.argtypes = [ctypes.c_int, f64p, f64p, f64p, ctypes.c_long]
 
 
 def available() -> bool:
@@ -143,10 +146,13 @@ def pcx_decode_body_many(bodies: list, total: int, nthreads: int | None = None):
     return out
 
 
-def forward_rasterize_plate(lx, ly, ok, owned, plate, plate_a, px_a, py_a):
+def forward_rasterize_plate(lx, ly, ok, owned, offgrid, plate,
+                            plate_a, px_a, py_a, tint_a):
     """Native quad rasterizer for one plate (draw_quad scan-order
-    transcription); mutates plate_a/px_a/py_a in place.  Returns True if
-    any pixel was written, None if the library is unavailable."""
+    transcription); mutates plate_a/px_a/py_a/tint_a in place.  *offgrid*
+    is the [S, S] not-on-rubix-grid texel mask (tint is only written for
+    off-grid texels — set_lensmap_grid, fisheye.c:1955-1958).  Returns
+    True if any pixel was written, None if the library is unavailable."""
     lib = _load()
     if lib is None:
         return None
@@ -156,16 +162,52 @@ def forward_rasterize_plate(lx, ly, ok, owned, plate, plate_a, px_a, py_a):
     ly = np.ascontiguousarray(ly, dtype=np.int32)
     ok = np.ascontiguousarray(ok, dtype=np.uint8)
     owned = np.ascontiguousarray(owned, dtype=np.uint8)
+    offgrid = np.ascontiguousarray(offgrid, dtype=np.uint8)
     assert plate_a.flags.c_contiguous and plate_a.dtype == np.int32
+    assert tint_a.flags.c_contiguous and tint_a.dtype == np.uint8
 
     def _i32(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
     wrote = lib.forward_rasterize_plate(
-        _i32(lx), _i32(ly), _u8(ok), _u8(owned), S, W, H, plate,
-        _i32(plate_a), _i32(px_a), _i32(py_a),
+        _i32(lx), _i32(ly), _u8(ok), _u8(owned), _u8(offgrid), S, W, H, plate,
+        _i32(plate_a), _i32(px_a), _i32(py_a), _u8(tint_a),
     )
     return bool(wrote)
+
+
+def _f64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _f64_contig(x) -> np.ndarray:
+    """float64 C-contiguous view/copy preserving ndim (ascontiguousarray
+    would promote 0-d to 1-d)."""
+    a = np.asarray(x, dtype=np.float64)
+    return a if a.flags.c_contiguous else np.ascontiguousarray(a)
+
+
+def libm_unary(op: int, x: np.ndarray):
+    """Elementwise glibc libm (bit-identical to the Lua VM's math.*);
+    returns None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    x = _f64_contig(x)
+    out = np.empty_like(x)
+    lib.libm_unary(op, _f64(x), _f64(out), x.size)
+    return out
+
+
+def libm_binary(op: int, a: np.ndarray, b: np.ndarray):
+    lib = _load()
+    if lib is None:
+        return None
+    a = _f64_contig(a)
+    b = _f64_contig(b)
+    out = np.empty_like(a)
+    lib.libm_binary(op, _f64(a), _f64(b), _f64(out), a.size)
+    return out
 
 
 def pack_batch(frames_bpss: np.ndarray):

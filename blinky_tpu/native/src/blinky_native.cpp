@@ -9,6 +9,8 @@
 //
 // Exposed via a C ABI for ctypes; built by the Makefile next to this file.
 
+#include <math.h>
+
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -156,9 +158,10 @@ int pcx_decode_body_many(const uint8_t** datas, const long* lens, int count,
 static const int kMaxDiff = 20;  // fisheye.c:2271
 
 int forward_rasterize_plate(const int32_t* lx, const int32_t* ly,
-                            const uint8_t* ok, const uint8_t* owned, long S,
+                            const uint8_t* ok, const uint8_t* owned,
+                            const uint8_t* offgrid, long S,
                             long W, long H, int plate, int32_t* plate_a,
-                            int32_t* px_a, int32_t* py_a) {
+                            int32_t* px_a, int32_t* py_a, uint8_t* tint_a) {
   const long C = S + 1;  // corner grid pitch
   int wrote = 0;
   for (long py = S - 1; py >= 0; --py) {      // fisheye.c:2138
@@ -180,7 +183,12 @@ int forward_rasterize_plate(const int32_t* lx, const int32_t* ly,
       }
       if (maxx - minx > kMaxDiff || maxy - miny > kMaxDiff) continue;
 
-      // emit helper: bounds-checked last-writer-wins store
+      // emit helper: bounds-checked last-writer-wins store.  The tint
+      // byte is only WRITTEN for off-grid texels (set_lensmap_grid,
+      // fisheye.c:1955-1958) — an on-grid overwrite keeps the previous
+      // pixel's tint, so tint must be tracked per write, not derived
+      // from the final px/py.
+      const int texel_offgrid = offgrid[py * S + px];
       #define EMIT(EX, EY)                                             \
         do {                                                           \
           const long ex = (EX), ey = (EY);                             \
@@ -189,6 +197,7 @@ int forward_rasterize_plate(const int32_t* lx, const int32_t* ly,
             plate_a[o] = plate;                                        \
             px_a[o] = (int32_t)px;                                     \
             py_a[o] = (int32_t)py;                                     \
+            if (texel_offgrid) tint_a[o] = (uint8_t)plate;             \
             wrote = 1;                                                 \
           }                                                            \
         } while (0)
@@ -270,6 +279,54 @@ void unpack_batch(const uint8_t* src, uint8_t* dst, long B, long P, long S) {
       for (long b = 0; b < B; ++b) dcol[b * frame] = srow[b];
     }
   }
+}
+
+// ---------------------------------------------------------------- libm
+
+// Elementwise glibc libm over float64 arrays.  The reference's lens math
+// is Lua 5.2 doubles, and Lua's math.* are direct libm calls — while
+// NumPy's SIMD float64 transcendentals differ from glibc by 1 ulp on a
+// few percent of inputs (measured: acos/asin/tanh/exp/atan2/...).  The
+// float64 oracle path therefore routes through here to be bit-identical
+// to what the reference engine computes.  Op codes match
+// xmath._LIBM_UNARY / _LIBM_BINARY.
+enum {
+  U_SIN, U_COS, U_TAN, U_ASIN, U_ACOS, U_ATAN,
+  U_SINH, U_COSH, U_TANH, U_LOG, U_LOG10, U_EXP, U_SQRT,
+};
+enum { B_ATAN2, B_FMOD, B_POW, B_HYPOT };
+
+void libm_unary(int op, const double* x, double* out, long n) {
+  double (*f)(double) = nullptr;
+  switch (op) {
+    case U_SIN: f = sin; break;
+    case U_COS: f = cos; break;
+    case U_TAN: f = tan; break;
+    case U_ASIN: f = asin; break;
+    case U_ACOS: f = acos; break;
+    case U_ATAN: f = atan; break;
+    case U_SINH: f = sinh; break;
+    case U_COSH: f = cosh; break;
+    case U_TANH: f = tanh; break;
+    case U_LOG: f = log; break;
+    case U_LOG10: f = log10; break;
+    case U_EXP: f = exp; break;
+    case U_SQRT: f = sqrt; break;
+    default: return;
+  }
+  for (long i = 0; i < n; ++i) out[i] = f(x[i]);
+}
+
+void libm_binary(int op, const double* a, const double* b, double* out, long n) {
+  double (*f)(double, double) = nullptr;
+  switch (op) {
+    case B_ATAN2: f = atan2; break;
+    case B_FMOD: f = fmod; break;
+    case B_POW: f = pow; break;
+    case B_HYPOT: f = hypot; break;
+    default: return;
+  }
+  for (long i = 0; i < n; ++i) out[i] = f(a[i], b[i]);
 }
 
 }  // extern "C"

@@ -31,17 +31,73 @@ def xp(*args):
     return jnp if any(_is_jax(a) for a in args) else np
 
 
+# The reference's lens math is Lua 5.2 doubles, and Lua's math.* are raw
+# glibc libm calls — but NumPy's SIMD float64 transcendentals differ from
+# glibc by 1 ulp on a few percent of inputs (acos/asin/tanh/exp/atan2/...
+# — measured, see tests/test_c_reference.py).  The float64 parity path
+# therefore routes through an elementwise libm loop in the native library;
+# float32 arrays (and the jnp backend) keep their normal vectorized paths.
+_LIBM_UNARY = {
+    "sin": 0, "cos": 1, "tan": 2, "arcsin": 3, "arccos": 4, "arctan": 5,
+    "sinh": 6, "cosh": 7, "tanh": 8, "log": 9, "log10": 10, "exp": 11,
+    "sqrt": 12,
+}
+_LIBM_BINARY = {"arctan2": 0, "fmod": 1, "power": 2, "hypot": 3}
+_native = None
+
+
+def _libm():
+    global _native
+    if _native is None:
+        from blinky_tpu import native
+
+        _native = native
+    return _native
+
+
+def _wants_libm(*arrs) -> bool:
+    return all(a.dtype.kind in "iuf" and a.dtype != np.float32 for a in arrs)
+
+
+def _match_shape(out, x):
+    if isinstance(x, np.ndarray) and x.ndim:
+        return out
+    return np.float64(out[()])  # scalar in -> scalar out, as np ufuncs do
+
+
 def _unary(name):
+    op = _LIBM_UNARY.get(name)
+
     def f(x):
-        return getattr(xp(x), name)(x)
+        xp_ = xp(x)
+        if xp_ is np and op is not None:
+            arr = np.asarray(x)
+            if _wants_libm(arr):
+                out = _libm().libm_unary(op, arr)
+                if out is not None:
+                    return _match_shape(out, x)
+        return getattr(xp_, name)(x)
 
     f.__name__ = name
     return f
 
 
 def _binary(name):
+    op = _LIBM_BINARY.get(name)
+
     def f(a, b):
-        return getattr(xp(a, b), name)(a, b)
+        xp_ = xp(a, b)
+        if xp_ is np and op is not None:
+            aa, bb = np.asarray(a), np.asarray(b)
+            if _wants_libm(aa, bb):
+                a2, b2 = np.broadcast_arrays(aa, bb)
+                out = _libm().libm_binary(op, a2, b2)
+                if out is not None:
+                    out = out.reshape(a2.shape)
+                    if isinstance(a, np.ndarray) and a.ndim or isinstance(b, np.ndarray) and b.ndim:
+                        return out
+                    return np.float64(out[()])
+        return getattr(xp_, name)(a, b)
 
     f.__name__ = name
     return f
@@ -89,8 +145,7 @@ def modf(x):
     return intg, frac
 
 
-def hypot(a, b):
-    return xp(a, b).hypot(a, b)
+hypot = _binary("hypot")
 
 
 def safe_div(a, b, fill=0.0):

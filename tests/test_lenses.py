@@ -85,7 +85,9 @@ def test_equirect_known_values(cube_globe):
     lens = lenses.get("equirect", cube_globe)
     lat, lon = 0.3, -1.1
     x, y, ok = lens.forward(*geometry.latlon_to_ray(lat, lon))
-    assert abs(x - lon) < 1e-12 and abs(y - lat) < 1e-12
+    # lens_forward sees the ray through the C's vec3_t float32 boundary
+    # (CtoLUA_ray_to_latlon, fisheye.c:1506-1519) -> ~1e-8 recovery error
+    assert abs(x - lon) < 1e-6 and abs(y - lat) < 1e-6
 
 
 def test_fisheye1_nil_outside_pi(cube_globe):
@@ -136,7 +138,8 @@ def test_mollweide_newton_converges(cube_globe):
 def test_vandergrinten_pole_and_equator(cube_globe):
     lens = lenses.get("vandergrinten", cube_globe)
     x, y, ok = lens.forward(*geometry.latlon_to_ray(0.0, 1.0))
-    assert abs(float(x) - 1.0) < 1e-12 and abs(float(y)) < 1e-12
+    # float32 vec3_t boundary on the input ray (see test_equirect_known_values)
+    assert abs(float(x) - 1.0) < 1e-6 and abs(float(y)) < 1e-6
     x, y, ok = lens.forward(*geometry.latlon_to_ray(np.pi / 2, 0.0))
     assert abs(float(x)) < 1e-9 and abs(float(y) - np.pi) < 1e-6
 
