@@ -78,10 +78,17 @@ class Session:
         palette: Optional[np.ndarray] = None,
         lens_dirs=(),
         globe_dirs=(),
-        backend: str = "jax",
+        backend: str = "auto",
         echo: bool = False,
         defaults: bool = True,
     ):
+        # backend policy ("auto", the default): static builds (no view
+        # rotation) use the exact float64 host builder — Session.lensmap
+        # then bit-equals the reference C (tests/test_c_reference.py) —
+        # while pose-tracked playback (setviewangles) switches to the
+        # jitted f32 device builder, whose ms-scale rebuilds make per-frame
+        # poses viable (the f32-vs-exact pixel drift is characterized in
+        # docs/PERF.md §5).  "numpy" / "jax" force one path.
         self.width_px = int(width)
         self.height_px = int(height)
         self.platesize = int(platesize) if platesize else min(width, height)
@@ -206,6 +213,12 @@ class Session:
             self.view_angles = (_atof(argv[1]), _atof(argv[2]), _atof(argv[3]))
         self._changed = True
         self._plain_cache = None
+
+    def _resolved_backend(self) -> str:
+        """See the backend-policy note in ``__init__``."""
+        if self.backend == "auto":
+            return "jax" if self.view_angles is not None else "numpy"
+        return self.backend
 
     def _view_basis(self):
         if self.view_angles is None:
@@ -391,7 +404,7 @@ class Session:
             numcells=self.rubix_numcells,
             cell_size=self.rubix_cell_size,
             pad_size=self.rubix_pad_size,
-            backend=self.backend,
+            backend=self._resolved_backend(),
             view_basis=self._view_basis(),
         )
         self._kernel = RemapKernel(self._lensmap, self.palette, self._background)
@@ -486,7 +499,7 @@ class Session:
             scale = calc_scale(Zoom("fov", self.fov), lens, self.width_px, self.height_px)
             lm = build_lensmap(
                 lens, self.globe, scale, self.width_px, self.height_px,
-                self.platesize, backend=self.backend,
+                self.platesize, backend=self._resolved_backend(),
                 view_basis=self._view_basis(),
             )
         except Exception as e:

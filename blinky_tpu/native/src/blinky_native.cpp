@@ -16,6 +16,28 @@
 #include <thread>
 #include <vector>
 
+// fan elementwise work out over threads for large arrays (each element
+// is independent, so threading cannot change any result bit)
+template <typename Fn>
+static void parallel_map(long n, Fn fn) {
+  const long kThreshold = 1 << 16;
+  unsigned hw = std::thread::hardware_concurrency();
+  if (n < kThreshold || hw < 2) {
+    fn(0, n);
+    return;
+  }
+  const unsigned nt = hw < 16 ? hw : 16;
+  const long per = (n + nt - 1) / nt;
+  std::vector<std::thread> ts;
+  for (unsigned t = 0; t < nt; ++t) {
+    const long lo = t * per;
+    const long hi = lo + per < n ? lo + per : n;
+    if (lo >= hi) break;
+    ts.emplace_back([=]() { fn(lo, hi); });
+  }
+  for (auto& th : ts) th.join();
+}
+
 extern "C" {
 
 // ---------------------------------------------------------------- palette
@@ -314,7 +336,9 @@ void libm_unary(int op, const double* x, double* out, long n) {
     case U_SQRT: f = sqrt; break;
     default: return;
   }
-  for (long i = 0; i < n; ++i) out[i] = f(x[i]);
+  parallel_map(n, [=](long lo, long hi) {
+    for (long i = lo; i < hi; ++i) out[i] = f(x[i]);
+  });
 }
 
 void libm_binary(int op, const double* a, const double* b, double* out, long n) {
@@ -326,7 +350,9 @@ void libm_binary(int op, const double* a, const double* b, double* out, long n) 
     case B_HYPOT: f = hypot; break;
     default: return;
   }
-  for (long i = 0; i < n; ++i) out[i] = f(a[i], b[i]);
+  parallel_map(n, [=](long lo, long hi) {
+    for (long i = lo; i < hi; ++i) out[i] = f(a[i], b[i]);
+  });
 }
 
 }  // extern "C"

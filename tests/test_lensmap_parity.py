@@ -88,6 +88,11 @@ def test_jax_f32_builder_close_to_oracle(cube_globe):
     o = oracle_inverse_lensmap(lens, cube_globe, scale, W, H, min(W, H))
     b = build_lensmap(lens, cube_globe, scale, W, H, backend="jax", dtype=jnp.float32)
     frac = (np.asarray(b.flat_idx) != o["flat_idx"]).mean()
+    # Boundary-flip share shrinks with resolution: measured 0.99% at
+    # 1920x1080 on v5e (docs/PERF.md section 5); at 64x48 boundaries
+    # dominate.  The f32 builder is only used for pose-tracked playback —
+    # the default static path is the exact host builder (api.py backend
+    # policy).
     assert frac < 0.15, frac
     # where the same plate was chosen (seam ties may flip plates in f32),
     # pixel coords differ by at most one texel

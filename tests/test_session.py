@@ -161,7 +161,8 @@ def test_fisheye_disabled_renders_plain_rectilinear_view():
     g = globes.get("cube")
     lens = lenses.get("rectilinear", g)
     scale = calc_scale(Zoom("fov", 90), lens, 96, 72)
-    lm = build_lensmap(lens, g, scale, 96, 72, s.platesize, backend="jax").to_numpy()
+    # the session's static plain view resolves to the exact host builder
+    lm = build_lensmap(lens, g, scale, 96, 72, s.platesize, backend="numpy").to_numpy()
     exp = np.where(lm.valid, frames[np.clip(lm.plate, 0, 5), lm.py, lm.px], 0)
     np.testing.assert_array_equal(out, exp)
 
@@ -281,3 +282,35 @@ def test_palette_reassignment_invalidates_kernels(sess):
     after_plain = np.asarray(sess.render(frames, decode_rgb=True))
     assert not np.array_equal(before_plain, after_plain)
     assert not np.array_equal(before_warp, after_warp)
+
+
+def test_default_backend_is_exact():
+    """Session default ("auto"): static builds run the exact float64 host
+    builder, so the lensmap bit-equals the scalar oracle (and, via
+    tests/test_c_reference.py, the compiled reference C)."""
+    from blinky_tpu.parity.oracle import oracle_inverse_lensmap
+
+    s = Session(64, 48)
+    for lens_name in ("panini", "stereographic", "hammer"):
+        s.cmd(f"f_lens {lens_name}")
+        lm = s.lensmap
+        assert isinstance(lm.plate, np.ndarray)  # host build, not a jax array
+        o = oracle_inverse_lensmap(
+            s.lens, s.globe, lm.scale, s.width_px, s.height_px, s.platesize
+        )
+        np.testing.assert_array_equal(lm.valid, o["valid"])
+        np.testing.assert_array_equal(lm.flat_idx, o["flat_idx"])
+        np.testing.assert_array_equal(lm.tint, o["tint"])
+
+
+def test_auto_backend_switches_for_pose_playback():
+    import jax
+
+    s = Session(64, 48)
+    assert s._resolved_backend() == "numpy"
+    s.cmd("setviewangles 10 20 0")
+    assert s._resolved_backend() == "jax"
+    lm = s.lensmap
+    assert isinstance(lm.plate, jax.Array)  # device build for pose tracking
+    s.cmd("setviewangles")  # reset -> exact path again
+    assert s._resolved_backend() == "numpy"
