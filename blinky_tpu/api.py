@@ -477,6 +477,48 @@ class Session:
         rubix = self.rubix_enabled if rubix is None else rubix
         return self._kernel(frames, rubix=rubix, decode_rgb=decode_rgb)
 
+    def render_posed(self, frames, poses):
+        """Per-frame-pose playback: every frame gets its own view rotation.
+
+        ``frames``: [P, S, S, B] (u8 plates, the expanded [12, ...] rubix
+        layout, or RGBA u32); ``poses``: [B, 3] (pitch, yaw, roll) degrees
+        or precomputed [B, 3, 3] bases.  Returns [B, H, W].
+
+        One fused device call builds B lensmaps (vmapped f32 builder) and
+        gathers each frame through its own — the framework analog of the
+        reference recomposing plate cameras from ``viewangles`` every
+        frame (``F_RenderView``, ``fisheye.c:750,777-792``); see
+        ``kernels/posed.py``.  Static renders should use :meth:`render`
+        (exact path).
+        """
+        from blinky_tpu.kernels.posed import PosedRemapKernel, bases_from_pose_track
+
+        if not (self.fisheye_enabled and self.lens_valid and self.globe_valid):
+            raise ValueError("render_posed needs fisheye enabled and a valid lens/globe")
+        frames = np.asarray(frames)
+        if frames.ndim != 4:
+            raise ValueError("render_posed takes a frame batch [P, S, S, B]")
+        S = frames.shape[1]
+        poses = np.asarray(poses, dtype=np.float64)
+        bases = poses if poses.ndim == 3 else bases_from_pose_track(poses)
+        scale = calc_scale(self.zoom, self.lens, self.width_px, self.height_px)
+        key = (id(self.lens), id(self.globe), scale, self.width_px,
+               self.height_px, S, self.rubix_numcells, self.rubix_cell_size,
+               self.rubix_pad_size, id(self._background))
+        cached = getattr(self, "_posed_cache", None)
+        if cached is None or cached[0] != key:
+            bg = self._background
+            if bg is None:
+                bg = np.zeros((self.height_px, self.width_px), np.uint8)
+            kernel = PosedRemapKernel(
+                self.lens, self.globe, self.width_px, self.height_px, scale,
+                platesize=S, numcells=self.rubix_numcells,
+                cell_size=self.rubix_cell_size, pad_size=self.rubix_pad_size,
+                background=bg,
+            )
+            self._posed_cache = (key, kernel)
+        return self._posed_cache[1](frames, bases)
+
     def _background_screen(self, frames):
         bg = self._background
         if bg is None:

@@ -139,6 +139,27 @@ def config4_batched_demo(quick=False):
     )
 
 
+def config5_pose_playback(quick=False):
+    """Pose-tracked playback, both granularities: chunked (one lensmap per
+    chunk — smooth pan/tilt fast path) and true per-frame poses (fused
+    vmapped builder + per-pose gather, kernels/posed.py)."""
+    from blinky_tpu.bench.throughput import (
+        run_per_frame_pose_throughput, run_pose_tracked_throughput,
+    )
+
+    chunked = run_pose_tracked_throughput(batch=32 if quick else 64,
+                                          iters=3 if quick else 8)
+    per_frame = run_per_frame_pose_throughput(batch=8 if quick else 16,
+                                              reps=2 if quick else 3)
+    return dict(
+        config=5,
+        name="pose-tracked 1080p playback",
+        chunked_fps=round(chunked["fps"], 1),
+        per_frame_fps=round(per_frame["fps"], 1),
+        per_frame_ms=round(per_frame["ms_per_frame"], 2),
+    )
+
+
 def run_all(quick=False):
     out = [
         config0_saveglobe_roundtrip(),
@@ -146,5 +167,6 @@ def run_all(quick=False):
         config2_cartographic(),
         config3_low_poly(),
         config4_batched_demo(quick=quick),
+        config5_pose_playback(quick=quick),
     ]
     return out

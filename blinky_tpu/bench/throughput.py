@@ -252,6 +252,44 @@ def run_pose_tracked_throughput(
     )
 
 
+def run_per_frame_pose_throughput(
+    width=1920, height=1080, platesize=1080, batch=16, reps=3,
+    lens_name="panini", globe_name="cube", fov=180,
+):
+    """Per-frame poses: EVERY frame gets its own view basis — one fused
+    device call vmaps the builder over the pose chunk and gathers each
+    frame through its own lensmap (kernels/posed.py).
+
+    The wall here is the per-element gather: unlike the static path, no
+    two frames share gather indices, so the row-gather amortization is
+    unavailable and each of the 2.07 M output pixels pays the chip's
+    per-index gather cost (~13 ns measured on v5e) — see docs/PERF.md §6.
+    """
+    from blinky_tpu.kernels.posed import PosedRemapKernel, bases_from_pose_track
+
+    g = globes.get(globe_name)
+    lens = lenses.get(lens_name, g)
+    scale = calc_scale(Zoom("fov", fov), lens, width, height)
+    frames = device_source(platesize, batch, False, False)
+    poses = np.stack([
+        np.linspace(-20, 20, batch),       # pitch drift
+        np.linspace(0, 90, batch),         # yaw pan
+        np.zeros(batch),
+    ], axis=1)
+    bases = bases_from_pose_track(poses)
+    k = PosedRemapKernel(lens, g, width, height, scale, platesize=platesize)
+    _sync(k(frames, bases))  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _sync(k(frames, bases))
+    dt = (time.perf_counter() - t0) / reps
+    return dict(
+        config=f"per-frame poses {lens_name}+{globe_name} {width}x{height} chunk={batch}",
+        fps=batch / dt,
+        ms_per_frame=dt / batch * 1000,
+    )
+
+
 def run_build_bench(width=1920, height=1080, lens_name="stereographic",
                     globe_name="cube", fovs=(90, 120, 150, 180, 210, 240, 270),
                     device_iters=16):

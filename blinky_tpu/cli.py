@@ -140,19 +140,22 @@ def cmd_reproject(args) -> int:
 
         palmap = create_palmap(sess.palette)  # hoisted out of the loop
     for batch_frames, n_valid in FrameBatchIterator(frames, args.batch):
-        if poses is not None:
-            # pose-tracked playback at batch granularity: the lensmap
-            # rebuild is a warm dynamic-arg jit call, so each chunk pays
-            # ~one device rebuild (docs/PERF.md) — finer tracking = smaller
-            # --batch, coarser = faster.  A short pose track holds its
-            # last pose for the remaining frames.
-            p, y, r = poses[min(wrote, len(poses) - 1)]
-            sess.cmd(f"setviewangles {p} {y} {r}")
         if args.rubix:
             batch_frames = expand_frames_tinted(batch_frames, sess.palette,
                                                 palmap=palmap)
-        # rubix=None defers to session state (e.g. a user --cmd f_rubix)
-        out = np.asarray(sess.render(batch_frames, rubix=args.rubix or None))
+        if poses is not None:
+            # per-frame poses: one fused device call builds a lensmap for
+            # every frame's own view basis and remaps it (kernels/posed.py)
+            # — a short pose track holds its last pose for the rest.
+            B = batch_frames.shape[-1]
+            pidx = np.minimum(np.arange(wrote, wrote + B), len(poses) - 1)
+            out = np.moveaxis(
+                np.asarray(sess.render_posed(batch_frames, np.asarray(poses)[pidx])),
+                0, -1,
+            )
+        else:
+            # rubix=None defers to session state (e.g. a user --cmd f_rubix)
+            out = np.asarray(sess.render(batch_frames, rubix=args.rubix or None))
         clock.tick(n_valid)
         for b in range(n_valid):
             img = out[..., b]

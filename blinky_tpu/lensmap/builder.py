@@ -157,10 +157,24 @@ def inverse_grid(
         xp.asarray(vz).astype(f32), xp, f32, sqrt_dt,
     )
 
-    fwd32 = xp.asarray(globe.forward)
-    rgt32 = xp.asarray(globe.right)
-    up32 = xp.asarray(globe.up)
-    fov32 = xp.asarray(globe.fov_rad)
+    # Plate selection + plate-frame dots WITHOUT per-pixel [., 3] gathers:
+    # a vector gather pads catastrophically under TPU (8,128) tiling (a
+    # 3-wide minor axis costs 42x memory — OOMs the pose-batched vmap,
+    # kernels/posed.py).  With <= 6 plates, an unrolled strict-> running
+    # max (``ray_to_plate_index``'s first-max-wins scan, fisheye.c:2043)
+    # and where-chains stay elementwise and fully fusable, with identical
+    # float32 arithmetic (DotProduct order, fisheye.c:2052-2058).
+    import math
+
+    fwd = np.asarray(globe.forward)
+    rgt = np.asarray(globe.right)
+    up = np.asarray(globe.up)
+    n = globe.numplates
+
+    def dot3(vecs, k):  # f32 DotProduct with plate k's stored vec_t frame
+        return vx32 * vecs[k, 0] + vy32 * vecs[k, 1] + vz32 * vecs[k, 2]
+
+    dF = [dot3(fwd, k) for k in range(n)]
 
     if globe.plate_resolver is not None:
         # the Lua resolver computes in double on the promoted f32 ray
@@ -169,13 +183,41 @@ def inverse_grid(
             vx32.astype(dtype), vy32.astype(dtype), vz32.astype(dtype), globe
         )
         plate = xp.asarray(plate).astype(xp.int32)
+        pc = xp.clip(plate, 0, n - 1)
     else:
-        plate = geometry.ray_to_plate_index_c(vx32, vy32, vz32, fwd32, xp)
+        best = dF[0]
+        pc = xp.zeros_like(best, dtype=xp.int32)
+        for k in range(1, n):
+            m_k = dF[k] > best  # strict >: first maximum wins; NaN keeps 0
+            best = xp.where(m_k, dF[k], best)
+            pc = xp.where(m_k, xp.int32(k), pc)
+        plate = pc
 
-    pc = xp.clip(plate, 0, globe.numplates - 1)
-    u, v, uv_valid = geometry.ray_to_plate_uv_c(
-        vx32, vy32, vz32, fwd32[pc], rgt32[pc], up32[pc], fov32[pc], dtype
-    )
+    # frame dots of the selected plate (ray_to_plate_uv, fisheye.c:2052-2058)
+    rz32 = dF[0]
+    rx32 = dot3(rgt, 0)
+    ry32 = dot3(up, 0)
+    for k in range(1, n):
+        sel = pc == k
+        rz32 = xp.where(sel, dF[k], rz32)
+        rx32 = xp.where(sel, dot3(rgt, k), rx32)
+        ry32 = xp.where(sel, dot3(up, k), ry32)
+
+    # dist recomputed in double from the f32-stored fov (fisheye.c:2060);
+    # per plate it is a scalar — host libm keeps the f64 path bit-exact
+    dists = [0.5 / math.tan(float(globe.fov_rad[k]) / 2) for k in range(n)]
+    dist = xp.asarray(dists[0], dtype=dtype)
+    for k in range(1, n):
+        dist = xp.where(pc == k, xp.asarray(dists[k], dtype=dtype), dist)
+
+    from blinky_tpu import xmath as m
+
+    rx = rx32.astype(dtype)
+    ry = ry32.astype(dtype)
+    rz = rz32.astype(dtype)
+    u = m.safe_div(rx, rz) * dist + 0.5
+    v = m.safe_div(-ry, rz) * dist + 0.5
+    uv_valid = (rz != 0) & (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
 
     u = xp.where(uv_valid, u, 0.0)
     v = xp.where(uv_valid, v, 0.0)

@@ -1,0 +1,99 @@
+"""Fused per-frame-pose pipeline (kernels/posed.py) vs the sequential
+per-pose build+remap it replaces."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blinky_tpu import globes, lenses
+from blinky_tpu.io.cubemap import synthetic_cubemap_batch
+from blinky_tpu.kernels.posed import PosedRemapKernel, bases_from_pose_track
+from blinky_tpu.kernels.remap import RemapKernel, expand_frames_tinted, frames_to_rgba
+from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+from blinky_tpu.palette import default_palette
+
+W, H, S, B = 64, 48, 48, 5
+
+POSES = [(0.0, 0.0, 0.0), (5.0, -12.0, 0.0), (-20.0, 33.0, 10.0),
+         (89.0, 180.0, 0.0), (0.0, 271.0, -45.0)]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    g = globes.get("cube")
+    lens = lenses.get("panini", g)
+    scale = calc_scale(Zoom("fov", 180), lens, W, H)
+    frames = synthetic_cubemap_batch(S, B)
+    bases = bases_from_pose_track(POSES)
+    return g, lens, scale, frames, bases
+
+
+def _sequential(lens, g, scale, frames, bases, rubix=False, palette=None):
+    """Per-frame: f32 device build with this pose, then remap frame b."""
+    outs = []
+    for b in range(frames.shape[-1]):
+        lm = build_lensmap(lens, g, scale, W, H, S, backend="jax",
+                           view_basis=tuple(bases[b]))
+        k = RemapKernel(lm, palette)
+        fr = frames[..., b]
+        if rubix:
+            fr = expand_frames_tinted(fr, palette)
+        outs.append(np.asarray(k(fr, rubix=rubix)))
+    return np.stack(outs)
+
+
+def test_posed_matches_sequential(setup):
+    g, lens, scale, frames, bases = setup
+    k = PosedRemapKernel(lens, g, W, H, scale, platesize=S)
+    fused = np.asarray(k(frames, bases))
+    seq = _sequential(lens, g, scale, frames, bases)
+    np.testing.assert_array_equal(fused, seq)
+
+
+def test_posed_rubix_expanded_source(setup):
+    g, lens, scale, frames, bases = setup
+    pal = default_palette()
+    exp = expand_frames_tinted(frames, pal)
+    k = PosedRemapKernel(lens, g, W, H, scale, platesize=S)
+    fused = np.asarray(k(exp, bases))
+    seq = _sequential(lens, g, scale, frames, bases, rubix=True, palette=pal)
+    np.testing.assert_array_equal(fused, seq)
+
+
+def test_posed_rgba_source(setup):
+    g, lens, scale, frames, bases = setup
+    pal = default_palette()
+    rgba = frames_to_rgba(frames, pal)
+    bg = frames_to_rgba(np.zeros((H, W), np.uint8), pal)
+    k = PosedRemapKernel(lens, g, W, H, scale, platesize=S, background=bg)
+    fused = np.asarray(k(rgba, bases))
+    # identity check through the palette: decode the u8 fused output
+    k8 = PosedRemapKernel(lens, g, W, H, scale, platesize=S)
+    u8 = np.asarray(k8(frames, bases))
+    from blinky_tpu.palette import rgba_lut
+
+    lut = rgba_lut(pal)
+    exp = np.where(u8 == 0, np.asarray(bg)[None], lut[u8])
+    # invalid pixels: u8 path uses bg index 0 -> lut[0]; rgba path uses bg
+    # rgba directly (identical since bg was decoded through the same lut)
+    np.testing.assert_array_equal(fused, lut[u8])
+
+
+def test_identity_pose_matches_static_kernel(setup):
+    g, lens, scale, frames, bases = setup
+    ident = np.repeat(np.eye(3)[None, [2, 0, 1]], B, axis=0)  # fwd=+Z, rgt=+X, up=+Y
+    k = PosedRemapKernel(lens, g, W, H, scale, platesize=S)
+    fused = np.asarray(k(frames, ident))
+    lm = build_lensmap(lens, g, scale, W, H, S, backend="jax")
+    static = np.asarray(RemapKernel(lm)(frames))  # [H, W, B]
+    np.testing.assert_array_equal(fused, np.moveaxis(static, -1, 0))
+
+
+def test_bases_from_pose_track_shape():
+    bases = bases_from_pose_track(POSES)
+    assert bases.shape == (len(POSES), 3, 3)
+    # orthonormal frames
+    for b in bases:
+        f, r, u = b
+        assert abs(np.dot(f, r)) < 1e-9 and abs(np.dot(f, u)) < 1e-9
+        assert abs(np.linalg.norm(f) - 1) < 1e-9
