@@ -349,10 +349,11 @@ class Session:
                 self.lens = lenses_mod.get(self.lens_name, self.globe)
                 return True
             for d in self.lens_dirs:
-                p = d / f"{self.lens_name}.py"
-                if p.exists():
-                    self.lens = lenses_mod.load_lens_module(p, self.globe)
-                    return True
+                for ext in (".py", ".lua"):  # .lua = reference drop-ins
+                    p = d / f"{self.lens_name}{ext}"
+                    if p.exists():
+                        self.lens = lenses_mod.load_lens_module(p, self.globe)
+                        return True
         except Exception as e:  # loader diagnostics, fisheye.c:1671-1677
             self._print(f"could not load lens: {e}")
         return False
@@ -363,10 +364,11 @@ class Session:
                 self.globe = globes_mod.get(self.globe_name)
                 return True
             for d in self.globe_dirs:
-                p = d / f"{self.globe_name}.py"
-                if p.exists():
-                    self.globe = globes_mod.load_globe_module(p)
-                    return True
+                for ext in (".py", ".lua"):
+                    p = d / f"{self.globe_name}{ext}"
+                    if p.exists():
+                        self.globe = globes_mod.load_globe_module(p)
+                        return True
         except Exception as e:
             self._print(f"could not load globe: {e}")
         return False
@@ -582,10 +584,12 @@ class Session:
         names = set(lenses_mod.names())
         for d in self.lens_dirs:
             names.update(p.stem for p in d.glob("*.py"))
+            names.update(p.stem for p in d.glob("*.lua"))
         return sorted(n for n in names if n.startswith(prefix))
 
     def complete_globe(self, prefix: str = "") -> list:
         names = set(globes_mod.names())
         for d in self.globe_dirs:
             names.update(p.stem for p in d.glob("*.py"))
+            names.update(p.stem for p in d.glob("*.lua"))
         return sorted(n for n in names if n.startswith(prefix))

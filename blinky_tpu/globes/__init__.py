@@ -106,10 +106,15 @@ def get(name: str) -> Globe:
 
 
 def load_globe_module(path) -> Globe:
-    """Load a user globe from a Python script defining ``plates`` (list of
-    ``(forward, up, fov_deg)``) and optionally ``globe_plate`` — the Python
-    analog of a ``globes/*.lua`` script."""
+    """Load a user globe from a script: a Python module defining ``plates``
+    (list of ``(forward, up, fov_deg)``) and optionally ``globe_plate``, or
+    an actual reference-format ``.lua`` script (``LUA_load_globe``,
+    ``fisheye.c:1752-1875`` — see :mod:`blinky_tpu.lua_bridge`)."""
     path = Path(path)
+    if path.suffix.lower() == ".lua":
+        from blinky_tpu.lua_bridge import load_lua_globe
+
+        return load_lua_globe(path)
     spec = importlib.util.spec_from_file_location(f"blinky_globe_{path.stem}", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)

@@ -173,9 +173,15 @@ def get(name: str, globe=None) -> LensDef:
 
 
 def load_lens_module(path, globe=None) -> LensDef:
-    """Load a user lens from a Python script defining ``make(ctx)`` — the
-    Python analog of a ``lenses/*.lua`` script."""
+    """Load a user lens from a script: a Python module defining
+    ``make(ctx)``, or an actual reference-format ``.lua`` script
+    (``LUA_load_lens``, ``fisheye.c:1659-1750`` — see
+    :mod:`blinky_tpu.lua_bridge`)."""
     path = Path(path)
+    if path.suffix.lower() == ".lua":
+        from blinky_tpu.lua_bridge import load_lua_lens
+
+        return load_lua_lens(path, globe)
     spec = importlib.util.spec_from_file_location(f"blinky_lens_{path.stem}", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)

@@ -1,0 +1,857 @@
+"""A minimal Lua 5.2 interpreter for lens/globe scripts.
+
+The reference's user-scripting surface is arbitrary ``.lua`` lens/globe
+files executed by an embedded Lua 5.2 VM (``init_lua`` / ``LUA_load_lens``
+/ ``LUA_load_globe``, ``engine/NQ/fisheye.c:1222-1265,1659-1875``).  This
+module restores that surface without linking Lua: a small tree-walking
+interpreter covering the language subset the scripts use —
+
+* values: nil, booleans, numbers (C doubles — Python floats), strings,
+  tables, functions (closures);
+* statements: (multi-)assignment incl. table element targets, ``local``,
+  ``function`` definitions, ``if``/``elseif``/``else``, ``while``,
+  ``repeat``/``until``, numeric ``for``, ``return``, ``break``, calls;
+* expressions: full Lua operator precedence (``or`` < ``and`` <
+  comparison < ``..`` < ``+ -`` < ``* / %`` < unary < ``^`` right-assoc),
+  multiple-return expansion in the last position of expression lists,
+  table constructors, short-circuit ``and``/``or`` with Lua value
+  semantics, Lua truthiness (only ``nil``/``false`` are falsy);
+* stdlib: the ``math`` table (through Python's ``math`` = the same libm
+  the Lua VM calls), ``table.unpack``, ``print``, plus the alias globals
+  the C host preloads (``cos = math.cos`` ... ``tau``, ``fisheye.c:1231-1248``).
+
+Host builtins (``latlon_to_ray``, ``ray_to_latlon``, ``plate_to_ray``)
+are injected by the loaders in :mod:`blinky_tpu.lenses` /
+:mod:`blinky_tpu.globes`, with the same ``vec3_t`` float32 pass-through
+the C wrappers have (``CtoLUA_*``, ``fisheye.c:1494-1537``).
+
+Execution is scalar by design — like the Lua VM itself.  The lens
+loaders vectorize the resulting functions for the float64 host builder
+(the ``Session`` default path), so a user's existing ``.lua`` script is
+a drop-in.
+"""
+
+from __future__ import annotations
+
+import math
+
+
+class LuaError(ValueError):
+    """Parse or runtime error in a Lua script."""
+
+
+# ---------------------------------------------------------------- lexer
+
+_KEYWORDS = {
+    "and", "break", "do", "else", "elseif", "end", "false", "for",
+    "function", "if", "in", "local", "nil", "not", "or", "repeat",
+    "return", "then", "true", "until", "while",
+}
+
+_SYMBOLS = [
+    "...", "..", "==", "~=", "<=", ">=", "#", "+", "-", "*", "/", "%",
+    "^", "<", ">", "=", "(", ")", "{", "}", "[", "]", ";", ":", ",", ".",
+]
+
+
+def _tokenize(src: str):
+    toks = []
+    i, n, line = 0, len(src), 1
+    while i < n:
+        c = src[i]
+        if c == "\n":
+            line += 1
+            i += 1
+            continue
+        if c in " \t\r":
+            i += 1
+            continue
+        if src.startswith("--", i):
+            if src.startswith("--[[", i):  # long comment --[[ ... ]] / --]]
+                end = src.find("]]", i + 4)
+                if end < 0:
+                    raise LuaError(f"line {line}: unterminated long comment")
+                line += src.count("\n", i, end)
+                i = end + 2
+            else:
+                end = src.find("\n", i)
+                i = n if end < 0 else end
+            continue
+        if c in "\"'":
+            j = i + 1
+            buf = []
+            while j < n and src[j] != c:
+                if src[j] == "\\":
+                    esc = src[j + 1]
+                    buf.append({"n": "\n", "t": "\t", "\\": "\\", '"': '"',
+                                "'": "'"}.get(esc, esc))
+                    j += 2
+                else:
+                    buf.append(src[j])
+                    j += 1
+            if j >= n:
+                raise LuaError(f"line {line}: unterminated string")
+            toks.append(("str", "".join(buf), line))
+            i = j + 1
+            continue
+        if c.isdigit() or (c == "." and i + 1 < n and src[i + 1].isdigit()):
+            j = i
+            if src.startswith("0x", i) or src.startswith("0X", i):
+                j = i + 2
+                while j < n and src[j] in "0123456789abcdefABCDEF":
+                    j += 1
+                toks.append(("num", float(int(src[i:j], 16)), line))
+                i = j
+                continue
+            seen_e = False
+            while j < n and (src[j].isdigit() or src[j] == "."
+                             or src[j] in "eE"
+                             or (seen_e and src[j] in "+-" and src[j - 1] in "eE")):
+                if src[j] in "eE":
+                    seen_e = True
+                j += 1
+            toks.append(("num", float(src[i:j]), line))
+            i = j
+            continue
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (src[j].isalnum() or src[j] == "_"):
+                j += 1
+            w = src[i:j]
+            toks.append(("kw" if w in _KEYWORDS else "name", w, line))
+            i = j
+            continue
+        for s in _SYMBOLS:
+            if src.startswith(s, i):
+                toks.append(("sym", s, line))
+                i += len(s)
+                break
+        else:
+            raise LuaError(f"line {line}: unexpected character {c!r}")
+    toks.append(("eof", None, line))
+    return toks
+
+
+# --------------------------------------------------------------- parser
+#
+# AST nodes are plain tuples: (kind, ...).
+
+class _Parser:
+    def __init__(self, toks):
+        self.toks = toks
+        self.pos = 0
+
+    def peek(self):
+        return self.toks[self.pos]
+
+    def next(self):
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def check(self, kind, val=None):
+        t = self.peek()
+        return t[0] == kind and (val is None or t[1] == val)
+
+    def accept(self, kind, val=None):
+        if self.check(kind, val):
+            return self.next()
+        return None
+
+    def expect(self, kind, val=None):
+        t = self.next()
+        if t[0] != kind or (val is not None and t[1] != val):
+            raise LuaError(f"line {t[2]}: expected {val or kind}, got {t[1]!r}")
+        return t
+
+    # ---- statements
+
+    def parse_chunk(self, terminators=("eof",)):
+        stmts = []
+        while True:
+            while self.accept("sym", ";"):
+                pass
+            t = self.peek()
+            if t[0] == "eof" or (t[0] == "kw" and t[1] in terminators):
+                return ("block", stmts)
+            stmts.append(self.parse_statement())
+            if stmts[-1][0] in ("return", "break"):
+                while self.accept("sym", ";"):
+                    pass
+                return ("block", stmts)
+
+    def parse_statement(self):
+        t = self.peek()
+        if t[0] == "kw":
+            if t[1] == "local":
+                self.next()
+                if self.accept("kw", "function"):
+                    name = self.expect("name")[1]
+                    return ("localfunc", name, self.parse_funcbody())
+                names = [self.expect("name")[1]]
+                while self.accept("sym", ","):
+                    names.append(self.expect("name")[1])
+                exprs = []
+                if self.accept("sym", "="):
+                    exprs = self.parse_exprlist()
+                return ("local", names, exprs)
+            if t[1] == "function":
+                self.next()
+                name = self.expect("name")[1]
+                # dotted function names unused by the scripts
+                return ("funcstat", name, self.parse_funcbody())
+            if t[1] == "if":
+                self.next()
+                arms = []
+                cond = self.parse_expr()
+                self.expect("kw", "then")
+                body = self.parse_chunk(("elseif", "else", "end"))
+                arms.append((cond, body))
+                while self.accept("kw", "elseif"):
+                    c = self.parse_expr()
+                    self.expect("kw", "then")
+                    arms.append((c, self.parse_chunk(("elseif", "else", "end"))))
+                els = None
+                if self.accept("kw", "else"):
+                    els = self.parse_chunk(("end",))
+                self.expect("kw", "end")
+                return ("if", arms, els)
+            if t[1] == "while":
+                self.next()
+                cond = self.parse_expr()
+                self.expect("kw", "do")
+                body = self.parse_chunk(("end",))
+                self.expect("kw", "end")
+                return ("while", cond, body)
+            if t[1] == "repeat":
+                self.next()
+                body = self.parse_chunk(("until",))
+                self.expect("kw", "until")
+                cond = self.parse_expr()
+                return ("repeat", body, cond)
+            if t[1] == "for":
+                self.next()
+                var = self.expect("name")[1]
+                self.expect("sym", "=")
+                start = self.parse_expr()
+                self.expect("sym", ",")
+                stop = self.parse_expr()
+                step = None
+                if self.accept("sym", ","):
+                    step = self.parse_expr()
+                self.expect("kw", "do")
+                body = self.parse_chunk(("end",))
+                self.expect("kw", "end")
+                return ("fornum", var, start, stop, step, body)
+            if t[1] == "return":
+                self.next()
+                exprs = []
+                nxt = self.peek()
+                if not (nxt[0] == "eof" or (nxt[0] == "kw" and nxt[1] in
+                                            ("end", "else", "elseif", "until"))
+                        or (nxt[0] == "sym" and nxt[1] == ";")):
+                    exprs = self.parse_exprlist()
+                return ("return", exprs)
+            if t[1] == "break":
+                self.next()
+                return ("break",)
+            if t[1] == "do":
+                self.next()
+                body = self.parse_chunk(("end",))
+                self.expect("kw", "end")
+                return ("do", body)
+        # expression statement: call, or (multi-)assignment
+        first = self.parse_prefix_expr()
+        if self.check("sym", "=") or self.check("sym", ","):
+            targets = [first]
+            while self.accept("sym", ","):
+                targets.append(self.parse_prefix_expr())
+            self.expect("sym", "=")
+            exprs = self.parse_exprlist()
+            for tgt in targets:
+                if tgt[0] not in ("name", "index"):
+                    raise LuaError(f"cannot assign to {tgt[0]}")
+            return ("assign", targets, exprs)
+        if first[0] != "call":
+            raise LuaError(f"line {t[2]}: syntax error (unexpected expression)")
+        return ("callstat", first)
+
+    def parse_funcbody(self):
+        self.expect("sym", "(")
+        params = []
+        if not self.check("sym", ")"):
+            params.append(self.expect("name")[1])
+            while self.accept("sym", ","):
+                params.append(self.expect("name")[1])
+        self.expect("sym", ")")
+        body = self.parse_chunk(("end",))
+        self.expect("kw", "end")
+        return ("function", params, body)
+
+    # ---- expressions
+
+    def parse_exprlist(self):
+        out = [self.parse_expr()]
+        while self.accept("sym", ","):
+            out.append(self.parse_expr())
+        return out
+
+    _BINPRI = {
+        "or": 1, "and": 2,
+        "<": 3, ">": 3, "<=": 3, ">=": 3, "~=": 3, "==": 3,
+        "..": 4, "+": 5, "-": 5, "*": 6, "/": 6, "%": 6,
+    }
+
+    def parse_expr(self, limit=0):
+        t = self.peek()
+        if (t[0] == "sym" and t[1] in ("-", "#")) or (t[0] == "kw" and t[1] == "not"):
+            op = self.next()[1]
+            operand = self.parse_expr(7)  # unary level
+            left = ("unop", op, operand)
+        else:
+            left = self.parse_simple_expr()
+        while True:
+            t = self.peek()
+            if t[0] == "sym" and t[1] == "^":
+                # ^ binds tighter than unary on the left, right-assoc
+                self.next()
+                right = self.parse_expr(7)
+                left = ("binop", "^", left, right)
+                continue
+            op = t[1] if (t[0] == "sym" or t[0] == "kw") else None
+            pri = self._BINPRI.get(op)
+            if pri is None or pri <= limit:
+                return left
+            self.next()
+            right = self.parse_expr(pri)
+            left = ("binop", op, left, right)
+
+    def parse_simple_expr(self):
+        t = self.peek()
+        if t[0] == "num":
+            self.next()
+            return ("const", t[1])
+        if t[0] == "str":
+            self.next()
+            return ("const", t[1])
+        if t[0] == "kw" and t[1] in ("nil", "true", "false"):
+            self.next()
+            return ("const", {"nil": None, "true": True, "false": False}[t[1]])
+        if t[0] == "kw" and t[1] == "function":
+            self.next()
+            return self.parse_funcbody()
+        if t[0] == "sym" and t[1] == "{":
+            return self.parse_table()
+        return self.parse_prefix_expr()
+
+    def parse_table(self):
+        self.expect("sym", "{")
+        items = []  # ("pos", expr) | ("key", key_expr, val_expr)
+        while not self.check("sym", "}"):
+            if self.check("sym", "["):
+                self.next()
+                k = self.parse_expr()
+                self.expect("sym", "]")
+                self.expect("sym", "=")
+                items.append(("key", k, self.parse_expr()))
+            elif (self.check("name") and self.toks[self.pos + 1][0] == "sym"
+                  and self.toks[self.pos + 1][1] == "="):
+                name = self.next()[1]
+                self.next()
+                items.append(("key", ("const", name), self.parse_expr()))
+            else:
+                items.append(("pos", self.parse_expr()))
+            if not (self.accept("sym", ",") or self.accept("sym", ";")):
+                break
+        self.expect("sym", "}")
+        return ("table", items)
+
+    def parse_prefix_expr(self):
+        t = self.peek()
+        if t[0] == "sym" and t[1] == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect("sym", ")")
+            node = ("paren", e)  # parens truncate multiple returns to one
+        elif t[0] == "name":
+            self.next()
+            node = ("name", t[1])
+        else:
+            raise LuaError(f"line {t[2]}: unexpected token {t[1]!r}")
+        while True:
+            t = self.peek()
+            if t[0] == "sym" and t[1] == ".":
+                self.next()
+                key = self.expect("name")[1]
+                node = ("index", node, ("const", key))
+            elif t[0] == "sym" and t[1] == "[":
+                self.next()
+                k = self.parse_expr()
+                self.expect("sym", "]")
+                node = ("index", node, k)
+            elif t[0] == "sym" and t[1] == "(":
+                self.next()
+                args = []
+                if not self.check("sym", ")"):
+                    args = self.parse_exprlist()
+                self.expect("sym", ")")
+                node = ("call", node, args)
+            elif t[0] == "str":  # f"string" call sugar — unused but cheap
+                self.next()
+                node = ("call", node, [("const", t[1])])
+            else:
+                return node
+
+
+# ----------------------------------------------------------- interpreter
+
+class LuaTable:
+    """A Lua table: number/string-keyed dict (numeric keys normalized so
+    ``t[1]`` and ``t[1.0]`` agree, as Lua 5.2 does)."""
+
+    __slots__ = ("data",)
+
+    def __init__(self):
+        self.data = {}
+
+    @staticmethod
+    def _norm(key):
+        if isinstance(key, float) and key.is_integer():
+            return int(key)
+        if isinstance(key, bool):
+            raise LuaError("boolean table keys unsupported")
+        return key
+
+    def get(self, key):
+        return self.data.get(self._norm(key))
+
+    def set(self, key, val):
+        k = self._norm(key)
+        if val is None:
+            self.data.pop(k, None)
+        else:
+            self.data[k] = val
+
+    def length(self):
+        n = 0
+        while (n + 1) in self.data:
+            n += 1
+        return float(n)
+
+    def array(self):
+        """The 1..n contiguous array part as a Python list."""
+        out = []
+        i = 1
+        while i in self.data:
+            out.append(self.data[i])
+            i += 1
+        return out
+
+
+class LuaFunction:
+    __slots__ = ("params", "body", "env", "interp", "name")
+
+    def __init__(self, params, body, env, interp, name="?"):
+        self.params = params
+        self.body = body
+        self.env = env
+        self.interp = interp
+        self.name = name
+
+    def __call__(self, *args):
+        """Call from Python: returns None (no values), a single value, or
+        a tuple of values — matching how the C host reads the stack."""
+        vals = self.interp.call(self, list(args))
+        if len(vals) == 0:
+            return None
+        if len(vals) == 1:
+            return vals[0]
+        return tuple(vals)
+
+
+class _Env:
+    __slots__ = ("vars", "parent")
+
+    def __init__(self, parent=None):
+        self.vars = {}
+        self.parent = parent
+
+    def lookup(self, name):
+        e = self
+        while e is not None:
+            if name in e.vars:
+                return e
+            e = e.parent
+        return None
+
+    def root(self):
+        e = self
+        while e.parent is not None:
+            e = e.parent
+        return e
+
+
+class _Break(Exception):
+    pass
+
+
+class _Return(Exception):
+    def __init__(self, vals):
+        self.vals = vals
+
+
+def _truthy(v):
+    return v is not None and v is not False
+
+
+def _num(v, what="operand"):
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise LuaError(f"attempt to perform arithmetic on a non-number {what}")
+    return float(v)
+
+
+class Interpreter:
+    """One interpreter = one script environment (the reference clears
+    globals between loads, ``LUA_clear_lens/globe``, ``fisheye.c:1880-1903``)."""
+
+    def __init__(self, builtins=None):
+        self.globals = _Env()
+        self.printed = []  # print() output (tetra.lua prints its fov)
+        self._install_stdlib()
+        if builtins:
+            for k, v in builtins.items():
+                self.globals.vars[k] = v
+
+    # ---- environment setup
+
+    def _install_stdlib(self):
+        g = self.globals.vars
+        mt = LuaTable()
+
+        # Lua's math.* are raw libm calls: domain errors yield NaN and
+        # log(0) yields -inf, where Python's math module raises.  Wrap to
+        # the C semantics so boundary pixels behave like the reference
+        # (e.g. mercator's log(tan(0)) at the pole).
+        def _safe(f, on_overflow=math.inf):
+            def g_(*a):
+                try:
+                    return f(*a)
+                except ValueError:
+                    return math.nan
+                except OverflowError:
+                    return on_overflow
+                except ZeroDivisionError:
+                    return math.nan
+            return g_
+
+        def _log(x, base=None):
+            if x == 0:
+                return -math.inf  # C log(0)
+            v = math.log(x) if base is None else math.log(x) / math.log(base)
+            return v
+
+        def _log10(x):
+            return -math.inf if x == 0 else math.log10(x)
+
+        def _pow(a, b):
+            return float(a) ** float(b)
+
+        mathfns = {
+            "cos": _safe(math.cos), "sin": _safe(math.sin), "tan": _safe(math.tan),
+            "acos": _safe(math.acos), "asin": _safe(math.asin),
+            "atan": _safe(math.atan), "atan2": _safe(math.atan2),
+            "sinh": _safe(math.sinh), "cosh": _safe(math.cosh),
+            "tanh": _safe(math.tanh), "log": _safe(_log), "log10": _safe(_log10),
+            "exp": _safe(math.exp), "sqrt": _safe(math.sqrt), "abs": abs,
+            "floor": lambda x: float(math.floor(x)),
+            "ceil": lambda x: float(math.ceil(x)),
+            "fmod": _safe(math.fmod), "pow": _safe(_pow),
+            "max": lambda *a: max(a), "min": lambda *a: min(a),
+            "modf": lambda x: tuple(float(v) for v in reversed(math.modf(x))),
+            "rad": math.radians, "deg": math.degrees,
+        }
+        for k, v in mathfns.items():
+            mt.set(k, v)
+        mt.set("pi", math.pi)
+        mt.set("huge", math.inf)
+        g["math"] = mt
+
+        tt = LuaTable()
+        tt.set("unpack", lambda t: tuple(t.array()))
+        g["table"] = tt
+        g["print"] = self._print
+        g["tostring"] = lambda v: self._tostring(v)
+        # the alias preload block (init_lua, fisheye.c:1231-1248)
+        for name in ("cos", "sin", "tan", "asin", "acos", "atan", "atan2",
+                     "sinh", "cosh", "tanh", "log", "log10", "abs", "sqrt",
+                     "exp", "pow"):
+            g[name] = mt.get(name)
+        g["pi"] = math.pi
+        g["tau"] = math.pi * 2
+
+    def _print(self, *args):
+        self.printed.append("\t".join(self._tostring(a) for a in args))
+        return None
+
+    @staticmethod
+    def _tostring(v):
+        if v is None:
+            return "nil"
+        if v is True:
+            return "true"
+        if v is False:
+            return "false"
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+
+    # ---- public API
+
+    def run(self, src: str) -> None:
+        ast = _Parser(_tokenize(src)).parse_chunk()
+        self.exec_block(ast, self.globals)
+
+    def get_global(self, name):
+        return self.globals.vars.get(name)
+
+    def call(self, fn, args: list) -> list:
+        if isinstance(fn, LuaFunction):
+            env = _Env(fn.env)
+            for i, p in enumerate(fn.params):
+                env.vars[p] = args[i] if i < len(args) else None
+            try:
+                self.exec_block(fn.body, env)
+            except _Return as r:
+                return r.vals
+            return []
+        if callable(fn):
+            out = fn(*args)
+            if out is None:
+                return [None] if fn in (None,) else []
+            if isinstance(out, tuple):
+                return list(out)
+            return [out]
+        raise LuaError(f"attempt to call a {type(fn).__name__} value")
+
+    # ---- execution
+
+    def exec_block(self, block, env):
+        for st in block[1]:
+            self.exec_stmt(st, env)
+
+    def exec_stmt(self, st, env):
+        kind = st[0]
+        if kind == "assign":
+            vals = self.eval_list(st[2], env, want=len(st[1]))
+            for tgt, val in zip(st[1], vals):
+                self.assign(tgt, val, env)
+        elif kind == "local":
+            vals = self.eval_list(st[2], env, want=len(st[1]))
+            for name, val in zip(st[1], vals):
+                env.vars[name] = val
+        elif kind == "callstat":
+            self.eval_multi(st[1], env)
+        elif kind == "if":
+            for cond, body in st[1]:
+                if _truthy(self.eval(cond, env)):
+                    self.exec_block(body, _Env(env))
+                    return
+            if st[2] is not None:
+                self.exec_block(st[2], _Env(env))
+        elif kind == "while":
+            try:
+                while _truthy(self.eval(st[1], env)):
+                    self.exec_block(st[2], _Env(env))
+            except _Break:
+                pass
+        elif kind == "repeat":
+            try:
+                while True:
+                    scope = _Env(env)  # until sees the body's locals
+                    self.exec_block(st[1], scope)
+                    if _truthy(self.eval(st[2], scope)):
+                        break
+            except _Break:
+                pass
+        elif kind == "fornum":
+            start = _num(self.eval(st[2], env))
+            stop = _num(self.eval(st[3], env))
+            step = _num(self.eval(st[4], env)) if st[4] is not None else 1.0
+            if step == 0:
+                raise LuaError("'for' step is zero")
+            v = start
+            try:
+                while (v <= stop) if step > 0 else (v >= stop):
+                    scope = _Env(env)
+                    scope.vars[st[1]] = v
+                    self.exec_block(st[5], scope)
+                    v += step
+            except _Break:
+                pass
+        elif kind == "funcstat":
+            fn = LuaFunction(st[2][1], st[2][2], env, self, st[1])
+            self.assign(("name", st[1]), fn, env)
+        elif kind == "localfunc":
+            env.vars[st[1]] = None
+            fn = LuaFunction(st[2][1], st[2][2], env, self, st[1])
+            env.vars[st[1]] = fn
+        elif kind == "return":
+            raise _Return(self.eval_list(st[1], env, want=None))
+        elif kind == "break":
+            raise _Break()
+        elif kind == "do":
+            self.exec_block(st[1], _Env(env))
+        else:
+            raise LuaError(f"unknown statement {kind}")
+
+    def assign(self, tgt, val, env):
+        if tgt[0] == "name":
+            e = env.lookup(tgt[1])
+            (e if e is not None else env.root()).vars[tgt[1]] = val
+        elif tgt[0] == "index":
+            t = self.eval(tgt[1], env)
+            if not isinstance(t, LuaTable):
+                raise LuaError("attempt to index a non-table value")
+            t.set(self.eval(tgt[2], env), val)
+        else:
+            raise LuaError(f"cannot assign to {tgt[0]}")
+
+    # ---- evaluation
+
+    def eval_list(self, exprs, env, want):
+        """Evaluate an expression list with Lua's expansion rule: every
+        position yields one value except the last, which expands if it is
+        a call.  Pads with nil / truncates to *want* when given."""
+        vals = []
+        for i, e in enumerate(exprs):
+            if i == len(exprs) - 1:
+                vals.extend(self.eval_multi(e, env))
+            else:
+                vals.append(self.eval(e, env))
+        if want is not None:
+            while len(vals) < want:
+                vals.append(None)
+            vals = vals[:want]
+        return vals
+
+    def eval_multi(self, e, env) -> list:
+        """Evaluate yielding ALL values (calls may return several)."""
+        if e[0] == "call":
+            fn = self.eval(e[1], env)
+            args = self.eval_list(e[2], env, want=None)
+            return self.call(fn, args)
+        return [self.eval(e, env)]
+
+    def eval(self, e, env):
+        kind = e[0]
+        if kind == "const":
+            return e[1]
+        if kind == "name":
+            scope = env.lookup(e[1])
+            return scope.vars[e[1]] if scope is not None else None
+        if kind == "paren":
+            return self.eval(e[1], env)
+        if kind == "index":
+            t = self.eval(e[1], env)
+            if not isinstance(t, LuaTable):
+                raise LuaError(f"attempt to index a non-table value ({e[1]})")
+            return t.get(self.eval(e[2], env))
+        if kind == "call":
+            vals = self.eval_multi(e, env)
+            return vals[0] if vals else None
+        if kind == "function":
+            return LuaFunction(e[1], e[2], env, self)
+        if kind == "table":
+            t = LuaTable()
+            pos = 0
+            items = e[1]
+            for i, item in enumerate(items):
+                if item[0] == "key":
+                    t.set(self.eval(item[1], env), self.eval(item[2], env))
+                else:
+                    if i == len(items) - 1:  # last positional expands
+                        for v in self.eval_multi(item[1], env):
+                            pos += 1
+                            t.set(float(pos), v)
+                    else:
+                        pos += 1
+                        t.set(float(pos), self.eval(item[1], env))
+            return t
+        if kind == "unop":
+            if e[1] == "not":
+                return not _truthy(self.eval(e[2], env))
+            if e[1] == "-":
+                return -_num(self.eval(e[2], env))
+            if e[1] == "#":
+                v = self.eval(e[2], env)
+                if isinstance(v, LuaTable):
+                    return v.length()
+                if isinstance(v, str):
+                    return float(len(v))
+                raise LuaError("attempt to get length of a non-table value")
+        if kind == "binop":
+            op = e[1]
+            if op == "and":
+                left = self.eval(e[2], env)
+                return self.eval(e[3], env) if _truthy(left) else left
+            if op == "or":
+                left = self.eval(e[2], env)
+                return left if _truthy(left) else self.eval(e[3], env)
+            a = self.eval(e[2], env)
+            b = self.eval(e[3], env)
+            if op == "==":
+                return self._eq(a, b)
+            if op == "~=":
+                return not self._eq(a, b)
+            if op == "..":
+                return self._tostring(a) + self._tostring(b) \
+                    if not (isinstance(a, str) and isinstance(b, str)) else a + b
+            if op in ("<", ">", "<=", ">="):
+                if isinstance(a, str) and isinstance(b, str):
+                    pass  # string comparison is fine
+                else:
+                    a, b = _num(a), _num(b)
+                return {"<": a < b, ">": a > b, "<=": a <= b, ">=": a >= b}[op]
+            a, b = _num(a), _num(b)
+            if op == "+":
+                return a + b
+            if op == "-":
+                return a - b
+            if op == "*":
+                return a * b
+            if op == "/":
+                return a / b if b != 0 else (
+                    math.inf if a > 0 else -math.inf if a < 0 else math.nan)
+            if op == "%":
+                # Lua %: a - floor(a/b)*b
+                return a - math.floor(a / b) * b if b != 0 else math.nan
+            if op == "^":
+                try:
+                    v = float(a) ** float(b)
+                    # Python returns complex for neg**frac; C pow gives NaN
+                    return math.nan if isinstance(v, complex) else v
+                except OverflowError:
+                    return math.inf
+                except (ValueError, ZeroDivisionError):
+                    return math.nan  # C pow domain error
+        raise LuaError(f"cannot evaluate {kind}")
+
+    @staticmethod
+    def _eq(a, b):
+        if isinstance(a, bool) or isinstance(b, bool):
+            return a is b
+        return a == b
+
+
+def run_script(path_or_src, builtins=None, is_path=True) -> Interpreter:
+    """Execute a Lua script and return its interpreter (for reading the
+    resulting globals — the analog of ``LUA_load_lens``'s global reads)."""
+    if is_path:
+        from pathlib import Path
+
+        src = Path(path_or_src).read_text()
+    else:
+        src = path_or_src
+    interp = Interpreter(builtins=builtins)
+    interp.run(src)
+    return interp
