@@ -101,6 +101,36 @@ def cmd_demo_synth(args) -> int:
     return 0
 
 
+def cmd_demo_import(args) -> int:
+    """Bridge from the reference engine's own output: a directory of
+    per-frame ``f_saveglobe`` PCX plate dumps (``save_globe``,
+    ``fisheye.c:1467-1486``) + an optional pose track becomes a demo
+    container for the batch pipeline."""
+    from pathlib import Path
+
+    from blinky_tpu.io.dataset import import_saveglobe_dir, parse_pose_track, write_demo
+
+    frames, palette, stems = import_saveglobe_dir(args.dir, numplates=args.numplates)
+    user_pal = _load_palette(args.palette)
+    if user_pal is not None:
+        palette = user_pal
+    elif palette is None or not palette.any():
+        from blinky_tpu.palette import default_palette
+
+        palette = default_palette()
+    poses = None
+    if args.poses:
+        poses = parse_pose_track(Path(args.poses).read_text())
+        if len(poses) != len(frames):
+            print(f"note: {len(poses)} poses for {len(frames)} frames "
+                  "(playback holds the last pose)")
+    write_demo(args.out, frames, palette, poses)
+    N, P, S, _ = frames.shape
+    print(f"wrote {args.out}: {N} frames ({stems[0]} .. {stems[-1]}), "
+          f"{P} plates, platesize {S}")
+    return 0
+
+
 def cmd_reproject(args) -> int:
     """Batch-reproject a demo container through a lens — the framework's
     ``timedemo``-style offline pipeline (BASELINE config 4)."""
@@ -289,6 +319,20 @@ def main(argv=None) -> int:
     p.add_argument("--platesize", type=int, default=128)
     p.add_argument("--out", default="demo.npz")
     p.set_defaults(fn=cmd_demo_synth)
+
+    p = sub.add_parser(
+        "demo-import",
+        help="import a directory of per-frame f_saveglobe PCX plate dumps",
+    )
+    p.add_argument("dir", help="directory of <name><i>.pcx dumps (one set per frame)")
+    p.add_argument("--out", default="demo.npz")
+    p.add_argument("--poses", default=None,
+                   help="pose track text file: 'pitch yaw roll' per line (deg)")
+    p.add_argument("--numplates", type=int, default=None,
+                   help="plates per frame (default: inferred from indices)")
+    p.add_argument("--palette", default=None,
+                   help="override the PCX palette (pak / .lmp / dumppal text)")
+    p.set_defaults(fn=cmd_demo_import)
 
     p = sub.add_parser("reproject", help="batch-reproject a demo (timedemo pipeline)")
     _add_session_args(p)

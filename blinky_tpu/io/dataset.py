@@ -38,6 +38,74 @@ def write_demo(path, frames, palette, poses=None) -> None:
     np.savez_compressed(path, **arrs)
 
 
+def parse_pose_track(text: str) -> np.ndarray:
+    """Parse a pose text file: one ``pitch yaw roll`` (degrees) per line,
+    whitespace- or comma-separated; blank lines and ``//`` comments skipped.
+    Returns [N, 3] float32."""
+    rows = []
+    for line in text.splitlines():
+        line = line.split("//")[0].strip().replace(",", " ")
+        if not line:
+            continue
+        vals = [float(v) for v in line.split()]
+        if len(vals) != 3:
+            raise ValueError(f"pose line needs 3 values, got {len(vals)}: {line!r}")
+        rows.append(vals)
+    return np.asarray(rows, dtype=np.float32)
+
+
+def import_saveglobe_dir(directory, numplates=None):
+    """Import a directory of per-frame ``f_saveglobe`` PCX plate dumps.
+
+    The reference's concrete pipeline output is ``<name><i>.pcx`` per
+    plate (``save_globe``, ``engine/NQ/fisheye.c:1467-1486``); a recorded
+    sequence is one such dump per frame (e.g. ``frame0001_0.pcx`` ..
+    ``frame0001_5.pcx``).  Files are grouped by the stem before the
+    trailing plate index; stems sort lexicographically into frame order.
+
+    Returns (frames [N, P, S, S] uint8, palette [256, 3] uint8,
+    stems [N]).  0xFE-masked texels (the non-"full" saveglobe mode,
+    ``fisheye.c:1441-1443``) import as-is.
+    """
+    import re
+
+    from blinky_tpu.io.pcx import decode_pcx
+
+    directory = Path(directory)
+    groups: dict = {}
+    pat = re.compile(r"^(.*?)(\d+)\.pcx$", re.IGNORECASE)
+    for p in sorted(directory.iterdir()):
+        m_ = pat.match(p.name)
+        if not m_:
+            continue
+        stem, idx = m_.group(1), int(m_.group(2))
+        groups.setdefault(stem, {})[idx] = p
+    if not groups:
+        raise ValueError(f"no '<name><i>.pcx' plate dumps found in {directory}")
+
+    if numplates is None:
+        numplates = 1 + max(max(g) for g in groups.values())
+    stems = sorted(groups)
+    frames = None
+    palette = None
+    for n, stem in enumerate(stems):
+        g = groups[stem]
+        missing = [i for i in range(numplates) if i not in g]
+        if missing:
+            raise ValueError(f"frame {stem!r}: missing plate(s) {missing}")
+        for i in range(numplates):
+            img, pal = decode_pcx(g[i].read_bytes())
+            if frames is None:
+                S = img.shape[0]
+                frames = np.zeros((len(stems), numplates, S, S), np.uint8)
+                palette = pal
+            if img.shape != frames.shape[2:]:
+                raise ValueError(f"frame {stem!r} plate {i}: size {img.shape} "
+                                 f"!= {frames.shape[2:]}")
+            frames[n, i] = img
+    return frames, palette, stems
+
+
 def read_demo(path):
     """Read a demo container -> dict(frames, palette, poses|None)."""
     with np.load(path) as z:

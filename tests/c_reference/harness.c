@@ -338,6 +338,96 @@ static int fwd_winkel1(double x, double y, double z, double *X, double *Y)
     return 1;
 }
 
+/* eckert1.lua (forward only) */
+static int fwd_eckert1(double x, double y, double z, double *X, double *Y)
+{
+    double FC = 0.92131773192356127802;
+    double RP = 0.31830988618379067154;
+    double lat, lon;
+    lua_ray_to_latlon(x,y,z,&lat,&lon);
+    *X = FC * lon * (1 - RP * fabs(lat));
+    *Y = FC * lat;
+    return 1;
+}
+
+/* eckert5.lua (forward only) */
+static int fwd_eckert5(double x, double y, double z, double *X, double *Y)
+{
+    double lat, lon;
+    lua_ray_to_latlon(x,y,z,&lat,&lon);
+    *X = lon * (1 + cos(lat))/2;
+    *Y = lat;
+    return 1;
+}
+
+/* winkel2.lua (forward only) */
+static int fwd_winkel2(double x, double y, double z, double *X, double *Y)
+{
+    double lat, lon;
+    lua_ray_to_latlon(x,y,z,&lat,&lon);
+    *X = lon/2*(2/M_PI + sqrt(M_PI*M_PI - 4*lat*lat)/M_PI);
+    *Y = lat;
+    return 1;
+}
+
+/* kavrayskiy7.lua (forward only) */
+static int fwd_kavrayskiy7(double x, double y, double z, double *X, double *Y)
+{
+    double lat, lon;
+    lua_ray_to_latlon(x,y,z,&lat,&lon);
+    *X = 3*lon/(2*M_PI)*sqrt(M_PI*M_PI/3 - lat*lat);
+    *Y = lat;
+    return 1;
+}
+
+/* wagner6.lua (forward only) */
+static int fwd_wagner6(double x, double y, double z, double *X, double *Y)
+{
+    double lat, lon;
+    lua_ray_to_latlon(x,y,z,&lat,&lon);
+    *X = lon*sqrt(1-3*lat*lat/(M_PI*M_PI));
+    *Y = lat;
+    return 1;
+}
+
+/* larrivee.lua (forward only) */
+static int fwd_larrivee(double x, double y, double z, double *X, double *Y)
+{
+    double lat, lon;
+    lua_ray_to_latlon(x,y,z,&lat,&lon);
+    *X = (0.5 + 0.5*sqrt(cos(lat)))*lon;
+    *Y = lat / (cos(lat/2)*cos(lon/6));
+    return 1;
+}
+
+/* gins8.lua (forward only) */
+static int fwd_gins8(double x, double y, double z, double *X, double *Y)
+{
+    double Cl = 0.000952426;
+    double Cp = 0.162388;
+    double C12 = 0.08333333333333333;
+    double lat, lon;
+    lua_ray_to_latlon(x,y,z,&lat,&lon);
+    double t = lat*lat;
+    double Y_ = lat * (1 + t*C12);
+    double X_ = lon * (1 - Cp*t);
+    t = lon*lon;
+    X_ = X_ * (0.87 - Cl * t*t);
+    *X = X_; *Y = Y_;
+    return 1;
+}
+
+/* polyconic.lua (forward only) */
+static int fwd_polyconic(double x, double y, double z, double *X, double *Y)
+{
+    double lat, lon;
+    lua_ray_to_latlon(x,y,z,&lat,&lon);
+    if (lat == 0) { *X = lon; *Y = 0; return 1; }
+    *X = 1/tan(lat)*sin(lon*sin(lat));
+    *Y = lat + 1/tan(lat)*(1 - cos(lon*sin(lat)));
+    return 1;
+}
+
 typedef int (*inverse_fn)(double, double, double *, double *, double *);
 typedef int (*forward_fn)(double, double, double, double *, double *);
 
@@ -362,6 +452,14 @@ static struct lens_script LENSES[] = {
     {"hammer",        inv_hammer,        fwd_hammer,        360, 180, 0, 0},
     {"sinusoidal",    NULL,              fwd_sinusoidal,    360, 180, 0, 0},
     {"winkel1",       NULL,              fwd_winkel1,       360, 180, 0, 0},
+    {"eckert1",       NULL,              fwd_eckert1,       360, 180, 0, 0},
+    {"eckert5",       NULL,              fwd_eckert5,       360, 180, 0, 0},
+    {"winkel2",       NULL,              fwd_winkel2,       360, 180, 0, 0},
+    {"kavrayskiy7",   NULL,              fwd_kavrayskiy7,   360, 180, 0, 0},
+    {"wagner6",       NULL,              fwd_wagner6,       360, 180, 0, 0},
+    {"larrivee",      NULL,              fwd_larrivee,      360, 180, 0, 0},
+    {"gins8",         NULL,              fwd_gins8,         360, 180, 0, 0},
+    {"polyconic",     NULL,              fwd_polyconic,     360, 180, 0, 0},
 };
 
 /* lens_width/lens_height globals are load-time Lua expressions; compute
@@ -376,6 +474,26 @@ static void init_lens_metadata(void)
         else if (!strcmp(L->name, "hammer")) { L->lens_width = 2*sqrt(2)*2; L->lens_height = sqrt(2)*2; }
         else if (!strcmp(L->name, "sinusoidal")) { L->lens_width = 2*M_PI; L->lens_height = M_PI; }
         else if (!strcmp(L->name, "winkel1")) { L->lens_width = M_PI * (2/M_PI + 1)/2 * 2; L->lens_height = M_PI; }
+        else if (!strcmp(L->name, "eckert1")) {
+            double FC = 0.92131773192356127802;
+            L->lens_width = FC * M_PI * 2; L->lens_height = FC * M_PI;
+        }
+        else if (!strcmp(L->name, "eckert5")) { L->lens_width = M_PI*2; L->lens_height = M_PI; }
+        else if (!strcmp(L->name, "winkel2")) { L->lens_width = M_PI/2*(2/M_PI+1)*2; L->lens_height = M_PI; }
+        else if (!strcmp(L->name, "kavrayskiy7")) { L->lens_width = 3*M_PI/(2*M_PI)*sqrt(M_PI*M_PI/3)*2; L->lens_height = M_PI; }
+        else if (!strcmp(L->name, "wagner6")) { L->lens_width = M_PI*2; L->lens_height = M_PI; }
+        else if (!strcmp(L->name, "larrivee")) { L->lens_width = 2*M_PI; L->lens_height = M_PI/2 / cos(M_PI/2/2) * 2; }
+        else if (!strcmp(L->name, "gins8")) {
+            /* gins8.lua:21-24 — bounds by forward-mapping the poles
+             * through the f32 latlon_to_ray builtin */
+            double rx, ry, rz, gx, gy;
+            lua_latlon_to_ray(0, M_PI, &rx, &ry, &rz);
+            fwd_gins8(rx, ry, rz, &gx, &gy);
+            L->lens_width = 2*fabs(gx);
+            lua_latlon_to_ray(M_PI/2, 0, &rx, &ry, &rz);
+            fwd_gins8(rx, ry, rz, &gx, &gy);
+            L->lens_height = 2*fabs(gy);
+        }
     }
 }
 

@@ -145,9 +145,19 @@ def test_inverse_lensmap_bitexact_vs_c_320x240(harness, workdir):
 
 
 FORWARD_CONFIGS = [
+    # all 10 forward-only lenses, incl. the resolver-override and
+    # tie-break globes (draw_quad scan order, fisheye.c:2126-2338)
     ("sinusoidal", "cube", "contain", 0),
     ("winkel1", "tetra", "contain", 0),
     ("sinusoidal", "fast", "contain", 0),
+    ("eckert1", "cube", "contain", 0),
+    ("eckert5", "cube", "contain", 0),
+    ("winkel2", "cube", "contain", 0),
+    ("kavrayskiy7", "trism", "contain", 0),
+    ("wagner6", "cube", "contain", 0),
+    ("larrivee", "cube", "contain", 0),
+    ("gins8", "cube", "contain", 0),
+    ("polyconic", "cube", "fov", 360),
 ]
 
 

@@ -1,6 +1,7 @@
 """Demo container, prefetch iterator, timedemo, camera basis tests."""
 
 import numpy as np
+import pytest
 
 from blinky_tpu.api import Session
 from blinky_tpu.camera import angle_vectors, plate_world_basis
@@ -90,3 +91,66 @@ def test_iterator_abandonment_does_not_hang():
     it = iter(FrameBatchIterator(frames, batch=4, prefetch=1))
     next(it)
     del it  # worker must not block the process on the bounded queue
+
+
+def test_demo_import_saveglobe_roundtrip(tmp_path):
+    """f_saveglobe dumps -> demo-import -> container == original frames
+    (the bridge from the reference engine's own output, fisheye.c:1467-1486)."""
+    from blinky_tpu import globes
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.cubemap import save_globe_pcx, synthetic_cubemap
+    from blinky_tpu.io.dataset import import_saveglobe_dir, read_demo
+    from blinky_tpu.palette import default_palette
+
+    g = globes.get("cube")
+    pal = default_palette()
+    S, N = 32, 4
+    seq = np.stack([np.roll(synthetic_cubemap(S), i, axis=2) for i in range(N)])
+    for i in range(N):
+        save_globe_pcx(tmp_path / f"frame{i:04d}_", seq[i], g, pal,
+                       with_margins=True)
+    frames, palette, stems = import_saveglobe_dir(tmp_path)
+    assert frames.shape == (N, 6, S, S)
+    np.testing.assert_array_equal(frames, seq)
+    np.testing.assert_array_equal(palette, pal)
+    assert stems == [f"frame{i:04d}_" for i in range(N)]
+
+    # masked (non-full) dumps import as-is, 0xFE margins included
+    for i in range(N):
+        save_globe_pcx(tmp_path / f"m{i:04d}_", seq[i], g, pal)
+    masked, _, _ = import_saveglobe_dir(tmp_path, numplates=6)
+    # groups are stem-sorted: frame* then m*; the m* half carries 0xFE
+    assert (masked[N:] == 0xFE).any()
+
+    # full CLI round trip incl. pose track
+    from blinky_tpu.cli import main as cli_main
+
+    poses = tmp_path / "poses.txt"
+    poses.write_text("0 0 0\n1, 2, 3\n// comment\n4 5 6\n-7 80 0\n")
+    out = tmp_path / "imported.npz"
+    # keep only the unmasked frames for the CLI run
+    clean = tmp_path / "clean"
+    clean.mkdir()
+    for p in tmp_path.glob("frame*.pcx"):
+        (clean / p.name).write_bytes(p.read_bytes())
+    rc = cli_main(["demo-import", str(clean), "--out", str(out),
+                   "--poses", str(poses)])
+    assert rc in (0, None)
+    demo = read_demo(out)
+    np.testing.assert_array_equal(demo["frames"], seq)
+    assert demo["poses"].shape == (4, 3)
+    np.testing.assert_allclose(demo["poses"][3], [-7, 80, 0])
+
+    # and the imported demo reprojects end-to-end
+    sess = Session(48, 36, platesize=S, palette=demo["palette"])
+    screen = np.asarray(sess.render(np.moveaxis(demo["frames"][0][..., None], 0, 0)[..., 0]))
+    assert screen.shape == (36, 48)
+
+
+def test_parse_pose_track_errors():
+    from blinky_tpu.io.dataset import parse_pose_track
+
+    with pytest.raises(ValueError, match="3 values"):
+        parse_pose_track("1 2\n")
+    track = parse_pose_track("")
+    assert track.shape[0] == 0

@@ -14,10 +14,21 @@ from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
 W, H = 96, 72
 
 
-@pytest.mark.parametrize("name", ["sinusoidal", "winkel1", "eckert5", "kavrayskiy7"])
+# every forward-only lens shipped (10 of 31; lenses/README.md "Mapping")
+FORWARD_ONLY = ["eckert1", "eckert5", "sinusoidal", "winkel1", "winkel2",
+                "kavrayskiy7", "wagner6", "larrivee", "gins8", "polyconic"]
+
+
+def _fwd_zoom(name):
+    # polyconic declares no lens bounds; its onload is f_fov 360
+    return Zoom("fov", 360) if name == "polyconic" else Zoom("contain")
+
+
+@pytest.mark.parametrize("name", FORWARD_ONLY)
 def test_forward_lens_builds(name, cube_globe):
     lens = lenses.get(name, cube_globe)
-    scale = calc_scale(Zoom("contain"), lens, W, H)
+    assert lens.map_type == "forward"
+    scale = calc_scale(_fwd_zoom(name), lens, W, H)
     lm = build_lensmap(lens, cube_globe, scale, W, H)
     v = np.asarray(lm.valid)
     assert v.sum() > 0.25 * v.size, name
@@ -25,14 +36,35 @@ def test_forward_lens_builds(name, cube_globe):
     px, py = np.asarray(lm.px), np.asarray(lm.py)
     S = lm.platesize
     assert ((px >= 0) & (px < S) & (py >= 0) & (py < S)).all()
+    # tint invariant: a tint byte is a plate index or TINT_NONE, and only
+    # written pixels carry one.  (It may be an EARLIER overlapping write's
+    # plate — set_lensmap_grid only writes for off-grid texels,
+    # fisheye.c:1955-1958 — so it need not equal the final plate.)
+    from blinky_tpu.lensmap.builder import TINT_NONE
+
+    tint = np.asarray(lm.tint)
+    assert ((tint == TINT_NONE) | (tint < cube_globe.numplates)).all()
+    assert (tint[~v] == TINT_NONE).all()
 
 
-def test_forward_is_deterministic(cube_globe):
-    lens = lenses.get("sinusoidal", cube_globe)
-    scale = calc_scale(Zoom("contain"), lens, W, H)
-    a = build_lensmap(lens, cube_globe, scale, W, H)
-    b = build_lensmap(lens, cube_globe, scale, W, H)
+@pytest.mark.parametrize("name", FORWARD_ONLY)
+@pytest.mark.parametrize("use_native", [True, False], ids=["native", "python"])
+def test_forward_is_deterministic_and_native_matches(name, cube_globe, use_native):
+    """Two builds agree, and the native rasterizer equals the pure-Python
+    transcription for every forward-only lens (both are pinned to the
+    compiled reference C for a subset in tests/test_c_reference.py)."""
+    from blinky_tpu.lensmap.forward_raster import build_forward
+
+    lens = lenses.get(name, cube_globe)
+    scale = calc_scale(_fwd_zoom(name), lens, W, H)
+    a = build_forward(lens, cube_globe, scale, W, H, min(W, H), use_native=use_native)
+    b = build_forward(lens, cube_globe, scale, W, H, min(W, H), use_native=use_native)
     assert np.array_equal(np.asarray(a.flat_idx), np.asarray(b.flat_idx))
+    if use_native:
+        c = build_forward(lens, cube_globe, scale, W, H, min(W, H), use_native=False)
+        np.testing.assert_array_equal(np.asarray(a.flat_idx), np.asarray(c.flat_idx))
+        np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(c.valid))
+        np.testing.assert_array_equal(np.asarray(a.tint), np.asarray(c.tint))
 
 
 def test_forward_agrees_with_inverse_path(cube_globe):
