@@ -23,6 +23,29 @@ def main() -> None:
         for r in run_all(quick="--quick" in sys.argv):
             print(json.dumps(r))
         return
+    if "--sharded" in sys.argv:
+        # multi-device scaling (virtual CPU mesh or a pod slice) plus the
+        # single-chip B-scaling curve
+        import os
+
+        import jax
+
+        if os.environ.get("JAX_PLATFORMS") == "cpu":
+            # the axon TPU plugin ignores JAX_PLATFORMS; force the CPU
+            # platform so the virtual-device mesh takes effect
+            jax.config.update("jax_platforms", "cpu")
+
+        from blinky_tpu.bench.throughput import run_batch_scaling, run_sharded_scaling
+
+        if len(jax.devices()) > 1:
+            for r in run_sharded_scaling():
+                print(json.dumps({"metric": "sharded_weak_scaling", **r}))
+        else:
+            for r in run_batch_scaling():
+                print(json.dumps({"metric": "batch_scaling_1080p", **{
+                    k: round(v, 1) if isinstance(v, float) else v
+                    for k, v in r.items()}}))
+        return
     if "--quick" in sys.argv:
         batch, iters = 128, 3
     from blinky_tpu.bench.throughput import run_throughput

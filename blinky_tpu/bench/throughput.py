@@ -252,6 +252,73 @@ def run_pose_tracked_throughput(
     )
 
 
+def run_batch_scaling(width=1920, height=1080, platesize=1080,
+                      batches=(128, 256, 512, 1024), iters=4):
+    """B-scaling on one chip: fps vs batch width (the row-gather's
+    per-index cost amortizes over B lanes — docs/PERF.md §1)."""
+    g = globes.get("cube")
+    lens = lenses.get("panini", g)
+    scale = calc_scale(Zoom("fov", 180), lens, width, height)
+    lm = build_lensmap(lens, g, scale, width, height, platesize)
+    _sync(lm.flat_idx)
+    bg = jnp.zeros((height, width), jnp.uint8)
+    out = []
+    frames = None
+    for B in batches:
+        frames = None  # free the previous batch BEFORE allocating the next
+        frames = device_source(platesize, B, False, False)
+        _sync(frames)
+        step = make_gather_bench_step(iters)
+        _sync(step(frames, lm.flat_idx, lm.valid, bg))
+        t0 = time.perf_counter()
+        _sync(step(frames, lm.flat_idx, lm.valid, bg))
+        dt = (time.perf_counter() - t0) / iters
+        out.append(dict(batch=B, fps=B / dt, ms_per_batch=dt * 1000))
+    return out
+
+
+def run_sharded_scaling(width=640, height=480, platesize=480,
+                        per_device_batch=32, iters=4, reps=3):
+    """Weak-scaling curve over the available devices: frames DP-sharded,
+    screen rows space-sharded where the device count allows (SURVEY §5.8
+    — remap is embarrassingly parallel, communication = input fan-out /
+    output gather riding ICI).  On the virtual CPU mesh the absolute
+    numbers are meaningless; the curve validates that per-device work
+    stays flat as devices double."""
+    from blinky_tpu.kernels.remap import RemapKernel, remap_gather_impl
+    from blinky_tpu.parallel import make_mesh, shard_frames, shard_kernel
+
+    g = globes.get("cube")
+    lens = lenses.get("panini", g)
+    scale = calc_scale(Zoom("fov", 180), lens, width, height)
+    lm = build_lensmap(lens, g, scale, width, height, platesize,
+                       backend="numpy").to_numpy()
+    n_dev = len(jax.devices())
+    out = []
+    n = 1
+    step = jax.jit(remap_gather_impl)
+    while n <= n_dev:
+        n_space = 2 if n >= 4 else 1
+        mesh = make_mesh(n_data=n // n_space, n_space=n_space)
+        kernel = shard_kernel(RemapKernel(lm), mesh)
+        B = per_device_batch * (n // n_space)
+        frames = shard_frames(
+            np.asarray(device_source(platesize, B, False, False)), mesh)
+        args = (frames, kernel.flat_idx, kernel.valid, kernel.background)
+        _sync(step(*args))
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                _sync(step(*args))
+            times.append((time.perf_counter() - t0) / iters)
+        dt = min(times)
+        out.append(dict(devices=n, mesh=f"{n // n_space}x{n_space}", batch=B,
+                        fps=B / dt, fps_per_device=B / dt / n))
+        n *= 2
+    return out
+
+
 def run_per_frame_pose_throughput(
     width=1920, height=1080, platesize=1080, batch=16, reps=3,
     lens_name="panini", globe_name="cube", fov=180,

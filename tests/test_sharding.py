@@ -91,3 +91,66 @@ def test_sharded_expanded_and_rgba_paths():
     out2 = np.asarray(remap_sharded(RemapKernel(lm, pal), rgba, mesh))
     assert out2.dtype == np.uint32
     np.testing.assert_array_equal(out2, ref2)
+
+
+def test_remap_sharded_does_not_mutate_caller_kernel():
+    """remap_sharded shards a COPY (round-1 weak #7): the caller's kernel
+    must keep single-device operands and stay usable unsharded."""
+    import jax.numpy as jnp
+
+    k, frames = _setup()
+    before = np.asarray(k(jnp.asarray(frames)))
+    mesh = make_mesh(n_data=4, n_space=2)
+    out = remap_sharded(k, frames, mesh)
+    assert len(k.flat_idx.sharding.device_set) == 1
+    assert len(k.valid.sharding.device_set) == 1
+    after = np.asarray(k(jnp.asarray(frames)))
+    np.testing.assert_array_equal(before, after)
+    np.testing.assert_array_equal(np.asarray(out), before)
+
+
+def test_sharded_builder_matches_unsharded():
+    """build_lensmap_sharded (rows over "space") must bit-equal the plain
+    f32 device build, and its output must feed remap_sharded directly."""
+    from blinky_tpu.parallel import build_lensmap_sharded
+
+    W, H, S = 64, 48, 32
+    g = globes.get("cube")
+    lens = lenses.get("stereographic", g)
+    scale = calc_scale(Zoom("fov", 300), lens, W, H)
+    mesh = make_mesh(n_data=4, n_space=2)
+    lm_sh = build_lensmap_sharded(lens, g, scale, W, H, mesh, platesize=S)
+    lm = build_lensmap(lens, g, scale, W, H, S, backend="jax")
+    for f in ("plate", "px", "py", "valid", "tint", "flat_idx", "plates_used"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(lm_sh, f)), np.asarray(getattr(lm, f)), err_msg=f)
+    # row-sharded over the full mesh
+    assert len(lm_sh.flat_idx.sharding.device_set) == 8
+    k = RemapKernel(lm_sh, default_palette())
+    frames = synthetic_cubemap_batch(S, 16)
+    out = remap_sharded(k, frames, mesh, rubix=True)
+    ref = np.asarray(RemapKernel(lm.to_numpy(), default_palette())(
+        np.asarray(frames), rubix=True))
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_sharded_rgba_and_forward_lens():
+    from blinky_tpu.kernels.remap import frames_to_rgba
+
+    k, frames = _setup()
+    mesh = make_mesh(n_data=4, n_space=2)
+    rgba = frames_to_rgba(frames, default_palette())
+    out = remap_sharded(k, rgba, mesh)
+    import jax.numpy as jnp
+
+    ref = np.asarray(k(jnp.asarray(rgba)))
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+    g = globes.get("cube")
+    lens_f = lenses.get("sinusoidal", g)
+    scale = calc_scale(Zoom("contain"), lens_f, 64, 48)
+    lm_f = build_lensmap(lens_f, g, scale, 64, 48, 32)
+    kf = RemapKernel(lm_f, default_palette())
+    out_f = remap_sharded(kf, frames, mesh)
+    ref_f = np.asarray(kf(jnp.asarray(frames)))
+    np.testing.assert_array_equal(np.asarray(out_f), ref_f)
