@@ -128,12 +128,24 @@ def config4_batched_demo(quick=False):
     plain = run_throughput(batch=b_plain, iters=iters)
     rubix = run_gather_throughput(batch=b_rubix, iters=iters, rubix=True, rgba=False)
     rgba = run_gather_throughput(batch=b_rgba, iters=iters, rubix=False, rgba=True)
+    # plate compaction (kernels.remap.compact_planes): unused source
+    # planes dropped -> bigger batch in the same HBM -> higher fps
+    b_rubix_c, b_rgba_c, b_both_c = (96, 48, 32) if quick else (768, 384, 256)
+    rubix_c = run_gather_throughput(batch=b_rubix_c, iters=iters,
+                                    rubix=True, rgba=False, compact=True)
+    rgba_c = run_gather_throughput(batch=b_rgba_c, iters=iters,
+                                   rubix=False, rgba=True, compact=True)
+    both_c = run_gather_throughput(batch=b_both_c, iters=iters,
+                                   rubix=True, rgba=True, compact=True)
     return dict(
         config=4,
         name="batched 1080p demo reprojection",
         plain_fps=round(plain["fps"], 1),
         rubix_fps=round(rubix["fps"], 1),
         rgba_fps=round(rgba["fps"], 1),
+        rubix_compact_fps=round(rubix_c["fps"], 1),
+        rgba_compact_fps=round(rgba_c["fps"], 1),
+        rubix_rgba_compact_fps=round(both_c["fps"], 1),
         build_ms=round(plain["build_ms"], 1),
         rebuild_ms=round(plain["rebuild_ms"], 1),
     )

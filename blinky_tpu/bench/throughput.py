@@ -37,8 +37,9 @@ from blinky_tpu.palette import MAX_PLATES, default_palette, tint_lut
 
 def _sync(x) -> int:
     """Execution barrier that works through the axon relay: one-element
-    fetch (see module docstring)."""
-    return int(x.reshape(-1)[0])
+    fetch (see module docstring).  Indexes rather than reshapes — a device
+    reshape of a multi-GB operand allocates a full copy."""
+    return int(x[(0,) * x.ndim])
 
 
 def device_cubemap_batch(platesize, batch):
@@ -83,18 +84,30 @@ def make_gather_bench_step(iters: int):
     return step
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def device_source(platesize, batch, expanded, rgba):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def device_source(platesize, batch, expanded, rgba, plane_ids=None):
     """On-device synthetic source in any of the remap's source layouts.
 
     [NP, S, S, B] with NP = 12 when *expanded* (raw||tinted halves; the
     tinted half is a distinct deterministic pattern — remap timing is
     data-independent, and value-exactness of the tinted half is covered by
-    the CPU tests against ``create_palmap``), u32-packed when *rgba*."""
+    the CPU tests against ``create_palmap``), u32-packed when *rgba*.
+    *plane_ids* (static tuple) generates only that plane subset — the
+    compacted source of ``kernels.remap.compact_planes``, built directly
+    at compact size so the full-size source never exists in HBM."""
     S = platesize
-    NP = 2 * MAX_PLATES if expanded else MAX_PLATES
+    if plane_ids is None:
+        plane_ids = tuple(range(2 * MAX_PLATES if expanded else MAX_PLATES))
+    NP = len(plane_ids)
     shape = (NP, S, S, batch)
-    p = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    pos = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    # map position -> plane id with a static where-chain (a table gather
+    # here breaks XLA's iota fusion and materializes multi-GB i32 temps;
+    # a per-plane concatenate doubles peak HBM) — this stays elementwise
+    # and fuses straight into the u8/u32 output
+    p = jnp.full(shape, plane_ids[0], jnp.int32)
+    for k, pid in enumerate(plane_ids[1:], 1):
+        p = jnp.where(pos == k, jnp.int32(pid), p)
     py = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     px = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     b = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
@@ -119,10 +132,12 @@ def run_gather_throughput(
     zoom=Zoom("fov", 180),
     rubix=True,
     rgba=False,
+    compact=False,
 ):
     """Throughput of the expanded-source paths: rubix (raw||tinted u8),
-    RGBA (u32), or both.  See kernels/remap.py for why tint/decode live in
-    the source.  Returns a dict like :func:`run_throughput`."""
+    RGBA (u32), or both; *compact* drops unused source planes to afford a
+    larger batch.  See kernels/remap.py for why tint/decode live in the
+    source.  Returns a dict like :func:`run_throughput`."""
     from blinky_tpu.kernels.remap import RemapKernel
 
     g = globes.get(globe_name)
@@ -131,9 +146,20 @@ def run_gather_throughput(
     lm = build_lensmap(lens, g, scale, width, height, platesize)
     kernel = RemapKernel(lm, default_palette())
 
-    frames = device_source(platesize, batch, rubix, rgba)
+    if compact:
+        # drop unused source planes (kernels.remap.compact_planes): the
+        # freed HBM is what allows the larger batch the caller passes
+        from blinky_tpu.kernels.remap import compact_planes
+
+        plane_ids, cidx = compact_planes(lm.to_numpy(), rubix=rubix)
+        idx = jnp.asarray(cidx)
+        frames = device_source(platesize, batch, rubix, rgba, plane_ids)
+        nplanes = len(plane_ids)
+    else:
+        frames = device_source(platesize, batch, rubix, rgba)
+        idx = kernel.flat_idx_rubix if rubix else kernel.flat_idx
+        nplanes = int(frames.shape[0])
     _sync(frames)
-    idx = kernel.flat_idx_rubix if rubix else kernel.flat_idx
     bg = kernel.background_rgba if rgba else kernel.background
 
     step = make_gather_bench_step(iters)
@@ -144,7 +170,8 @@ def run_gather_throughput(
     fps = batch * iters / dt
     return dict(
         config=f"{lens_name}+{globe_name} {width}x{height} S={platesize} B={batch}"
-        + (" rubix" if rubix else "") + (" rgba" if rgba else ""),
+        + (" rubix" if rubix else "") + (" rgba" if rgba else "")
+        + (f" compact({nplanes}pl)" if compact else ""),
         fps=fps,
         ms_per_batch=dt / iters * 1000,
     )

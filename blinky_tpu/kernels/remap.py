@@ -129,6 +129,39 @@ def expanded_flat_idx(lensmap):
     return (fi + off).astype(xp.int32)
 
 
+def compact_planes(lensmap, rubix: bool = False):
+    """Renumber the gather indices onto only the source planes actually
+    referenced — the batch-HBM recovery knob for the rich-output paths.
+
+    The reference renders only displayed plates (``plates[i].display``,
+    ``fisheye.c:763-794``); here the analog is dropping unused planes from
+    the device-resident source.  panini@180 uses 5/6 plates, and the
+    expanded (raw||tinted) rubix layout rarely needs all 12 planes — at
+    1080p each dropped u8 plane frees ~1.17 MB x B of HBM (4x that for
+    RGBA), which buys a larger batch B, which is what the per-index
+    row-gather amortizes over (docs/PERF.md §1, §7).
+
+    Returns ``(plane_ids, flat_idx)``: the source planes to keep (indices
+    into the [MAX_PLATES, ...] or expanded [2*MAX_PLATES, ...] layout, in
+    ascending order) and int32 [H, W] gather indices into the compacted
+    ``[len(plane_ids), S, S]`` source.  Feed
+    ``frames[np.asarray(plane_ids)]`` (or a source generated per-plane) to
+    :func:`remap_gather_impl` with the returned indices.
+    """
+    lm = lensmap
+    S = lm.platesize
+    idx = np.asarray(expanded_flat_idx(lm) if rubix else lm.flat_idx)
+    valid = np.asarray(lm.valid)
+    planes = idx // (S * S)
+    used = np.unique(planes[valid])
+    if used.size == 0:
+        used = np.array([0], np.int64)
+    renumber = np.zeros(2 * MAX_PLATES, np.int32)
+    renumber[used] = np.arange(used.size, dtype=np.int32)
+    new_idx = np.where(valid, renumber[planes] * (S * S) + idx % (S * S), 0)
+    return tuple(int(p) for p in used), new_idx.astype(np.int32)
+
+
 def expand_frames_tinted(frames, palette, palmap=None) -> np.ndarray:
     """Host-side source expansion for the fast rubix path.
 

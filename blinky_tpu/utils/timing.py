@@ -42,10 +42,11 @@ def device_fetch_sync(x) -> int:
     """Execution barrier that works through relayed TPU backends where
     ``block_until_ready`` may return before device execution completes:
     fetching one element forces the producing computation to finish.
-    The reshape/index happens on-device; only one element crosses."""
+    Indexes (one-element slice) rather than reshapes — a device reshape of
+    a multi-GB operand allocates a full copy; only one element crosses."""
     import numpy as np
 
-    return int(np.asarray(x.reshape(-1)[0]))
+    return int(np.asarray(x[(0,) * getattr(x, "ndim", 0)]))
 
 
 @contextmanager

@@ -105,3 +105,57 @@ def test_single_frame_expanded(setup):
     ref = np.asarray(kernel(frame, rubix=True))
     out = np.asarray(kernel(expand_frames_tinted(frame, pal), rubix=True))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_compact_planes_matches_full_source():
+    """compact_planes drops unused source planes; gathering the compacted
+    source through the renumbered indices must equal the full remap, for
+    the plain, rubix-expanded and RGBA paths."""
+    import jax.numpy as jnp
+
+    from blinky_tpu import globes, lenses
+    from blinky_tpu.kernels.remap import (
+        RemapKernel, compact_planes, expand_frames_tinted, frames_to_rgba,
+        remap_gather_impl,
+    )
+    from blinky_tpu.io.cubemap import synthetic_cubemap_batch
+    from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+    from blinky_tpu.palette import default_palette
+
+    W, H, S, B = 64, 48, 32, 5
+    g = globes.get("cube")
+    lens = lenses.get("panini", g)  # fov 180: the back plate is unused
+    scale = calc_scale(Zoom("fov", 180), lens, W, H)
+    lm = build_lensmap(lens, g, scale, W, H, S, backend="numpy")
+    pal = default_palette()
+    k = RemapKernel(lm, pal)
+    frames = synthetic_cubemap_batch(S, B)
+
+    # plain u8
+    ids, cidx = compact_planes(lm)
+    assert len(ids) < 6 and 3 not in ids  # back plate dropped
+    full = np.asarray(k(jnp.asarray(frames)))
+    comp = np.asarray(remap_gather_impl(
+        jnp.asarray(frames[np.asarray(ids)]), jnp.asarray(cidx),
+        k.valid, k.background))
+    np.testing.assert_array_equal(comp, full)
+
+    # rubix via the expanded layout
+    ex = expand_frames_tinted(frames, pal)
+    ids_r, cidx_r = compact_planes(lm, rubix=True)
+    assert len(ids_r) < 12
+    full_r = np.asarray(k(jnp.asarray(ex), rubix=True))
+    comp_r = np.asarray(remap_gather_impl(
+        jnp.asarray(ex[np.asarray(ids_r)]), jnp.asarray(cidx_r),
+        k.valid, k.background))
+    np.testing.assert_array_equal(comp_r, full_r)
+
+    # RGBA u32 through the same compacted indices
+    rgba = frames_to_rgba(ex, pal)
+    bg_rgba = k.background_rgba
+    full_rgba = np.asarray(remap_gather_impl(
+        jnp.asarray(rgba), k.flat_idx_rubix, k.valid, bg_rgba))
+    comp_rgba = np.asarray(remap_gather_impl(
+        jnp.asarray(rgba[np.asarray(ids_r)]), jnp.asarray(cidx_r),
+        k.valid, bg_rgba))
+    np.testing.assert_array_equal(comp_rgba, full_rgba)
