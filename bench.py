@@ -48,9 +48,20 @@ def main() -> None:
         return
     if "--quick" in sys.argv:
         batch, iters = 128, 3
-    from blinky_tpu.bench.throughput import run_throughput
+    from blinky_tpu.bench.throughput import run_gather_throughput, run_throughput
 
-    r = run_throughput(batch=batch, iters=iters)
+    if "--quick" in sys.argv:
+        r = run_throughput(batch=batch, iters=iters)
+    else:
+        # headline: plate-compacted source (panini@180 uses 5/6 plates;
+        # kernels.remap.compact_planes) affords B=2048 in HBM — measured
+        # 28.5k fps vs 19k at B=1024 full (docs/PERF.md §7).  Fall back
+        # to the classic full-source config if the big batch ever OOMs.
+        try:
+            r = run_gather_throughput(batch=2048, iters=iters,
+                                      rubix=False, rgba=False, compact=True)
+        except Exception:
+            r = run_throughput(batch=batch, iters=iters)
     print(
         json.dumps(
             {
