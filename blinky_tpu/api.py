@@ -504,14 +504,19 @@ class Session:
         poses = np.asarray(poses, dtype=np.float64)
         bases = poses if poses.ndim == 3 else bases_from_pose_track(poses)
         scale = calc_scale(self.zoom, self.lens, self.width_px, self.height_px)
+        is_rgba = frames.dtype == np.uint32
         key = (id(self.lens), id(self.globe), scale, self.width_px,
                self.height_px, S, self.rubix_numcells, self.rubix_cell_size,
-               self.rubix_pad_size, id(self._background))
+               self.rubix_pad_size, id(self._background), is_rgba)
         cached = getattr(self, "_posed_cache", None)
         if cached is None or cached[0] != key:
             bg = self._background
             if bg is None:
                 bg = np.zeros((self.height_px, self.width_px), np.uint8)
+            if is_rgba:
+                from blinky_tpu.kernels.remap import frames_to_rgba
+
+                bg = frames_to_rgba(bg, self.palette)
             kernel = PosedRemapKernel(
                 self.lens, self.globe, self.width_px, self.height_px, scale,
                 platesize=S, numcells=self.rubix_numcells,

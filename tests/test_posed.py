@@ -97,3 +97,32 @@ def test_bases_from_pose_track_shape():
         f, r, u = b
         assert abs(np.dot(f, r)) < 1e-9 and abs(np.dot(f, u)) < 1e-9
         assert abs(np.linalg.norm(f) - 1) < 1e-9
+
+
+def test_session_render_posed(setup):
+    """Session.render_posed: u8 and RGBA sources, cache keyed per state."""
+    from blinky_tpu.api import Session
+    from blinky_tpu.palette import rgba_lut
+
+    g, lens, scale, frames, bases = setup
+    sess = Session(W, H, platesize=S)
+    out = np.asarray(sess.render_posed(frames, np.asarray(POSES)))
+    assert out.shape == (B, H, W)
+    # identity pose row must equal the static f32 device build's remap
+    # (render_posed uses the jitted f32 builder; sess.render's static path
+    # is the exact f64 host builder — boundary pixels legitimately differ)
+    lm = build_lensmap(lens, g, scale, W, H, S, backend="jax")
+    ident = np.asarray(RemapKernel(lm)(frames[..., :1]))[..., 0]
+    np.testing.assert_array_equal(out[0], ident)
+
+    # RGBA source: background decodes through the session palette
+    from blinky_tpu.kernels.remap import frames_to_rgba
+
+    rgba = frames_to_rgba(frames, sess.palette)
+    out_rgba = np.asarray(sess.render_posed(rgba, np.asarray(POSES)))
+    lut = rgba_lut(sess.palette)
+    np.testing.assert_array_equal(out_rgba, lut[out])
+
+    sess.cmd("fisheye 0")
+    with pytest.raises(ValueError):
+        sess.render_posed(frames, np.asarray(POSES))
