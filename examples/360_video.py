@@ -47,18 +47,21 @@ def main(outdir="warped_example"):
     sess.cmd("f_lens stereographic; f_fov 300")
     sess.cmd("f_rubix")  # show the plate indicatrix
 
-    # 3. batched reprojection, pose-tracked per batch, RGB out
+    # 3. batched reprojection with TRUE per-frame poses: one fused device
+    #    call per chunk builds every frame's own lensmap and remaps it
+    #    (kernels/posed.py; the reference recomposes plate cameras from
+    #    viewangles every frame — F_RenderView, fisheye.c:750,777-792)
     clock = FrameClock()
     wrote = 0
     for batch, n_valid in FrameBatchIterator(demo["frames"], BATCH):
-        pitch, yaw, roll = demo["poses"][min(wrote, N - 1)]
-        sess.cmd(f"setviewangles {pitch} {yaw} {roll}")
+        B = batch.shape[-1]
+        pidx = np.minimum(np.arange(wrote, wrote + B), N - 1)
         batch = expand_frames_tinted(batch, sess.palette)  # rubix fast path
-        screens = np.asarray(sess.render(batch, rubix=True))
+        screens = np.asarray(sess.render_posed(batch, demo["poses"][pidx]))
         clock.tick(n_valid)
         # 4. export
         for b in range(n_valid):
-            rgb = sess.palette[screens[..., b]]
+            rgb = sess.palette[screens[b]]
             (out / f"frame{wrote:05d}.ppm").write_bytes(encode_ppm(rgb))
             wrote += 1
     print(clock.report())
