@@ -50,17 +50,34 @@ def main() -> None:
         batch, iters = 128, 3
     from blinky_tpu.bench.throughput import run_gather_throughput, run_throughput
 
+    if "--headline-compact" in sys.argv:
+        # (internal) the compact attempt, run in its own process
+        r = run_gather_throughput(batch=2048, iters=iters,
+                                  rubix=False, rgba=False, compact=True)
+        print(json.dumps({"fps": r["fps"]}))
+        return
     if "--quick" in sys.argv:
         r = run_throughput(batch=batch, iters=iters)
     else:
         # headline: plate-compacted source (panini@180 uses 5/6 plates;
         # kernels.remap.compact_planes) affords B=2048 in HBM — measured
-        # 28.5k fps vs 19k at B=1024 full (docs/PERF.md §7).  Fall back
-        # to the classic full-source config if the big batch ever OOMs.
+        # 28.5k fps vs 19k at B=1024 full (docs/PERF.md §7).  The attempt
+        # runs in a SUBPROCESS: after a device OOM, later allocations in
+        # the same process cascade-fail (CLAUDE.md), so the fallback needs
+        # a clean process — and a crash there must not kill the headline.
+        import subprocess
+
+        r = None
         try:
-            r = run_gather_throughput(batch=2048, iters=iters,
-                                      rubix=False, rgba=False, compact=True)
-        except Exception:
+            out = subprocess.run(
+                [sys.executable, __file__, "--headline-compact"],
+                capture_output=True, text=True, timeout=900, check=True,
+            )
+            r = {"fps": json.loads(out.stdout.strip().splitlines()[-1])["fps"]}
+        except Exception as e:
+            print(f"compact headline attempt failed ({type(e).__name__}); "
+                  "falling back to the full-source config", file=sys.stderr)
+        if r is None:
             r = run_throughput(batch=batch, iters=iters)
     print(
         json.dumps(

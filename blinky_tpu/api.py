@@ -217,7 +217,11 @@ class Session:
     def _resolved_backend(self) -> str:
         """See the backend-policy note in ``__init__``."""
         if self.backend == "auto":
-            return "jax" if self.view_angles is not None else "numpy"
+            if self.view_angles is not None and getattr(self.lens, "jittable", True):
+                return "jax"
+            # non-jittable lenses (.lua drop-ins) always take the host
+            # builder, which supports view_basis too — just slower
+            return "numpy"
         return self.backend
 
     def _view_basis(self):
@@ -429,13 +433,16 @@ class Session:
         self._palette = np.asarray(pal, dtype=np.uint8)
         self._kernel = None
         self._plain_cache = None
+        self._posed_cache = None  # its RGBA background decodes the palette
 
     def set_background(self, background) -> None:
         """Set the underlay shown where the lensmap is unmapped (the
         reference's ``Draw_TileClear`` tile, ``fisheye.c:802``)."""
         self._background = np.asarray(background, dtype=np.uint8)
+        self._background_gen = getattr(self, "_background_gen", 0) + 1
         self._kernel = None  # rebuilt lazily in render() from the lensmap
         self._plain_cache = None
+        self._posed_cache = None
 
     def set_size(self, width: int, height: int, platesize: Optional[int] = None) -> None:
         self.width_px = int(width)
@@ -504,10 +511,17 @@ class Session:
         poses = np.asarray(poses, dtype=np.float64)
         bases = poses if poses.ndim == 3 else bases_from_pose_track(poses)
         scale = calc_scale(self.zoom, self.lens, self.width_px, self.height_px)
+        if not getattr(self.lens, "jittable", True):
+            raise ValueError(
+                "render_posed needs a jittable lens (a Python make(ctx) "
+                "module); .lua drop-ins run on the host builder only"
+            )
         is_rgba = frames.dtype == np.uint32
+        # keyed on a background GENERATION, not id(): a freed array's id
+        # can be reused and silently hit a stale cache entry
         key = (id(self.lens), id(self.globe), scale, self.width_px,
                self.height_px, S, self.rubix_numcells, self.rubix_cell_size,
-               self.rubix_pad_size, id(self._background), is_rgba)
+               self.rubix_pad_size, getattr(self, "_background_gen", 0), is_rgba)
         cached = getattr(self, "_posed_cache", None)
         if cached is None or cached[0] != key:
             bg = self._background

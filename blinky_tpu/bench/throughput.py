@@ -37,9 +37,10 @@ from blinky_tpu.palette import MAX_PLATES, default_palette, tint_lut
 
 def _sync(x) -> int:
     """Execution barrier that works through the axon relay: one-element
-    fetch (see module docstring).  Indexes rather than reshapes — a device
-    reshape of a multi-GB operand allocates a full copy."""
-    return int(x[(0,) * x.ndim])
+    fetch (see utils.timing.device_fetch_sync, the single implementation)."""
+    from blinky_tpu.utils.timing import device_fetch_sync
+
+    return device_fetch_sync(x)
 
 
 def device_cubemap_batch(platesize, batch):

@@ -121,7 +121,10 @@ def cmd_demo_import(args) -> int:
     poses = None
     if args.poses:
         poses = parse_pose_track(Path(args.poses).read_text())
-        if len(poses) != len(frames):
+        if len(poses) == 0:
+            print("note: pose file contains no poses; importing without a track")
+            poses = None
+        elif len(poses) != len(frames):
             print(f"note: {len(poses)} poses for {len(frames)} frames "
                   "(playback holds the last pose)")
     write_demo(args.out, frames, palette, poses)
@@ -156,6 +159,8 @@ def cmd_reproject(args) -> int:
         p, y, r = (float(v) for v in args.pose.split(","))
         sess.cmd(f"setviewangles {p} {y} {r}")
     poses = demo.get("poses") if args.follow_poses else None
+    if poses is not None and len(poses) == 0:
+        poses = None
     if args.follow_poses and poses is None:
         print("demo has no pose track; --follow-poses ignored")
 
@@ -164,13 +169,16 @@ def cmd_reproject(args) -> int:
     clock = FrameClock()
     wrote = 0
     stack = [] if args.format == "npz" else None
+    # rubix comes from --rubix or from session state (a user --cmd f_rubix);
+    # the per-frame-pose path needs the expanded source either way
+    want_rubix = bool(args.rubix or sess.rubix_enabled)
     palmap = None
-    if args.rubix:
+    if want_rubix:
         from blinky_tpu.palette import create_palmap
 
         palmap = create_palmap(sess.palette)  # hoisted out of the loop
     for batch_frames, n_valid in FrameBatchIterator(frames, args.batch):
-        if args.rubix:
+        if want_rubix:
             batch_frames = expand_frames_tinted(batch_frames, sess.palette,
                                                 palmap=palmap)
         if poses is not None:
@@ -184,8 +192,7 @@ def cmd_reproject(args) -> int:
                 0, -1,
             )
         else:
-            # rubix=None defers to session state (e.g. a user --cmd f_rubix)
-            out = np.asarray(sess.render(batch_frames, rubix=args.rubix or None))
+            out = np.asarray(sess.render(batch_frames, rubix=want_rubix))
         clock.tick(n_valid)
         for b in range(n_valid):
             img = out[..., b]

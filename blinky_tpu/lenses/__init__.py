@@ -90,6 +90,10 @@ class LensDef:
     max_fov: int
     max_vfov: int
     onload: Optional[str]
+    # False for lenses whose map functions cannot be traced by jax (e.g.
+    # .lua drop-ins interpreted scalar-by-scalar); such lenses run on the
+    # exact f64 host builder only.
+    jittable: bool = True
 
 
 def resolve(name: str, spec: dict) -> LensDef:
@@ -121,6 +125,7 @@ def resolve(name: str, spec: dict) -> LensDef:
         max_fov=int(spec.get("max_fov", 0) or 0),
         max_vfov=int(spec.get("max_vfov", 0) or 0),
         onload=spec.get("onload"),
+        jittable=bool(spec.get("jittable", True)),
     )
 
 

@@ -135,6 +135,7 @@ def load_lua_lens(path, globe=None):
         spec["lens_inverse"] = _vectorize_inverse(inv, interp)
     if fwd is not None:
         spec["lens_forward"] = _vectorize_forward(fwd, interp)
+    spec["jittable"] = False  # scalar interpreter: not jax-traceable
     for name in ("map", "onload"):
         v = interp.get_global(name)
         if v is not None:

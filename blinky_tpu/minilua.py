@@ -110,7 +110,11 @@ def _tokenize(src: str):
                 if src[j] in "eE":
                     seen_e = True
                 j += 1
-            toks.append(("num", float(src[i:j]), line))
+            try:
+                num = float(src[i:j])
+            except ValueError:
+                raise LuaError(f"line {line}: malformed number {src[i:j]!r}") from None
+            toks.append(("num", num, line))
             i = j
             continue
         if c.isalpha() or c == "_":

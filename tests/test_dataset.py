@@ -154,3 +154,23 @@ def test_parse_pose_track_errors():
         parse_pose_track("1 2\n")
     track = parse_pose_track("")
     assert track.shape[0] == 0
+
+
+def test_demo_import_empty_pose_file(tmp_path):
+    """An all-comment pose file must import as 'no track' (reproject
+    --follow-poses would otherwise crash on poses[-1])."""
+    from blinky_tpu import globes
+    from blinky_tpu.cli import main as cli_main
+    from blinky_tpu.io.cubemap import save_globe_pcx, synthetic_cubemap
+    from blinky_tpu.palette import default_palette
+
+    g = globes.get("cube")
+    save_globe_pcx(tmp_path / "f0_", synthetic_cubemap(16), g,
+                   default_palette(), with_margins=True)
+    poses = tmp_path / "poses.txt"
+    poses.write_text("// nothing here\n\n")
+    out = tmp_path / "d.npz"
+    cli_main(["demo-import", str(tmp_path), "--out", str(out),
+              "--poses", str(poses)])
+    demo = read_demo(out)
+    assert demo["poses"] is None

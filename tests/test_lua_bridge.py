@@ -164,3 +164,25 @@ def test_lua_forward_only_lens_in_session(tmp_path, cube):
     ref = Session(48, 36)
     ref.cmd("f_lens sinusoidal")
     np.testing.assert_array_equal(out_lua, np.asarray(ref.render(frames)))
+
+
+def test_lua_lens_with_view_rotation_stays_on_host_builder(tmp_path):
+    """A .lua lens is not jax-traceable; setviewangles must keep the
+    session on the f64 host builder (which supports view_basis) instead
+    of crashing in the jitted builder."""
+    import shutil
+
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.cubemap import synthetic_cubemap
+
+    shutil.copy(LUA_DIR / "lenses" / "hammer.lua", tmp_path / "h.lua")
+    sess = Session(48, 36, lens_dirs=[tmp_path])
+    sess.cmd("f_lens h")
+    assert not sess.lens.jittable
+    sess.cmd("setviewangles 10 20 0")
+    assert sess._resolved_backend() == "numpy"
+    frames = synthetic_cubemap(sess.platesize)
+    out = np.asarray(sess.render(frames))
+    assert out.shape == (36, 48)
+    with pytest.raises(ValueError, match="jittable"):
+        sess.render_posed(frames[..., None], np.zeros((1, 3)))

@@ -126,3 +126,29 @@ def test_session_render_posed(setup):
     sess.cmd("fisheye 0")
     with pytest.raises(ValueError):
         sess.render_posed(frames, np.asarray(POSES))
+
+
+def test_palette_and_background_changes_invalidate_posed_cache(setup):
+    from blinky_tpu.api import Session
+    from blinky_tpu.kernels.remap import frames_to_rgba
+
+    g, lens, scale, frames, bases = setup
+    sess = Session(W, H, platesize=S)
+    sess.cmd("f_lens hammer")  # contain fit leaves corners unmapped
+    poses = np.asarray(POSES)
+    rgba = frames_to_rgba(frames, sess.palette)
+    out1 = np.asarray(sess.render_posed(rgba, poses))
+    # palette swap changes the decoded RGBA background of unmapped pixels
+    pal = sess.palette.copy()
+    pal[0] = [40, 80, 120]
+    sess.palette = pal
+    out2 = np.asarray(sess.render_posed(frames_to_rgba(frames, pal), poses))
+    new_bg = 40 | (80 << 8) | (120 << 16) | (0xFF << 24)
+    assert (out2 == np.uint32(new_bg)).any(), "stale posed cache after palette swap"
+    assert not np.array_equal(out1, out2)
+    # background generation counter: successive set_background calls must
+    # not alias by a reused object id
+    for val in (3, 7, 11):
+        sess.set_background(np.full((H, W), val, np.uint8))
+        u8 = np.asarray(sess.render_posed(frames, poses))
+        assert (u8 == val).any(), f"stale background {val}"
