@@ -138,6 +138,51 @@ class PosedRemapKernel:
         )
 
 
+def posed_remap_sharded(kernel: PosedRemapKernel, frames, bases, mesh):
+    """Run the fused per-frame-pose pipeline with the POSE axis sharded
+    over the mesh's "data" axis.
+
+    The per-pose wall is the chip's per-index gather cost
+    (docs/PERF.md §6); the pose chunk is embarrassingly parallel across
+    frames, so sharding B over chips scales the sustained per-frame-pose
+    rate near-linearly — each device builds and gathers only its own pose
+    subset (XLA SPMD keeps every gather local).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    frames = jnp.asarray(frames)
+    if frames.dtype not in (jnp.uint8, jnp.uint32):
+        frames = frames.astype(jnp.uint8)
+    Pn, S, _, B = frames.shape
+    expanded = Pn == 2 * MAX_PLATES
+    if not expanded and Pn != MAX_PLATES:
+        frames = jnp.concatenate(
+            [frames, jnp.zeros((MAX_PLATES - Pn,) + frames.shape[1:], frames.dtype)],
+            axis=0,
+        )
+    bases = jnp.asarray(bases, dtype=kernel.dtype)
+    src = jnp.transpose(frames, (3, 0, 1, 2)).reshape(B, -1)
+    rows = NamedSharding(mesh, P("data", None))
+    vecs = NamedSharding(mesh, P("data", None))
+    src = jax.device_put(src, rows)
+    bf = jax.device_put(bases[:, 0], vecs)
+    br = jax.device_put(bases[:, 1], vecs)
+    bu = jax.device_put(bases[:, 2], vecs)
+    bg = jax.device_put(kernel.background, NamedSharding(mesh, P()))
+    fn = _compiled_posed_pipeline(
+        kernel.lens, kernel.globe, kernel.width_px, kernel.height_px,
+        kernel.platesize, expanded, kernel.dtype,
+    )
+    return fn(
+        src, bg, bf, br, bu,
+        jnp.asarray(kernel.scale, kernel.dtype),
+        jnp.asarray(kernel.numcells, kernel.dtype),
+        jnp.asarray(kernel.cell_size, kernel.dtype),
+        jnp.asarray(kernel.pad_size, kernel.dtype),
+    )
+
+
 def bases_from_pose_track(poses) -> np.ndarray:
     """[B, 3] (pitch, yaw, roll) degrees -> [B, 3, 3] basis array."""
     from blinky_tpu.camera import view_basis_from_angles
