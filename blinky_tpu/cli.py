@@ -119,6 +119,9 @@ def cmd_demo_import(args) -> int:
 
         palette = default_palette()
     poses = None
+    if args.poses and args.dem:
+        print("error: --poses and --dem are mutually exclusive")
+        return 2
     if args.poses:
         poses = parse_pose_track(Path(args.poses).read_text())
         if len(poses) == 0:
@@ -127,6 +130,22 @@ def cmd_demo_import(args) -> int:
         elif len(poses) != len(frames):
             print(f"note: {len(poses)} poses for {len(frames)} frames "
                   "(playback holds the last pose)")
+    elif args.dem:
+        # camera track straight from the engine's own recording
+        # (CL_WriteDemoMessage, cl_demo.c:77-92)
+        from blinky_tpu.io.demfile import lerp_pose_track, read_dem
+
+        dem = read_dem(args.dem)
+        poses = dem.poses
+        if len(poses) == 0:
+            print("note: .dem contains no messages; importing without a track")
+            poses = None
+        elif len(poses) != len(frames):
+            # frames interpolate between demo messages, exactly like
+            # playback does (CL_RelinkEntities, cl_main.c:567-576)
+            poses = lerp_pose_track(poses, len(frames))
+            print(f"note: resampled {len(dem)} demo messages to "
+                  f"{len(frames)} frame poses (engine lerp)")
     write_demo(args.out, frames, palette, poses)
     N, P, S, _ = frames.shape
     print(f"wrote {args.out}: {N} frames ({stems[0]} .. {stems[-1]}), "
@@ -335,6 +354,9 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="demo.npz")
     p.add_argument("--poses", default=None,
                    help="pose track text file: 'pitch yaw roll' per line (deg)")
+    p.add_argument("--dem", default=None,
+                   help="read the pose track from an engine .dem recording "
+                        "(resampled to frame count with the engine's lerp)")
     p.add_argument("--numplates", type=int, default=None,
                    help="plates per frame (default: inferred from indices)")
     p.add_argument("--palette", default=None,
