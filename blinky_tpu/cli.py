@@ -74,6 +74,16 @@ def cmd_remap(args) -> int:
     if path.endswith(".pcx"):
         with open(path, "wb") as f:
             f.write(encode_pcx(out, sess.palette))
+    elif path.endswith(".png"):
+        from blinky_tpu.io.png import encode_png
+
+        with open(path, "wb") as f:
+            f.write(encode_png(sess.palette[out]))
+    elif path.endswith(".ppm"):
+        from blinky_tpu.io.ppm import encode_ppm
+
+        with open(path, "wb") as f:
+            f.write(encode_ppm(sess.palette[out]))
     else:
         if not path.endswith(".npz"):
             path += ".npz"  # np.savez appends it; report the real file
@@ -153,6 +163,40 @@ def cmd_demo_import(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Interactive browser viewer: drag to look, console box, shortcut
+    keys — the optional vid-layer analog (SURVEY.md §2.5)."""
+    from blinky_tpu.api import Session
+    from blinky_tpu.viewer import Viewer
+
+    if args.demo:
+        from blinky_tpu.io.dataset import read_demo
+
+        demo = read_demo(args.demo)
+        frames, pal = demo["frames"], demo["palette"]
+    else:
+        from blinky_tpu.io.cubemap import synthetic_cubemap
+        from blinky_tpu.palette import default_palette
+
+        frames = synthetic_cubemap(args.platesize)[None]
+        pal = default_palette()
+    user_pal = _load_palette(args.palette)
+    if user_pal is not None:
+        pal = user_pal
+    sess = Session(args.width, args.height, platesize=frames.shape[2],
+                   palette=pal, echo=True)
+    sess.cmd("f_shortcutkeys")  # toggle ON: the reference's lens/globe key binds
+    for c in args.cmd:
+        sess.cmd(c)
+    viewer = Viewer(sess, frames, host=args.host, port=args.port)
+    print(f"serving {len(frames)} frame(s) at {viewer.address} — Ctrl-C to stop")
+    try:
+        viewer.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def cmd_reproject(args) -> int:
     """Batch-reproject a demo container through a lens — the framework's
     ``timedemo``-style offline pipeline (BASELINE config 4)."""
@@ -219,6 +263,10 @@ def cmd_reproject(args) -> int:
                 (outdir / f"frame{wrote:06d}.pcx").write_bytes(encode_pcx(img, sess.palette))
             elif args.format == "ppm":
                 (outdir / f"frame{wrote:06d}.ppm").write_bytes(encode_ppm(sess.palette[img]))
+            elif args.format == "png":
+                from blinky_tpu.io.png import encode_png
+
+                (outdir / f"frame{wrote:06d}.png").write_bytes(encode_png(sess.palette[img]))
             else:
                 stack.append(img)
             wrote += 1
@@ -372,9 +420,22 @@ def main(argv=None) -> int:
                    help="rotate the view within the recorded plates (deg)")
     p.add_argument("--follow-poses", action="store_true",
                    help="track the demo's pose stream (per batch)")
-    p.add_argument("--format", default="pcx", choices=["pcx", "ppm", "npz"])
+    p.add_argument("--format", default="pcx", choices=["pcx", "ppm", "png", "npz"])
     p.add_argument("--outdir", default="warped")
     p.set_defaults(fn=cmd_reproject)
+
+    p = sub.add_parser(
+        "serve",
+        help="interactive browser viewer (drag to look, console, shortcut keys)",
+    )
+    _add_session_args(p)
+    p.add_argument("--demo", default=None,
+                   help="demo .npz to play (default: one synthetic cubemap)")
+    p.add_argument("--platesize", type=int, default=256,
+                   help="synthetic cubemap platesize when no --demo")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8666)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("gallery", help="render every lens to an image dir")
     p.add_argument("--width", type=int, default=480)

@@ -1,0 +1,126 @@
+"""Minimal PNG codec (stdlib ``zlib`` only) for RGB/grayscale export.
+
+The reference's only image export is palette PCX (``WritePCXfile``,
+``common/screen.c:681``); this adds the web-native container the browser
+viewer (``cli serve``) and the video-export pipeline need, with zero new
+dependencies.  Encoder emits 8-bit color type 2 (RGB) or 0 (gray) with
+filter 0 scanlines; the decoder accepts any standard filter (0-4) on
+those color types so third-party RGB PNGs round-trip too.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    raw = tag + body
+    return struct.pack(">I", len(body)) + raw + struct.pack(
+        ">I", zlib.crc32(raw) & 0xFFFFFFFF
+    )
+
+
+def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
+    """[H, W, 3] or [H, W] uint8 -> PNG bytes."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color_type, channels = 0, 1
+        img = img[..., None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, channels = 2, 3
+    else:
+        raise ValueError("encode_png expects [H, W, 3] RGB or [H, W] gray")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 (None) per scanline
+    scan = np.empty((h, 1 + w * channels), np.uint8)
+    scan[:, 0] = 0
+    scan[:, 1:] = img.reshape(h, w * channels)
+    idat = zlib.compress(scan.tobytes(), compress_level)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(scan: np.ndarray, channels: int) -> np.ndarray:
+    """Undo PNG scanline filters (spec §6); scan is [H, 1 + W*C] u8."""
+    h = scan.shape[0]
+    stride = scan.shape[1] - 1
+    out = np.zeros((h, stride), np.int32)
+    bpp = channels
+    for y in range(h):
+        f = int(scan[y, 0])
+        cur = scan[y, 1:].astype(np.int32)
+        prev = out[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:
+            out[y] = cur
+        elif f == 2:  # Up
+            out[y] = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need a left scan
+            row = out[y]
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 1:
+                    v = cur[x] + a
+                elif f == 3:
+                    v = cur[x] + ((a + b) >> 1)
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = cur[x] + pr
+                row[x] = v & 0xFF
+        else:
+            raise ValueError(f"unsupported PNG filter {f}")
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> [H, W, 3] uint8 (RGB) or [H, W] (gray).
+
+    Supports what :func:`encode_png` emits plus standard filters:
+    8-bit, color type 0 or 2, no interlace, no palette.
+    """
+    if not data.startswith(_SIG):
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = len(_SIG), None, b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if crc != zlib.crc32(tag + body) & 0xFFFFFFFF:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (0, 2) or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={color_type} "
+            f"interlace={interlace}); decoder handles 8-bit gray/RGB only"
+        )
+    channels = 3 if color_type == 2 else 1
+    raw = zlib.decompress(idat)
+    stride = 1 + w * channels
+    if len(raw) != h * stride:
+        raise ValueError("PNG data size mismatch")
+    scan = np.frombuffer(raw, np.uint8).reshape(h, stride)
+    img = _unfilter(scan, channels).reshape(h, w, channels)
+    return img[..., 0] if channels == 1 else img

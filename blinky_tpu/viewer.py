@@ -1,0 +1,241 @@
+"""Interactive browser viewer: the optional vid-layer analog.
+
+The reference is an interactive program — ``VID_Update`` blits the
+8-bit framebuffer to a window (``include/vid.h:141``), ``Key_Event``
+feeds binds (``common/keys.c``), and the whole fisheye surface is driven
+live from the console.  SURVEY.md §2.5 scopes the video backend out as
+"framework emits arrays/files; optional viewer" — this module is that
+viewer: a single-threaded ``http.server`` that renders demo frames
+through the live :class:`~blinky_tpu.api.Session` on request and serves
+a page with
+
+* drag-to-look (``setviewangles`` — the reference pans by re-rendering
+  plates from ``cl.viewangles``, ``fisheye.c:750``; with recorded plates
+  the rotation composes into the lensmap),
+* the reference's shortcut keys (``f_shortcutkeys``: 1-9 lenses,
+  y/u/i/o/p globes, ``fisheye.c:984-997``) forwarded to
+  :meth:`Session.press_key`,
+* a console box speaking the full ``f_*`` vocabulary, and
+* frame playback over the demo container.
+
+Single-threaded by design: ``HTTPServer`` (not the threading variant)
+serializes requests, so the Session and the device are never touched
+concurrently.  Binds to localhost by default; PNG encoding is the
+stdlib-only codec in :mod:`blinky_tpu.io.png`.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from blinky_tpu.io.png import encode_png
+
+_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>blinky-tpu</title><style>
+ body { background:#111; color:#ddd; font:14px monospace; margin:16px; }
+ #frame { image-rendering:pixelated; cursor:grab; border:1px solid #333; }
+ #console { width:640px; background:#000; color:#8f8; border:1px solid #333;
+            padding:4px; font:13px monospace; }
+ #log { width:640px; height:10em; overflow-y:scroll; background:#000;
+        border:1px solid #333; padding:4px; white-space:pre-wrap; }
+ #hud { color:#888; margin:4px 0; }
+ button { background:#222; color:#ddd; border:1px solid #444; }
+</style></head><body>
+<div id="hud">loading…</div>
+<img id="frame" draggable="false">
+<div id="hud2">
+ <button id="play">pause</button>
+ keys: 1-9 lenses, y/u/i/o/p globes (f_shortcutkeys) — drag to look
+</div>
+<div id="log"></div>
+<input id="console" placeholder="console: f_lens quincuncial; f_fov 360 …">
+<script>
+const img = document.getElementById('frame');
+const log = document.getElementById('log');
+const hud = document.getElementById('hud');
+let n = 1, fps = 10, playing = true, t0 = Date.now(), base = 0;
+let pitch = 0, yaw = 0, busy = false;
+function logLines(lines) {
+  if (!lines || !lines.length) return;
+  log.textContent += lines.join('\\n') + '\\n';
+  log.scrollTop = log.scrollHeight;
+}
+async function refresh() {
+  if (busy) return;           // never queue device work
+  busy = true;
+  const i = playing ? Math.floor(base + (Date.now()-t0)/1000*fps) % n : base % n;
+  try {
+    const r = await fetch('/frame.png?i=' + i, {cache:'no-store'});
+    const blob = await r.blob();
+    const url = URL.createObjectURL(blob);
+    img.onload = () => URL.revokeObjectURL(url);
+    img.src = url;
+    hud.textContent = r.headers.get('X-Status') || '';
+  } finally { busy = false; }
+}
+async function state() {
+  const s = await (await fetch('/state')).json();
+  n = Math.max(1, s.frames);
+  logLines(s.console);
+}
+async function cmd(c) {
+  const s = await (await fetch('/cmd?c=' + encodeURIComponent(c))).json();
+  logLines(s.console);
+}
+document.getElementById('console').addEventListener('keydown', e => {
+  if (e.key === 'Enter' && e.target.value.trim()) {
+    logLines(['> ' + e.target.value]);
+    cmd(e.target.value); e.target.value = '';
+  }
+  e.stopPropagation();
+});
+document.addEventListener('keydown', async e => {
+  if (e.target.id === 'console' || e.key.length !== 1) return;
+  const s = await (await fetch('/key?k=' + encodeURIComponent(e.key))).json();
+  logLines(s.console);
+});
+document.getElementById('play').onclick = e => {
+  if (playing) { base = Math.floor(base + (Date.now()-t0)/1000*fps); }
+  else { t0 = Date.now(); }
+  playing = !playing;
+  e.target.textContent = playing ? 'pause' : 'play';
+};
+let drag = null;
+img.addEventListener('pointerdown', e => {
+  drag = {x: e.clientX, y: e.clientY, pitch, yaw};
+  img.setPointerCapture(e.pointerId);
+});
+img.addEventListener('pointermove', e => {
+  if (!drag) return;
+  yaw = drag.yaw + (e.clientX - drag.x) * 0.4;
+  pitch = Math.max(-90, Math.min(90, drag.pitch - (e.clientY - drag.y) * 0.4));
+  cmd('setviewangles ' + pitch.toFixed(1) + ' ' + yaw.toFixed(1) + ' 0');
+});
+img.addEventListener('pointerup', () => drag = null);
+state().then(() => setInterval(refresh, 50));
+</script></body></html>
+"""
+
+
+class Viewer:
+    """Serve a :class:`Session` + demo frames over HTTP for live viewing.
+
+    ``frames``: [N, P, S, S] u8 (a demo container's frames) or one
+    [P, S, S] cubemap.  All rendering happens in the request handler —
+    one frame per ``/frame.png`` — through ``session.render``.
+    """
+
+    def __init__(self, session, frames, host: str = "127.0.0.1",
+                 port: int = 0):
+        frames = np.asarray(frames, dtype=np.uint8)
+        if frames.ndim == 3:
+            frames = frames[None]
+        if frames.ndim != 4:
+            raise ValueError("Viewer frames must be [N, P, S, S] or [P, S, S]")
+        self.session = session
+        self.frames = frames
+        self._drained = 0  # console lines already delivered to the page
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet access log
+                pass
+
+            def _send(self, code, body, ctype, extra=()):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                for k, v in extra:
+                    self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _console_json(self):
+                lines = viewer.session.console[viewer._drained:]
+                viewer._drained = len(viewer.session.console)
+                return json.dumps({"console": lines}).encode()
+
+            def do_GET(self):
+                try:
+                    url = urlparse(self.path)
+                    q = parse_qs(url.query)
+                    if url.path == "/":
+                        self._send(200, _PAGE.encode(), "text/html")
+                    elif url.path == "/frame.png":
+                        i = int(q.get("i", ["0"])[0]) % len(viewer.frames)
+                        png, status = viewer.render_png(i)
+                        self._send(200, png, "image/png",
+                                   extra=[("X-Status", status)])
+                    elif url.path == "/cmd":
+                        viewer.session.cmd(q.get("c", [""])[0])
+                        self._send(200, self._console_json(),
+                                   "application/json")
+                    elif url.path == "/key":
+                        viewer.session.press_key(q.get("k", [""])[0])
+                        self._send(200, self._console_json(),
+                                   "application/json")
+                    elif url.path == "/state":
+                        self._send(200, viewer.state_json(),
+                                   "application/json")
+                    else:
+                        self._send(404, b"not found", "text/plain")
+                except BrokenPipeError:
+                    pass
+                except Exception as e:  # surface errors to the page
+                    self._send(500, f"{type(e).__name__}: {e}".encode(),
+                               "text/plain")
+
+        # single-threaded: serializes Session/device access
+        self._httpd = HTTPServer((host, port), Handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def address(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def render_png(self, i: int):
+        """Render frame ``i`` through the live session -> (PNG bytes,
+        one-line status)."""
+        sess = self.session
+        screen = np.asarray(sess.render(self.frames[i]))
+        png = encode_png(sess.palette[screen])
+        status = (f"frame {i}/{len(self.frames)}  "
+                  f"{sess.width_px}x{sess.height_px}  "
+                  f"f_lens {sess.lens_name}  f_globe {sess.globe_name}  "
+                  f"{sess.zoom.command() or ''}")
+        return png, status
+
+    def state_json(self) -> bytes:
+        sess = self.session
+        lines = sess.console[self._drained:]
+        self._drained = len(sess.console)
+        return json.dumps({
+            "frames": len(self.frames),
+            "width": sess.width_px, "height": sess.height_px,
+            "lens": sess.lens_name, "globe": sess.globe_name,
+            "zoom": sess.zoom.command(),
+            "console": lines,
+        }).encode()
+
+    def start(self) -> str:
+        """Serve in a daemon thread; returns the URL."""
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self.address
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)

@@ -1,0 +1,111 @@
+"""Browser viewer (viewer.py): endpoints driven over real HTTP."""
+
+import json
+from urllib.request import urlopen
+
+import numpy as np
+import pytest
+
+from blinky_tpu.api import Session
+from blinky_tpu.io.cubemap import synthetic_cubemap
+from blinky_tpu.io.png import decode_png
+from blinky_tpu.viewer import Viewer
+
+
+@pytest.fixture
+def served():
+    sess = Session(64, 48, platesize=32)
+    sess.cmd("f_shortcutkeys")
+    frames = np.stack([np.roll(synthetic_cubemap(32), i, axis=2)
+                       for i in range(3)])
+    v = Viewer(sess, frames)
+    v.start()
+    yield v, sess
+    v.stop()
+
+
+def _get(v, path):
+    with urlopen(v.address + path, timeout=30) as r:
+        return r.status, dict(r.headers), r.read()
+
+
+def test_page_and_state(served):
+    v, _ = served
+    code, _, body = _get(v, "/")
+    assert code == 200 and b"blinky-tpu" in body
+    code, _, body = _get(v, "/state")
+    st = json.loads(body)
+    assert st["frames"] == 3
+    assert st["lens"] == "panini" and st["zoom"] == "f_fov 180"
+    assert urlopen_status(v, "/nope") == 404
+
+
+def test_frame_render_and_commands(served):
+    v, sess = served
+    code, headers, body = _get(v, "/frame.png?i=1")
+    assert code == 200
+    img = decode_png(body)
+    assert img.shape == (48, 64, 3)
+    assert "f_lens panini" in headers["X-Status"]
+
+    # console over HTTP changes the live session; new output is drained
+    code, _, body = _get(v, "/cmd?c=f_lens%20hammer%3B%20f_rubix")
+    lines = json.loads(body)["console"]
+    assert any("f_lens hammer" in ln for ln in lines)
+    assert sess.lens_name == "hammer" and sess.rubix_enabled
+    _, headers, body2 = _get(v, "/frame.png?i=1")
+    assert "f_lens hammer" in headers["X-Status"]
+    assert decode_png(body2).shape == (48, 64, 3)
+
+    # drag-to-look: setviewangles rebuilds and still renders
+    _get(v, "/cmd?c=setviewangles%2010%2045%200")
+    code, _, body3 = _get(v, "/frame.png?i=0")
+    assert code == 200 and body3 != body2
+
+    # frame index wraps modulo N
+    _, h4, _ = _get(v, "/frame.png?i=4")
+    assert "frame 1/3" in h4["X-Status"]
+
+
+def test_shortcut_keys_over_http(served):
+    """The reference's f_shortcutkeys binds (fisheye.c:984-997) work from
+    the page: key '3' switches the lens."""
+    v, sess = served
+    _, _, body = _get(v, "/key?k=3")
+    assert sess.lens_name != "panini"
+    lines = json.loads(body)["console"]
+    assert any("f_lens" in ln for ln in lines)
+    # unbound key: no-op, no output
+    _, _, body = _get(v, "/key?k=z")
+    assert json.loads(body)["console"] == []
+
+
+def test_render_error_surfaces_as_500(served):
+    v, _ = served
+
+    def boom(i):
+        raise RuntimeError("injected")
+
+    v.render_png = boom
+    assert urlopen_status(v, "/frame.png?i=0") == 500
+    # a bad query param also comes back as 500, not a hung socket
+    assert urlopen_status(v, "/frame.png?i=zap") == 500
+
+
+def urlopen_status(v, path):
+    from urllib.error import HTTPError
+
+    try:
+        with urlopen(v.address + path, timeout=30) as r:
+            return r.status
+    except HTTPError as e:
+        return e.code
+
+
+def test_viewer_input_validation():
+    sess = Session(32, 24, platesize=16)
+    with pytest.raises(ValueError, match="frames"):
+        Viewer(sess, np.zeros((4, 4), np.uint8))
+    # a single [P, S, S] cubemap is promoted to one frame
+    v = Viewer(sess, synthetic_cubemap(16))
+    assert v.frames.shape[0] == 1
