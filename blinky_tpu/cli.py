@@ -345,8 +345,13 @@ def cmd_parity(args) -> int:
     from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
     from blinky_tpu.parity.oracle import oracle_inverse_lensmap
 
-    g = globes.get(args.globe)
-    lens = lenses.get(args.lens, g)
+    def _is_script(s):
+        return s.endswith((".py", ".lua")) or "/" in s
+
+    g = (globes.load_globe_module(args.globe) if _is_script(args.globe)
+         else globes.get(args.globe))
+    lens = (lenses.load_lens_module(args.lens, g) if _is_script(args.lens)
+            else lenses.get(args.lens, g))
     zoom = Zoom(args.zoom, args.fov)
     scale = calc_scale(zoom, lens, args.width, args.height)
     S = min(args.width, args.height)

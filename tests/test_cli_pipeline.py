@@ -92,3 +92,52 @@ def test_load_palette_dispatch(tmp_path):
     txt = tmp_path / "palette"
     txt.write_text(save_dumppal(pal))
     np.testing.assert_array_equal(_load_palette(str(txt)), pal)
+
+
+def test_parity_cli_builtin_and_user_scripts(tmp_path, capsys):
+    """The parity subcommand resolves builtins by name and user lens
+    scripts (.py / .lua drop-ins) by path, exit code = mismatch count."""
+    import json
+
+    from blinky_tpu.cli import main as cli_main
+
+    rc = cli_main(["parity", "--lens", "panini", "--globe", "cube",
+                   "--width", "48", "--height", "36"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and rep["total"] == 0
+
+    lua = tmp_path / "ortho.lua"
+    lua.write_text(
+        "max_fov = 180\nmax_vfov = 180\n"
+        "lens_width = 2\nlens_height = 2\n"
+        "onload = \"f_contain\"\n"
+        "function lens_inverse(x,y)\n"
+        "   local r2 = x*x + y*y\n"
+        "   if r2 > 1 then return nil end\n"
+        "   return x, y, sqrt(1-r2)\n"
+        "end\n"
+        "function lens_forward(x,y,z)\n"
+        "   if z < 0 then return nil end\n"
+        "   return x, y\n"
+        "end\n")
+    rc = cli_main(["parity", "--lens", str(lua), "--globe", "cube",
+                   "--width", "48", "--height", "36"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and rep["total"] == 0 and rep["map_type"] == "inverse"
+
+    py = tmp_path / "ortho.py"
+    py.write_text(
+        "from blinky_tpu import xmath as m\n"
+        "def make(ctx):\n"
+        "    def lens_inverse(x, y):\n"
+        "        r2 = x*x + y*y\n"
+        "        return x, y, m.sqrt(1-r2), r2 <= 1\n"
+        "    def lens_forward(x, y, z):\n"
+        "        return x, y, z >= 0\n"
+        "    return dict(lens_inverse=lens_inverse, lens_forward=lens_forward,\n"
+        "                max_fov=180, max_vfov=180, lens_width=2,\n"
+        "                lens_height=2, onload='f_contain')\n")
+    rc = cli_main(["parity", "--lens", str(py), "--globe", "cube",
+                   "--width", "48", "--height", "36"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and rep["total"] == 0
