@@ -1,0 +1,26 @@
+"""The shipped examples must keep running end-to-end (at toy sizes)."""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+EXAMPLES = Path(__file__).resolve().parent.parent / "examples"
+
+
+def test_360_video_example(tmp_path):
+    spec = importlib.util.spec_from_file_location(
+        "example_360", EXAMPLES / "360_video.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["example_360"] = spec.loader.exec_module(mod) or mod
+    # toy sizes so the whole pipeline runs in seconds on the CPU mesh
+    mod.W, mod.H, mod.S, mod.N, mod.BATCH = 64, 48, 32, 6, 3
+    mod.main(tmp_path / "out")
+    ppms = sorted((tmp_path / "out").glob("*.ppm"))
+    assert len(ppms) == 6
+    from blinky_tpu.io.ppm import decode_ppm
+
+    first = decode_ppm(ppms[0].read_bytes())
+    last = decode_ppm(ppms[-1].read_bytes())
+    assert first.shape == (48, 64, 3)
+    # the example pans 90 degrees over the sequence — frames must differ
+    assert (first != last).any()
