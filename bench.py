@@ -23,6 +23,17 @@ def main() -> None:
         for r in run_all(quick="--quick" in sys.argv):
             print(json.dumps(r))
         return
+    if "--sol" in sys.argv:
+        # speed-of-light probes: reproduce docs/PERF.md's roofline and
+        # losing-formulation measurements (one JSON line per probe)
+        import jax
+
+        from blinky_tpu.bench.sol import run_sol
+
+        interp = jax.devices()[0].platform not in ("tpu", "axon")
+        for r in run_sol(quick="--quick" in sys.argv, interpret=interp):
+            print(json.dumps({"metric": "speed_of_light_probe", **r}))
+        return
     if "--sharded" in sys.argv:
         # multi-device scaling (virtual CPU mesh or a pod slice) plus the
         # single-chip B-scaling curve
