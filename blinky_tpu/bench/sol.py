@@ -67,10 +67,9 @@ def stream_copy(nbytes: int, iters: int = 8) -> dict:
 
         return jax.lax.fori_loop(0, iters, body, x)
 
-    t = _run_timed(probe, x)
-    moved = 2.0 * n * 1024 * iters
+    t = _run_timed(probe, x) / iters  # ms is per-iteration, like every probe
     return dict(probe="stream_copy", bytes=n * 1024, iters=iters,
-                ms=round(t * 1e3, 3), gbps=round(moved / t / 1e9, 1))
+                ms=round(t * 1e3, 3), gbps=round(2.0 * n * 1024 / t / 1e9, 1))
 
 
 def _gather_probe(name, src_shape, n_idx, iters, row: bool) -> dict:

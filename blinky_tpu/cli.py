@@ -27,6 +27,15 @@ def _add_session_args(p):
     p.add_argument("--palette", default=None,
                    help="palette source: a .pak (gfx/palette.lmp inside), "
                         "a raw 768-byte .lmp, or an f_dumppal text file")
+    p.add_argument("--lens-dir", action="append", default=[],
+                   help="directory of user lens scripts (.py / .lua), repeatable")
+    p.add_argument("--globe-dir", action="append", default=[],
+                   help="directory of user globe scripts (.py / .lua), repeatable")
+
+
+def _script_dirs(args) -> dict:
+    """Session kwargs for the user script dirs (docs/SCRIPTING.md)."""
+    return dict(lens_dirs=args.lens_dir, globe_dirs=args.globe_dir)
 
 
 def _load_palette(spec):
@@ -57,7 +66,7 @@ def cmd_remap(args) -> int:
     from blinky_tpu.io.cubemap import load_globe_pcx, synthetic_cubemap
     from blinky_tpu.io.pcx import encode_pcx
 
-    sess = Session(args.width, args.height, echo=True)
+    sess = Session(args.width, args.height, echo=True, **_script_dirs(args))
     user_pal = _load_palette(args.palette)
     if user_pal is not None:
         sess.palette = user_pal
@@ -120,6 +129,9 @@ def cmd_demo_import(args) -> int:
 
     from blinky_tpu.io.dataset import import_saveglobe_dir, parse_pose_track, write_demo
 
+    if args.poses and args.dem:  # before the (possibly long) dump decode
+        print("error: --poses and --dem are mutually exclusive")
+        return 2
     frames, palette, stems = import_saveglobe_dir(args.dir, numplates=args.numplates)
     user_pal = _load_palette(args.palette)
     if user_pal is not None:
@@ -129,9 +141,6 @@ def cmd_demo_import(args) -> int:
 
         palette = default_palette()
     poses = None
-    if args.poses and args.dem:
-        print("error: --poses and --dem are mutually exclusive")
-        return 2
     if args.poses:
         poses = parse_pose_track(Path(args.poses).read_text())
         if len(poses) == 0:
@@ -184,7 +193,7 @@ def cmd_serve(args) -> int:
     if user_pal is not None:
         pal = user_pal
     sess = Session(args.width, args.height, platesize=frames.shape[2],
-                   palette=pal, echo=True)
+                   palette=pal, echo=True, **_script_dirs(args))
     sess.cmd("f_shortcutkeys")  # toggle ON: the reference's lens/globe key binds
     for c in args.cmd:
         sess.cmd(c)
@@ -215,7 +224,8 @@ def cmd_reproject(args) -> int:
     if user_pal is not None:
         pal = user_pal
     N, P, S, _ = frames.shape
-    sess = Session(args.width, args.height, platesize=S, palette=pal, echo=True)
+    sess = Session(args.width, args.height, platesize=S, palette=pal,
+                   echo=True, **_script_dirs(args))
     for c in args.cmd:
         sess.cmd(c)
     if args.pose:

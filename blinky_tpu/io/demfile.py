@@ -28,6 +28,7 @@ but their sizes are kept for diagnostics and faithful round-trips.
 
 from __future__ import annotations
 
+import re
 import struct
 from dataclasses import dataclass
 from pathlib import Path
@@ -70,16 +71,17 @@ def read_dem(src, keep_messages: bool = False) -> DemFile:
         name = str(src)
 
     # --- header: CD track line (cl_demo.c:315-333) ---
-    header = bytes(c & 127 for c in data[:12])
-    nl = header.find(b"\n")
+    # The engine tests the UNMASKED byte for '\n' but stores each char
+    # masked & 127, then parses with sscanf("%d") — a PREFIX parse that
+    # skips leading whitespace and ignores trailing junk.
+    nl = data[:12].find(b"\n")
     if nl < 0:
         raise ValueError(f"demo {name!r} is invalid (no newline in header)")
-    try:
-        cdtrack = int(header[:nl].decode("ascii").strip() or "x")
-    except ValueError:
-        raise ValueError(
-            f"invalid cd track {header[:nl]!r} in demo {name}"
-        ) from None
+    header = bytes(c & 127 for c in data[:nl])
+    m = re.match(rb"\s*[+-]?\d+", header)
+    if m is None:
+        raise ValueError(f"invalid cd track {header!r} in demo {name}")
+    cdtrack = int(m.group())
 
     # --- message blocks ---
     off = nl + 1

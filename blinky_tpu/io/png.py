@@ -51,35 +51,45 @@ def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
 
 
 def _unfilter(scan: np.ndarray, channels: int) -> np.ndarray:
-    """Undo PNG scanline filters (spec §6); scan is [H, 1 + W*C] u8."""
+    """Undo PNG scanline filters (spec §6); scan is [H, 1 + W*C] u8.
+
+    None/Up are whole-row vector ops and Sub is a per-channel cumulative
+    sum; Average/Paeth have a true left-to-right dependency, so they run
+    one x-step at a time with all channels vectorized (W iterations per
+    row, not W*C)."""
     h = scan.shape[0]
     stride = scan.shape[1] - 1
     out = np.zeros((h, stride), np.int32)
     bpp = channels
+    w = stride // bpp
     for y in range(h):
         f = int(scan[y, 0])
         cur = scan[y, 1:].astype(np.int32)
         prev = out[y - 1] if y else np.zeros(stride, np.int32)
         if f == 0:
             out[y] = cur
+        elif f == 1:  # Sub: out[x] = cur[x] + out[x-bpp] = prefix sum
+            out[y] = np.cumsum(cur.reshape(w, bpp), axis=0).reshape(-1) & 0xFF
         elif f == 2:  # Up
             out[y] = (cur + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth need a left scan
-            row = out[y]
-            for x in range(stride):
-                a = row[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                if f == 1:
-                    v = cur[x] + a
-                elif f == 3:
-                    v = cur[x] + ((a + b) >> 1)
+        elif f in (3, 4):  # Average / Paeth: sequential in x
+            cur2 = cur.reshape(w, bpp)
+            prev2 = prev.reshape(w, bpp)
+            row = out[y].reshape(w, bpp)
+            a = np.zeros(bpp, np.int32)  # left pixel (decoded)
+            c0 = np.zeros(bpp, np.int32)  # upper-left pixel
+            for x in range(w):
+                b = prev2[x]
+                if f == 3:
+                    v = cur2[x] + ((a + b) >> 1)
                 else:
-                    c = prev[x - bpp] if x >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    v = cur[x] + pr
-                row[x] = v & 0xFF
+                    p = a + b - c0
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c0)
+                    pr = np.where((pa <= pb) & (pa <= pc), a,
+                                  np.where(pb <= pc, b, c0))
+                    v = cur2[x] + pr
+                a = row[x] = v & 0xFF
+                c0 = b
         else:
             raise ValueError(f"unsupported PNG filter {f}")
     return out.astype(np.uint8)
@@ -96,6 +106,8 @@ def decode_png(data: bytes) -> np.ndarray:
     pos, ihdr, idat = len(_SIG), None, b""
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
+        if pos + 12 + length > len(data):
+            raise ValueError("truncated PNG (chunk extends past end of data)")
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)

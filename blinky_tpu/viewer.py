@@ -84,8 +84,22 @@ async function state() {
   logLines(s.console);
 }
 async function cmd(c) {
-  const s = await (await fetch('/cmd?c=' + encodeURIComponent(c))).json();
+  const s = await (await fetch('/cmd?t=%TOKEN%&c=' + encodeURIComponent(c))).json();
   logLines(s.console);
+}
+// drag-to-look coalescing: at most one setviewangles in flight; only the
+// newest angles are sent when the previous request completes
+let lookBusy = false, lookPending = null;
+async function look(p, y) {
+  lookPending = 'setviewangles ' + p.toFixed(1) + ' ' + y.toFixed(1) + ' 0';
+  if (lookBusy) return;
+  lookBusy = true;
+  try {
+    while (lookPending) {
+      const c = lookPending; lookPending = null;
+      await cmd(c);
+    }
+  } finally { lookBusy = false; }
 }
 document.getElementById('console').addEventListener('keydown', e => {
   if (e.key === 'Enter' && e.target.value.trim()) {
@@ -96,7 +110,7 @@ document.getElementById('console').addEventListener('keydown', e => {
 });
 document.addEventListener('keydown', async e => {
   if (e.target.id === 'console' || e.key.length !== 1) return;
-  const s = await (await fetch('/key?k=' + encodeURIComponent(e.key))).json();
+  const s = await (await fetch('/key?t=%TOKEN%&k=' + encodeURIComponent(e.key))).json();
   logLines(s.console);
 });
 document.getElementById('play').onclick = e => {
@@ -114,7 +128,7 @@ img.addEventListener('pointermove', e => {
   if (!drag) return;
   yaw = drag.yaw + (e.clientX - drag.x) * 0.4;
   pitch = Math.max(-90, Math.min(90, drag.pitch - (e.clientY - drag.y) * 0.4));
-  cmd('setviewangles ' + pitch.toFixed(1) + ' ' + yaw.toFixed(1) + ' 0');
+  look(pitch, yaw);
 });
 img.addEventListener('pointerup', () => drag = null);
 state().then(() => setInterval(refresh, 50));
@@ -132,14 +146,23 @@ class Viewer:
 
     def __init__(self, session, frames, host: str = "127.0.0.1",
                  port: int = 0):
+        import secrets
+
         frames = np.asarray(frames, dtype=np.uint8)
         if frames.ndim == 3:
             frames = frames[None]
         if frames.ndim != 4:
             raise ValueError("Viewer frames must be [N, P, S, S] or [P, S, S]")
+        if len(frames) == 0:
+            raise ValueError("Viewer needs at least one frame")
         self.session = session
         self.frames = frames
         self._drained = 0  # console lines already delivered to the page
+        # State-changing endpoints (/cmd, /key) require this token, which
+        # only the served page knows: a cross-origin page can fire a GET
+        # at localhost but cannot READ "/" to learn the token (CORS), so
+        # drive-by command execution is blocked.
+        self.token = secrets.token_urlsafe(16)
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -157,27 +180,28 @@ class Viewer:
                 self.wfile.write(body)
 
             def _console_json(self):
-                lines = viewer.session.console[viewer._drained:]
-                viewer._drained = len(viewer.session.console)
-                return json.dumps({"console": lines}).encode()
+                return json.dumps({"console": viewer.drain_console()}).encode()
 
             def do_GET(self):
                 try:
                     url = urlparse(self.path)
                     q = parse_qs(url.query)
                     if url.path == "/":
-                        self._send(200, _PAGE.encode(), "text/html")
+                        page = _PAGE.replace("%TOKEN%", viewer.token)
+                        self._send(200, page.encode(), "text/html")
                     elif url.path == "/frame.png":
                         i = int(q.get("i", ["0"])[0]) % len(viewer.frames)
                         png, status = viewer.render_png(i)
                         self._send(200, png, "image/png",
                                    extra=[("X-Status", status)])
-                    elif url.path == "/cmd":
-                        viewer.session.cmd(q.get("c", [""])[0])
-                        self._send(200, self._console_json(),
-                                   "application/json")
-                    elif url.path == "/key":
-                        viewer.session.press_key(q.get("k", [""])[0])
+                    elif url.path in ("/cmd", "/key"):
+                        if q.get("t", [""])[0] != viewer.token:
+                            self._send(403, b"bad token", "text/plain")
+                            return
+                        if url.path == "/cmd":
+                            viewer.session.cmd(q.get("c", [""])[0])
+                        else:
+                            viewer.session.press_key(q.get("k", [""])[0])
                         self._send(200, self._console_json(),
                                    "application/json")
                     elif url.path == "/state":
@@ -212,10 +236,15 @@ class Viewer:
                   f"{sess.zoom.command() or ''}")
         return png, status
 
+    def drain_console(self) -> list:
+        """Console lines added since the last drain (delivered once)."""
+        lines = self.session.console[self._drained:]
+        self._drained = len(self.session.console)
+        return lines
+
     def state_json(self) -> bytes:
         sess = self.session
-        lines = sess.console[self._drained:]
-        self._drained = len(sess.console)
+        lines = self.drain_console()
         return json.dumps({
             "frames": len(self.frames),
             "width": sess.width_px, "height": sess.height_px,

@@ -62,6 +62,13 @@ def test_header_parse_matches_engine():
     # non-numeric track: the sscanf check (cl_demo.c:329-333)
     with pytest.raises(ValueError, match="cd track"):
         read_dem(b"zap\n" + body)
+    # sscanf("%d") is a PREFIX parse: trailing junk after the digits is
+    # ignored, exactly like the engine
+    assert read_dem(b"2xyz\n" + body).cdtrack == 2
+    assert read_dem(b" \t-7 foo\n" + body).cdtrack == -7
+    # a raw 0x8A byte is NOT a newline to the engine (the break tests the
+    # unmasked char); it masks to whitespace inside the header instead
+    assert read_dem(b"\x8a3\n" + body).cdtrack == 3
 
 
 def test_oversize_and_truncated_blocks():

@@ -33,6 +33,11 @@ def test_bad_inputs():
     good[-5] ^= 0xFF  # corrupt the IEND CRC
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(good))
+    # truncation mid-chunk is a ValueError too, not a struct.error
+    # (cut past IEND into IDAT's CRC so a chunk extends past the end)
+    whole = encode_png(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(whole[:-14])
 
 
 def _png_with_filter(img, f):

@@ -25,6 +25,10 @@ def served():
 
 
 def _get(v, path):
+    # state-changing endpoints require the page token (CSRF guard)
+    if path.startswith(("/cmd", "/key")):
+        sep = "&" if "?" in path else "?"
+        path += f"{sep}t={v.token}"
     with urlopen(v.address + path, timeout=30) as r:
         return r.status, dict(r.headers), r.read()
 
@@ -106,6 +110,23 @@ def test_viewer_input_validation():
     sess = Session(32, 24, platesize=16)
     with pytest.raises(ValueError, match="frames"):
         Viewer(sess, np.zeros((4, 4), np.uint8))
+    with pytest.raises(ValueError, match="at least one frame"):
+        Viewer(sess, np.zeros((0, 6, 16, 16), np.uint8))
     # a single [P, S, S] cubemap is promoted to one frame
     v = Viewer(sess, synthetic_cubemap(16))
     assert v.frames.shape[0] == 1
+
+
+def test_state_changing_endpoints_require_token(served):
+    """A cross-origin page can fire GETs at localhost but cannot read the
+    served page to learn the token — /cmd and /key without it are 403
+    and do NOT touch the session."""
+    v, sess = served
+    assert urlopen_status(v, "/cmd?c=f_lens%20hammer") == 403
+    assert urlopen_status(v, "/key?k=3&t=wrong") == 403
+    assert sess.lens_name == "panini"
+    # the served page embeds the real token
+    _, _, page = _get(v, "/")
+    assert v.token.encode() in page
+    # read-only endpoints stay open
+    assert urlopen_status(v, "/state") == 200
