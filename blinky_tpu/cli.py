@@ -132,7 +132,16 @@ def cmd_demo_import(args) -> int:
     if args.poses and args.dem:  # before the (possibly long) dump decode
         print("error: --poses and --dem are mutually exclusive")
         return 2
-    frames, palette, stems = import_saveglobe_dir(args.dir, numplates=args.numplates)
+    if args.rgb:
+        # true-color faces (png/ppm) -> packed-RGBA uint32 frames; the
+        # palette only matters for the background underlay
+        from blinky_tpu.io.dataset import import_rgb_faces_dir
+
+        frames, stems = import_rgb_faces_dir(args.dir, numplates=args.numplates)
+        palette = None
+    else:
+        frames, palette, stems = import_saveglobe_dir(args.dir,
+                                                      numplates=args.numplates)
     user_pal = _load_palette(args.palette)
     if user_pal is not None:
         palette = user_pal
@@ -237,6 +246,11 @@ def cmd_reproject(args) -> int:
     if args.follow_poses and poses is None:
         print("demo has no pose track; --follow-poses ignored")
 
+    is_rgba = frames.dtype == np.uint32  # true-color (demo-import --rgb)
+    if is_rgba and args.format == "pcx":
+        print("error: pcx is palette-indexed; use --format png/ppm/npz "
+              "for true-color demos")
+        return 2
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
     clock = FrameClock()
@@ -246,12 +260,16 @@ def cmd_reproject(args) -> int:
     # the per-frame-pose path needs the expanded source either way
     want_rubix = bool(args.rubix or sess.rubix_enabled)
     palmap = None
-    if want_rubix:
+    if want_rubix and not is_rgba:
         from blinky_tpu.palette import create_palmap
 
         palmap = create_palmap(sess.palette)  # hoisted out of the loop
     for batch_frames, n_valid in FrameBatchIterator(frames, args.batch):
-        if want_rubix:
+        if want_rubix and is_rgba:
+            from blinky_tpu.kernels.remap import expand_frames_tinted_rgba
+
+            batch_frames = expand_frames_tinted_rgba(batch_frames)
+        elif want_rubix:
             batch_frames = expand_frames_tinted(batch_frames, sess.palette,
                                                 palmap=palmap)
         if poses is not None:
@@ -269,14 +287,20 @@ def cmd_reproject(args) -> int:
         clock.tick(n_valid)
         for b in range(n_valid):
             img = out[..., b]
+            if is_rgba and args.format in ("ppm", "png"):
+                from blinky_tpu.kernels.remap import unpack_rgb
+
+                rgb = unpack_rgb(img)
+            elif args.format in ("ppm", "png"):
+                rgb = sess.palette[img]
             if args.format == "pcx":
                 (outdir / f"frame{wrote:06d}.pcx").write_bytes(encode_pcx(img, sess.palette))
             elif args.format == "ppm":
-                (outdir / f"frame{wrote:06d}.ppm").write_bytes(encode_ppm(sess.palette[img]))
+                (outdir / f"frame{wrote:06d}.ppm").write_bytes(encode_ppm(rgb))
             elif args.format == "png":
                 from blinky_tpu.io.png import encode_png
 
-                (outdir / f"frame{wrote:06d}.png").write_bytes(encode_png(sess.palette[img]))
+                (outdir / f"frame{wrote:06d}.png").write_bytes(encode_png(rgb))
             else:
                 stack.append(img)
             wrote += 1
@@ -424,6 +448,9 @@ def main(argv=None) -> int:
                    help="plates per frame (default: inferred from indices)")
     p.add_argument("--palette", default=None,
                    help="override the PCX palette (pak / .lmp / dumppal text)")
+    p.add_argument("--rgb", action="store_true",
+                   help="true-color import: <stem><i>.png/.ppm RGB faces "
+                        "-> packed-RGBA uint32 frames (no palette)")
     p.set_defaults(fn=cmd_demo_import)
 
     p = sub.add_parser("reproject", help="batch-reproject a demo (timedemo pipeline)")

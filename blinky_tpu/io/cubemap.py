@@ -107,12 +107,17 @@ def synthetic_cubemap_batch(platesize: int, batch: int, numplates: int = 6) -> n
 
 
 def to_batch_layout(frames_bpss: np.ndarray) -> np.ndarray:
-    """[B, P, S, S] -> device layout [P, S, S, B] (C++ packer when built)."""
+    """[B, P, S, S] -> device layout [P, S, S, B] (C++ packer when built).
+
+    u8 palette frames go through the native packer; packed-RGBA uint32
+    frames (true-color sources) transpose in NumPy — ingest-time cost."""
     from blinky_tpu import native
 
-    out = native.pack_batch(frames_bpss)
-    if out is not None:
-        return out
+    frames_bpss = np.asarray(frames_bpss)
+    if frames_bpss.dtype == np.uint8:
+        out = native.pack_batch(frames_bpss)
+        if out is not None:
+            return out
     return np.ascontiguousarray(np.moveaxis(frames_bpss, 0, -1))
 
 
@@ -120,7 +125,9 @@ def from_batch_layout(frames_pssb: np.ndarray) -> np.ndarray:
     """device layout [P, S, S, B] -> [B, P, S, S]."""
     from blinky_tpu import native
 
-    out = native.unpack_batch(frames_pssb)
-    if out is not None:
-        return out
+    frames_pssb = np.asarray(frames_pssb)
+    if frames_pssb.dtype == np.uint8:
+        out = native.unpack_batch(frames_pssb)
+        if out is not None:
+            return out
     return np.ascontiguousarray(np.moveaxis(frames_pssb, -1, 0))

@@ -30,8 +30,13 @@ from blinky_tpu.utils.timing import FrameClock
 
 
 def write_demo(path, frames, palette, poses=None) -> None:
-    """Write a demo container.  frames: [N, P, S, S] uint8."""
-    frames = np.asarray(frames, dtype=np.uint8)
+    """Write a demo container.  frames: [N, P, S, S] — uint8 palette
+    indices, or packed-RGBA uint32 for true-color sources
+    (``kernels.remap.pack_rgba``)."""
+    frames = np.asarray(frames)
+    if frames.dtype not in (np.uint8, np.uint32):
+        raise ValueError(f"demo frames must be uint8 or uint32 (RGBA), "
+                         f"got {frames.dtype}")
     arrs = dict(frames=frames, palette=np.asarray(palette, dtype=np.uint8))
     if poses is not None:
         arrs["poses"] = np.asarray(poses, dtype=np.float32)
@@ -67,25 +72,11 @@ def import_saveglobe_dir(directory, numplates=None):
     stems [N]).  0xFE-masked texels (the non-"full" saveglobe mode,
     ``fisheye.c:1441-1443``) import as-is.
     """
-    import re
-
     from blinky_tpu.io.pcx import decode_pcx
 
-    directory = Path(directory)
-    groups: dict = {}
-    pat = re.compile(r"^(.*?)(\d+)\.pcx$", re.IGNORECASE)
-    for p in sorted(directory.iterdir()):
-        m_ = pat.match(p.name)
-        if not m_:
-            continue
-        stem, idx = m_.group(1), int(m_.group(2))
-        groups.setdefault(stem, {})[idx] = p
-    if not groups:
-        raise ValueError(f"no '<name><i>.pcx' plate dumps found in {directory}")
-
+    groups, stems = _group_plate_files(directory, ("pcx",))
     if numplates is None:
         numplates = 1 + max(max(g) for g in groups.values())
-    stems = sorted(groups)
     frames = None
     palette = None
     for n, stem in enumerate(stems):
@@ -104,6 +95,67 @@ def import_saveglobe_dir(directory, numplates=None):
                                  f"!= {frames.shape[2:]}")
             frames[n, i] = img
     return frames, palette, stems
+
+
+def _group_plate_files(directory, exts):
+    """Group ``<stem><i>.<ext>`` plate files by frame stem.  Returns
+    (groups: {stem: {plate_index: path}}, stems sorted)."""
+    import re
+
+    directory = Path(directory)
+    pat = re.compile(r"^(.*?)(\d+)\.(%s)$" % "|".join(exts), re.IGNORECASE)
+    groups: dict = {}
+    for p in sorted(directory.iterdir()):
+        m_ = pat.match(p.name)
+        if not m_:
+            continue
+        stem, idx = m_.group(1), int(m_.group(2))
+        groups.setdefault(stem, {})[idx] = p
+    if not groups:
+        raise ValueError(
+            f"no '<name><i>.{'/'.join(exts)}' plate files found in {directory}")
+    return groups, sorted(groups)
+
+
+def import_rgb_faces_dir(directory, numplates=None):
+    """Import a directory of TRUE-COLOR per-frame cubemap faces.
+
+    The palette-free counterpart of :func:`import_saveglobe_dir` for
+    360°-video-style sources: ``<stem><i>.png`` / ``<stem><i>.ppm`` RGB
+    faces (one set per frame, plate order matching the globe) become
+    packed-RGBA uint32 frames the remap kernel gathers as 4-byte texels
+    (``kernels/remap.py`` module docstring; the reference's own world is
+    palette-only, so this surface is an extension).
+
+    Returns (frames [N, P, S, S] uint32, stems [N]).
+    """
+    from blinky_tpu.io.png import decode_png
+    from blinky_tpu.io.ppm import decode_ppm
+    from blinky_tpu.kernels.remap import pack_rgba
+
+    groups, stems = _group_plate_files(directory, ("png", "ppm"))
+    if numplates is None:
+        numplates = 1 + max(max(g) for g in groups.values())
+    frames = None
+    for n, stem in enumerate(stems):
+        g = groups[stem]
+        missing = [i for i in range(numplates) if i not in g]
+        if missing:
+            raise ValueError(f"frame {stem!r}: missing plate(s) {missing}")
+        for i in range(numplates):
+            data = g[i].read_bytes()
+            rgb = (decode_png(data) if g[i].suffix.lower() == ".png"
+                   else decode_ppm(data))
+            if rgb.ndim == 2:  # gray PNG -> RGB
+                rgb = np.repeat(rgb[..., None], 3, axis=-1)
+            if frames is None:
+                S = rgb.shape[0]
+                frames = np.zeros((len(stems), numplates, S, S), np.uint32)
+            if rgb.shape[:2] != frames.shape[2:]:
+                raise ValueError(f"frame {stem!r} plate {i}: size "
+                                 f"{rgb.shape[:2]} != {frames.shape[2:]}")
+            frames[n, i] = pack_rgba(rgb)
+    return frames, stems
 
 
 def read_demo(path):
@@ -125,7 +177,9 @@ class FrameBatchIterator:
     """
 
     def __init__(self, frames: np.ndarray, batch: int, prefetch: int = 2):
-        self.frames = np.asarray(frames, dtype=np.uint8)
+        frames = np.asarray(frames)
+        self.frames = frames if frames.dtype == np.uint32 else frames.astype(
+            np.uint8, copy=False)
         self.batch = int(batch)
         self.n = self.frames.shape[0]
         self.prefetch = max(1, prefetch)
@@ -137,7 +191,8 @@ class FrameBatchIterator:
         chunk = self.frames[i0 : i0 + self.batch]
         n_valid = chunk.shape[0]
         if n_valid < self.batch:
-            pad = np.zeros((self.batch - n_valid,) + chunk.shape[1:], np.uint8)
+            pad = np.zeros((self.batch - n_valid,) + chunk.shape[1:],
+                           chunk.dtype)
             chunk = np.concatenate([chunk, pad], axis=0)
         return to_batch_layout(chunk), n_valid
 

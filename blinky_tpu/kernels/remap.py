@@ -190,6 +190,58 @@ def frames_to_rgba(frames, palette) -> np.ndarray:
     return lut[np.asarray(frames, dtype=np.uint8)]
 
 
+def pack_rgba(rgb) -> np.ndarray:
+    """[..., 3] (or [..., 4]) u8 -> packed RGBA uint32 (little-endian) —
+    the true-color ingestion entry: any RGB cubemap source (PNG/PPM video
+    frames, renders) becomes remap-ready texels, no palette involved."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if rgb.shape[-1] == 3:
+        a = np.full(rgb.shape[:-1] + (1,), 255, np.uint8)
+        rgb = np.concatenate([rgb, a], axis=-1)
+    elif rgb.shape[-1] != 4:
+        raise ValueError("pack_rgba expects a trailing RGB(A) axis")
+    return (
+        rgb[..., 0].astype(np.uint32)
+        | (rgb[..., 1].astype(np.uint32) << 8)
+        | (rgb[..., 2].astype(np.uint32) << 16)
+        | (rgb[..., 3].astype(np.uint32) << 24)
+    )
+
+
+def unpack_rgb(rgba) -> np.ndarray:
+    """Packed RGBA uint32 -> [..., 3] u8 (drops alpha)."""
+    rgba = np.asarray(rgba, dtype=np.uint32)
+    return np.stack(
+        [(rgba >> s).astype(np.uint8) for s in (0, 8, 16)], axis=-1)
+
+
+def expand_frames_tinted_rgba(frames_rgba) -> np.ndarray:
+    """Rubix source expansion for TRUE-COLOR (packed RGBA u32) frames.
+
+    [P, S, S(, B)] u32 -> [2*MAX_PLATES, S, S(, B)] u32: raw plates
+    followed by per-plate tinted plates.  The tint applies the reference's
+    exact integer pull-toward-tint arithmetic per channel
+    (``c += percent*(tint-c) >> 8``, percent=256/6 — ``create_palmap``,
+    ``fisheye.c:884-901``) but WITHOUT the final nearest-palette snap:
+    with a continuous color source there is no palette to snap to, so the
+    tint is exact rather than palette-quantized."""
+    from blinky_tpu.palette import PLATE_TINTS
+
+    frames_rgba = np.asarray(frames_rgba, dtype=np.uint32)
+    percent = 256 // MAX_PLATES
+    out = np.zeros((2 * MAX_PLATES,) + frames_rgba.shape[1:], np.uint32)
+    out[: frames_rgba.shape[0]] = frames_rgba
+    for p in range(frames_rgba.shape[0]):
+        tinted = np.uint32(0xFF) << 24  # alpha
+        for ch, shift in enumerate((0, 8, 16)):
+            c = ((frames_rgba[p] >> shift) & 0xFF).astype(np.int64)
+            t = int(PLATE_TINTS[p, ch])
+            c = np.clip(c + ((percent * (t - c)) >> 8), 0, 255)
+            tinted = tinted | (c.astype(np.uint32) << shift)
+        out[MAX_PLATES + p] = tinted
+    return out
+
+
 class RemapKernel:
     """Caches device-resident lensmap operands + LUTs for repeated frames.
 
@@ -267,7 +319,9 @@ class RemapKernel:
             if rubix and not expanded:
                 raise ValueError(
                     "rubix on an RGBA source needs the expanded (raw||tinted) "
-                    "layout; use expand_frames_tinted before frames_to_rgba"
+                    "layout: expand_frames_tinted before frames_to_rgba for "
+                    "palette sources, or expand_frames_tinted_rgba for "
+                    "true-color sources"
                 )
             bg = self.background_rgba if is_rgba else self.background
             out = _remap_gather(frames, idx, self.valid, bg)

@@ -148,7 +148,9 @@ class Viewer:
                  port: int = 0):
         import secrets
 
-        frames = np.asarray(frames, dtype=np.uint8)
+        frames = np.asarray(frames)
+        if frames.dtype != np.uint32:  # u32 = packed-RGBA true color
+            frames = frames.astype(np.uint8, copy=False)
         if frames.ndim == 3:
             frames = frames[None]
         if frames.ndim != 4:
@@ -229,7 +231,12 @@ class Viewer:
         one-line status)."""
         sess = self.session
         screen = np.asarray(sess.render(self.frames[i]))
-        png = encode_png(sess.palette[screen])
+        if screen.dtype == np.uint32:  # packed-RGBA true-color output
+            from blinky_tpu.kernels.remap import unpack_rgb
+
+            png = encode_png(unpack_rgb(screen))
+        else:
+            png = encode_png(sess.palette[screen])
         status = (f"frame {i}/{len(self.frames)}  "
                   f"{sess.width_px}x{sess.height_px}  "
                   f"f_lens {sess.lens_name}  f_globe {sess.globe_name}  "

@@ -1,0 +1,136 @@
+"""True-color (packed-RGBA u32) source path: ingestion, tint expansion,
+remap, container round trip, CLI — the palette-free extension for
+360°-video-style RGB cubemap sources."""
+
+import numpy as np
+import pytest
+
+from blinky_tpu.kernels.remap import (
+    expand_frames_tinted_rgba,
+    frames_to_rgba,
+    pack_rgba,
+    unpack_rgb,
+)
+from blinky_tpu.palette import MAX_PLATES, PLATE_TINTS, default_palette
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (4, 6, 6, 3), np.uint8)
+    packed = pack_rgba(rgb)
+    assert packed.dtype == np.uint32 and packed.shape == (4, 6, 6)
+    assert (packed >> 24 == 255).all()  # alpha
+    np.testing.assert_array_equal(unpack_rgb(packed), rgb)
+    with pytest.raises(ValueError, match="trailing"):
+        pack_rgba(np.zeros((4, 4, 2), np.uint8))
+
+
+def test_pack_rgba_matches_palette_decode():
+    """pack_rgba(palette[idx]) must equal frames_to_rgba(idx, palette) —
+    one packing convention across both source kinds."""
+    pal = default_palette()
+    idx = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    np.testing.assert_array_equal(pack_rgba(pal[idx]),
+                                  frames_to_rgba(idx, pal))
+
+
+def test_expand_tinted_rgba_matches_c_tint_math():
+    """The RGBA tint applies the exact create_palmap integer pull
+    (fisheye.c:884-901) per channel, without the palette snap."""
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, (6, 8, 8, 3), np.uint8)
+    frames = pack_rgba(rgb)
+    out = expand_frames_tinted_rgba(frames)
+    assert out.shape == (2 * MAX_PLATES, 8, 8)
+    np.testing.assert_array_equal(out[:6], frames)
+    percent = 256 // MAX_PLATES
+    for p in range(6):
+        c = rgb[p].astype(np.int64)
+        t = PLATE_TINTS[p].astype(np.int64)
+        expect = np.clip(c + ((percent * (t - c)) >> 8), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(unpack_rgb(out[MAX_PLATES + p]), expect)
+        assert (out[MAX_PLATES + p] >> 24 == 255).all()
+
+
+def test_session_renders_true_color():
+    """An RGB cubemap renders through the same kernel; output is packed
+    RGBA that equals the palette path when the source is palette-decoded."""
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.cubemap import synthetic_cubemap
+
+    pal = default_palette()
+    idx_frames = synthetic_cubemap(32)
+    sess = Session(64, 48, platesize=32, palette=pal)
+    out_pal = np.asarray(sess.render(frames_to_rgba(idx_frames, pal)))
+    out_rgb = np.asarray(sess.render(pack_rgba(pal[idx_frames])))
+    assert out_rgb.dtype == np.uint32
+    np.testing.assert_array_equal(out_pal, out_rgb)
+
+    # rubix through the expanded true-color layout renders too
+    sess.cmd("f_rubix")
+    out = np.asarray(sess.render(
+        expand_frames_tinted_rgba(pack_rgba(pal[idx_frames]))))
+    assert out.dtype == np.uint32 and out.shape == (48, 64)
+
+
+def test_rgb_demo_import_and_reproject(tmp_path):
+    """CLI: PNG faces -> demo-import --rgb -> reproject --format png."""
+    from blinky_tpu.cli import main as cli_main
+    from blinky_tpu.io.dataset import read_demo
+    from blinky_tpu.io.png import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    N, S = 3, 16
+    faces = rng.integers(0, 256, (N, 6, S, S, 3), np.uint8)
+    for n in range(N):
+        for i in range(6):
+            (tmp_path / f"f{n:03d}_{i}.png").write_bytes(
+                encode_png(faces[n, i]))
+    out = tmp_path / "demo.npz"
+    rc = cli_main(["demo-import", str(tmp_path), "--rgb", "--out", str(out)])
+    assert rc in (0, None)
+    demo = read_demo(out)
+    assert demo["frames"].dtype == np.uint32
+    np.testing.assert_array_equal(unpack_rgb(demo["frames"]), faces)
+
+    outdir = tmp_path / "warped"
+    rc = cli_main(["reproject", "--demo", str(out), "--width", "48",
+                   "--height", "36", "--format", "png",
+                   "--outdir", str(outdir)])
+    assert rc in (0, None)
+    pngs = sorted(outdir.glob("*.png"))
+    assert len(pngs) == N
+    assert decode_png(pngs[0].read_bytes()).shape == (36, 48, 3)
+
+    # rubix works on the true-color path too
+    rc = cli_main(["reproject", "--demo", str(out), "--width", "48",
+                   "--height", "36", "--format", "ppm", "--rubix",
+                   "--outdir", str(tmp_path / "rub")])
+    assert rc in (0, None)
+
+    # pcx output is palette-indexed: refused with a clear error
+    rc = cli_main(["reproject", "--demo", str(out), "--width", "48",
+                   "--height", "36", "--format", "pcx",
+                   "--outdir", str(tmp_path / "x")])
+    assert rc == 2
+
+
+def test_viewer_serves_true_color():
+    from urllib.request import urlopen
+
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.png import decode_png
+    from blinky_tpu.viewer import Viewer
+
+    rng = np.random.default_rng(1)
+    frames = pack_rgba(rng.integers(0, 256, (2, 6, 16, 16, 3), np.uint8))
+    sess = Session(32, 24, platesize=16)
+    v = Viewer(sess, frames)
+    assert v.frames.dtype == np.uint32
+    v.start()
+    try:
+        with urlopen(v.address + "/frame.png?i=1", timeout=30) as r:
+            img = decode_png(r.read())
+        assert img.shape == (24, 32, 3)
+    finally:
+        v.stop()
