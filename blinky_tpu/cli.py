@@ -132,7 +132,17 @@ def cmd_demo_import(args) -> int:
     if args.poses and args.dem:  # before the (possibly long) dump decode
         print("error: --poses and --dem are mutually exclusive")
         return 2
-    if args.rgb:
+    if args.rgb and args.equirect:
+        print("error: --rgb and --equirect are mutually exclusive")
+        return 2
+    if args.equirect:
+        # equirectangular panoramas (one per frame) -> cubemap plates
+        from blinky_tpu.io.dataset import import_equirect_dir
+
+        frames, stems = import_equirect_dir(args.dir,
+                                            platesize=args.equirect)
+        palette = None
+    elif args.rgb:
         # true-color faces (png/ppm) -> packed-RGBA uint32 frames; the
         # palette only matters for the background underlay
         from blinky_tpu.io.dataset import import_rgb_faces_dir
@@ -451,6 +461,9 @@ def main(argv=None) -> int:
     p.add_argument("--rgb", action="store_true",
                    help="true-color import: <stem><i>.png/.ppm RGB faces "
                         "-> packed-RGBA uint32 frames (no palette)")
+    p.add_argument("--equirect", type=int, default=None, metavar="PLATESIZE",
+                   help="360-video import: one equirect .png/.ppm panorama "
+                        "per frame, resampled to cubemap plates of this size")
     p.set_defaults(fn=cmd_demo_import)
 
     p = sub.add_parser("reproject", help="batch-reproject a demo (timedemo pipeline)")

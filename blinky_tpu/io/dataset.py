@@ -253,3 +253,34 @@ def timedemo(session, frames, batch: int = 64, rubix=None, decode_rgb=False):
         device_fetch_sync(out)  # realize the final batch before stopping
     session._print(clock.report())
     return out, clock
+
+
+def import_equirect_dir(directory, platesize: int = 512, globe=None):
+    """Import a directory of equirectangular panoramas (one ``.png`` /
+    ``.ppm`` per frame, sorted by name) as packed-RGBA uint32 cubemap
+    frames via :func:`blinky_tpu.io.cubemap.equirect_to_cubemap` — the
+    bridge from real 360° video to the batch pipeline.
+
+    Returns (frames [N, P, S, S] uint32, stems [N]).
+    """
+    from blinky_tpu.io.cubemap import equirect_to_cubemap
+    from blinky_tpu.io.png import decode_png
+    from blinky_tpu.io.ppm import decode_ppm
+
+    directory = Path(directory)
+    paths = [p for p in sorted(directory.iterdir())
+             if p.suffix.lower() in (".png", ".ppm")]
+    if not paths:
+        raise ValueError(f"no .png/.ppm panoramas found in {directory}")
+    frames = None
+    for n, p in enumerate(paths):
+        data = p.read_bytes()
+        pano = (decode_png(data) if p.suffix.lower() == ".png"
+                else decode_ppm(data))
+        if pano.ndim == 2:
+            pano = np.repeat(pano[..., None], 3, axis=-1)
+        faces = equirect_to_cubemap(pano, globe=globe, platesize=platesize)
+        if frames is None:
+            frames = np.zeros((len(paths),) + faces.shape, np.uint32)
+        frames[n] = faces
+    return frames, [p.stem for p in paths]

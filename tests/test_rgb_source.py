@@ -134,3 +134,74 @@ def test_viewer_serves_true_color():
         assert img.shape == (24, 32, 3)
     finally:
         v.stop()
+
+
+def test_equirect_to_cubemap_directions():
+    """Known directions land on the right pano pixels: the front-face
+    center is lon 0 / lat 0 (pano center), the top-face center is the
+    north pole (pano top row)."""
+    from blinky_tpu.io.cubemap import equirect_to_cubemap
+
+    H, W = 64, 128
+    # pano encodes its own coordinates: R = column, G = row
+    pano = np.zeros((H, W, 3), np.uint8)
+    pano[..., 0] = (np.arange(W) * 2)[None, :]
+    pano[..., 1] = (np.arange(H) * 4)[:, None]
+    faces = equirect_to_cubemap(pano, platesize=32, bilinear=False)
+    assert faces.dtype == np.uint32 and faces.shape == (MAX_PLATES, 32, 32)
+    c = 16  # plate center texel (u = v = 0.515 — close enough at S=32)
+    front = unpack_rgb(faces[0, c, c])
+    assert abs(int(front[0]) - (W // 2) * 2) <= 4   # lon ~ 0 -> center col
+    assert abs(int(front[1]) - (H // 2) * 4) <= 8   # lat ~ 0 -> center row
+    top = unpack_rgb(faces[4, c, c])
+    assert int(top[1]) <= 8                          # north pole -> row ~ 0
+    bottom = unpack_rgb(faces[5, c, c])
+    assert int(bottom[1]) >= (H - 3) * 4 - 8         # south pole -> last row
+    # right-face center: lon = +90deg -> 3/4 across the pano
+    right = unpack_rgb(faces[1, c, c])
+    assert abs(int(right[0]) - (3 * W // 4) * 2) <= 4
+
+
+def test_equirect_roundtrip_through_equirect_lens():
+    """equirect pano -> cubemap -> render with the equirect lens at
+    contain zoom reproduces the pano (up to resampling)."""
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.cubemap import equirect_to_cubemap
+
+    H, W = 48, 96
+    yy, xx = np.mgrid[0:H, 0:W]
+    # smooth channels: resampling error stays local (a wrapping sawtooth
+    # would alias at its discontinuities and dominate the diff)
+    pano = np.stack([(xx * 255) // (W - 1), (yy * 255) // (H - 1),
+                     ((xx + yy) * 255) // (W + H - 2)],
+                    axis=-1).astype(np.uint8)
+    faces = equirect_to_cubemap(pano, platesize=96)
+    sess = Session(W, H, platesize=96)
+    sess.cmd("f_lens equirect; f_contain")
+    out = unpack_rgb(np.asarray(sess.render(faces))).astype(np.int64)
+    # compare away from the poles (equirect stretches them) and borders
+    band = slice(H // 4, 3 * H // 4)
+    diff = np.abs(out[band] - pano[band].astype(np.int64))
+    assert diff.mean() < 6, f"mean abs diff {diff.mean():.2f}"
+
+
+def test_import_equirect_dir(tmp_path):
+    from blinky_tpu.cli import main as cli_main
+    from blinky_tpu.io.dataset import read_demo
+    from blinky_tpu.io.png import encode_png
+
+    rng = np.random.default_rng(2)
+    for n in range(3):
+        pano = rng.integers(0, 256, (32, 64, 3), np.uint8)
+        (tmp_path / f"pano{n}.png").write_bytes(encode_png(pano))
+    out = tmp_path / "demo.npz"
+    rc = cli_main(["demo-import", str(tmp_path), "--equirect", "24",
+                   "--out", str(out)])
+    assert rc in (0, None)
+    demo = read_demo(out)
+    assert demo["frames"].shape == (3, MAX_PLATES, 24, 24)
+    assert demo["frames"].dtype == np.uint32
+
+    rc = cli_main(["demo-import", str(tmp_path), "--equirect", "24",
+                   "--rgb", "--out", str(out)])
+    assert rc == 2  # mutually exclusive
