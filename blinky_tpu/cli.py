@@ -328,9 +328,12 @@ def cmd_gallery(args) -> int:
     through ``f_lens`` in game."""
     from pathlib import Path
 
+    import html
+
     from blinky_tpu import lenses
     from blinky_tpu.api import Session
     from blinky_tpu.io.cubemap import synthetic_cubemap
+    from blinky_tpu.io.png import encode_png
     from blinky_tpu.io.ppm import encode_ppm
 
     outdir = Path(args.outdir)
@@ -339,14 +342,38 @@ def cmd_gallery(args) -> int:
     if args.rubix:
         sess.cmd("f_rubix")
     frames = synthetic_cubemap(sess.platesize)
+    ext = "png" if args.format == "png" else "ppm"
+    cells = []
     for name in lenses.names():
         sess.cmd(f"f_lens {name}")
         if not sess.lens_valid:
             print(f"{name}: SKIPPED (invalid)")
             continue
         img = np.asarray(sess.render(frames))
-        (outdir / f"{name}.ppm").write_bytes(encode_ppm(sess.palette[img]))
-        print(f"{name}: {sess.zoom.command() or 'no zoom'}")
+        rgb = sess.palette[img]
+        data = encode_png(rgb) if ext == "png" else encode_ppm(rgb)
+        (outdir / f"{name}.{ext}").write_bytes(data)
+        zoom = sess.zoom.command() or "no zoom"
+        cells.append((name, zoom, sess.lens.map_type))
+        print(f"{name}: {zoom}")
+    if args.html:
+        # contact sheet (browsers render PNG; use --format png with it)
+        body = "".join(
+            f'<figure><img src="{n}.{ext}" width="{args.width}">'
+            f"<figcaption>{html.escape(n)} &middot; {html.escape(z)} "
+            f"&middot; {m}-mapped</figcaption></figure>"
+            for n, z, m in cells)
+        (outdir / "index.html").write_text(
+            "<!DOCTYPE html><html><head><meta charset='utf-8'>"
+            "<title>blinky-tpu lens gallery</title><style>"
+            "body{background:#111;color:#ddd;font:13px monospace}"
+            "figure{display:inline-block;margin:6px}"
+            "img{border:1px solid #333;image-rendering:pixelated}"
+            "figcaption{text-align:center;padding:2px}</style></head>"
+            f"<body><h2>blinky-tpu — all {len(cells)} lenses "
+            f"({args.width}x{args.height}"
+            f"{', rubix' if args.rubix else ''})</h2>{body}</body></html>")
+        print(f"wrote {outdir / 'index.html'}")
     return 0
 
 
@@ -496,6 +523,9 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=480)
     p.add_argument("--height", type=int, default=360)
     p.add_argument("--rubix", action="store_true")
+    p.add_argument("--format", default="ppm", choices=["ppm", "png"])
+    p.add_argument("--html", action="store_true",
+                   help="also write an index.html contact sheet")
     p.add_argument("--outdir", default="gallery")
     p.set_defaults(fn=cmd_gallery)
 

@@ -141,3 +141,23 @@ def test_parity_cli_builtin_and_user_scripts(tmp_path, capsys):
                    "--width", "48", "--height", "36"])
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and rep["total"] == 0
+
+
+def test_gallery_html_contact_sheet(tmp_path, monkeypatch):
+    """gallery --format png --html writes decodable images + index.html
+    (3 lenses monkeypatched in; the full 31-lens sweep is covered by
+    test_all_lenses_render)."""
+    from blinky_tpu import lenses
+    from blinky_tpu.cli import main as cli_main
+    from blinky_tpu.io.png import decode_png
+
+    monkeypatch.setattr(lenses, "names",
+                        lambda: ["panini", "hammer", "debug"])
+    rc = cli_main(["gallery", "--width", "48", "--height", "36",
+                   "--format", "png", "--html", "--outdir", str(tmp_path)])
+    assert rc in (0, None)
+    pngs = sorted(tmp_path.glob("*.png"))
+    assert [p.stem for p in pngs] == ["debug", "hammer", "panini"]
+    assert decode_png(pngs[0].read_bytes()).shape == (36, 48, 3)
+    index = (tmp_path / "index.html").read_text()
+    assert "panini" in index and 'src="hammer.png"' in index
