@@ -197,11 +197,13 @@ def cmd_serve(args) -> int:
     from blinky_tpu.api import Session
     from blinky_tpu.viewer import Viewer
 
+    poses = None
     if args.demo:
         from blinky_tpu.io.dataset import read_demo
 
         demo = read_demo(args.demo)
         frames, pal = demo["frames"], demo["palette"]
+        poses = demo.get("poses")
     else:
         from blinky_tpu.io.cubemap import synthetic_cubemap
         from blinky_tpu.palette import default_palette
@@ -216,7 +218,7 @@ def cmd_serve(args) -> int:
     sess.cmd("f_shortcutkeys")  # toggle ON: the reference's lens/globe key binds
     for c in args.cmd:
         sess.cmd(c)
-    viewer = Viewer(sess, frames, host=args.host, port=args.port)
+    viewer = Viewer(sess, frames, poses=poses, host=args.host, port=args.port)
     print(f"serving {len(frames)} frame(s) at {viewer.address} — Ctrl-C to stop")
     try:
         viewer.serve_forever()

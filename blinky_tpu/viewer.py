@@ -50,6 +50,8 @@ _PAGE = """<!DOCTYPE html>
 <img id="frame" draggable="false">
 <div id="hud2">
  <button id="play">pause</button>
+ <label id="followbox" style="display:none">
+   <input type="checkbox" id="follow"> follow pose track</label>
  keys: 1-9 lenses, y/u/i/o/p globes (f_shortcutkeys) — drag to look
 </div>
 <div id="log"></div>
@@ -69,8 +71,9 @@ async function refresh() {
   if (busy) return;           // never queue device work
   busy = true;
   const i = playing ? Math.floor(base + (Date.now()-t0)/1000*fps) % n : base % n;
+  const fl = document.getElementById('follow').checked ? '&follow=1' : '';
   try {
-    const r = await fetch('/frame.png?i=' + i, {cache:'no-store'});
+    const r = await fetch('/frame.png?i=' + i + fl, {cache:'no-store'});
     const blob = await r.blob();
     const url = URL.createObjectURL(blob);
     img.onload = () => URL.revokeObjectURL(url);
@@ -81,6 +84,7 @@ async function refresh() {
 async function state() {
   const s = await (await fetch('/state')).json();
   n = Math.max(1, s.frames);
+  if (s.has_poses) document.getElementById('followbox').style.display = '';
   logLines(s.console);
 }
 async function cmd(c) {
@@ -144,7 +148,7 @@ class Viewer:
     one frame per ``/frame.png`` — through ``session.render``.
     """
 
-    def __init__(self, session, frames, host: str = "127.0.0.1",
+    def __init__(self, session, frames, poses=None, host: str = "127.0.0.1",
                  port: int = 0):
         import secrets
 
@@ -159,6 +163,10 @@ class Viewer:
             raise ValueError("Viewer needs at least one frame")
         self.session = session
         self.frames = frames
+        # optional demo pose track: /frame.png?follow=1 applies pose i
+        # before rendering (the demo-playback camera, cl_demo.c)
+        self.poses = None if poses is None or len(poses) == 0 else (
+            np.asarray(poses, np.float32).reshape(-1, 3))
         self._drained = 0  # console lines already delivered to the page
         # State-changing endpoints (/cmd, /key) require this token, which
         # only the served page knows: a cross-origin page can fire a GET
@@ -193,7 +201,8 @@ class Viewer:
                         self._send(200, page.encode(), "text/html")
                     elif url.path == "/frame.png":
                         i = int(q.get("i", ["0"])[0]) % len(viewer.frames)
-                        png, status = viewer.render_png(i)
+                        follow = q.get("follow", ["0"])[0] == "1"
+                        png, status = viewer.render_png(i, follow=follow)
                         self._send(200, png, "image/png",
                                    extra=[("X-Status", status)])
                     elif url.path in ("/cmd", "/key"):
@@ -226,10 +235,15 @@ class Viewer:
         host, port = self._httpd.server_address[:2]
         return f"http://{host}:{port}"
 
-    def render_png(self, i: int):
+    def render_png(self, i: int, follow: bool = False):
         """Render frame ``i`` through the live session -> (PNG bytes,
-        one-line status)."""
+        one-line status).  ``follow`` applies the demo pose track's
+        frame-``i`` camera first (clamping past the end, like
+        ``reproject --follow-poses``)."""
         sess = self.session
+        if follow and self.poses is not None:
+            p, y, r = self.poses[min(i, len(self.poses) - 1)]
+            sess.cmd(f"setviewangles {p:g} {y:g} {r:g}")
         screen = np.asarray(sess.render(self.frames[i]))
         if screen.dtype == np.uint32:  # packed-RGBA true-color output
             from blinky_tpu.kernels.remap import unpack_rgb
@@ -254,6 +268,7 @@ class Viewer:
         lines = self.drain_console()
         return json.dumps({
             "frames": len(self.frames),
+            "has_poses": self.poses is not None,
             "width": sess.width_px, "height": sess.height_px,
             "lens": sess.lens_name, "globe": sess.globe_name,
             "zoom": sess.zoom.command(),

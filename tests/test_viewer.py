@@ -130,3 +130,30 @@ def test_state_changing_endpoints_require_token(served):
     assert v.token.encode() in page
     # read-only endpoints stay open
     assert urlopen_status(v, "/state") == 200
+
+
+def test_follow_pose_track():
+    """/frame.png?follow=1 applies the demo pose per frame; /state
+    advertises the track so the page shows the toggle."""
+    import json
+
+    sess = Session(64, 48, platesize=32)
+    frames = np.stack([synthetic_cubemap(32)] * 3)  # same content...
+    poses = np.array([[0, 0, 0], [0, 90, 0], [10, 180, 0]], np.float32)
+    v = Viewer(sess, frames, poses=poses)
+    v.start()
+    try:
+        _, _, body = _get(v, "/state")
+        assert json.loads(body)["has_poses"] is True
+        _, _, f0 = _get(v, "/frame.png?i=0&follow=1")
+        _, _, f1 = _get(v, "/frame.png?i=1&follow=1")
+        assert f0 != f1  # ...so only the pose differs
+        # index past the track clamps to the last pose
+        _, _, f9 = _get(v, "/frame.png?i=2&follow=1")
+        assert f9 != f1
+    finally:
+        v.stop()
+
+    # an empty pose array counts as "no track"
+    v2 = Viewer(sess, frames, poses=np.zeros((0, 3), np.float32))
+    assert v2.poses is None
