@@ -456,7 +456,8 @@ class Session:
         RGB with ``decode_rgb``).  Returns the background when disabled or
         when the current lens/zoom is invalid (the reference keeps running
         and shows the cleared screen)."""
-        frames = np.asarray(frames)
+        if not hasattr(frames, "ndim"):  # device arrays pass through:
+            frames = np.asarray(frames)  # render_equirect stays on-chip
         S = frames.shape[1]
         if S != self.platesize:
             self.platesize = S
@@ -539,6 +540,40 @@ class Session:
             )
             self._posed_cache = (key, kernel)
         return self._posed_cache[1](frames, bases)
+
+    def render_equirect(self, panos, bilinear: bool = True):
+        """Warp equirectangular panoramas end-to-end on the device.
+
+        ``panos``: [H, W, B] packed-RGBA uint32 (batch-innermost), one
+        [H, W] u32 pano, or one [H, W, 3] u8 RGB pano.  Resamples to the
+        current globe's plates at the session platesize
+        (:class:`~blinky_tpu.kernels.ingest.EquirectIngest`, a static
+        gather table like the lensmap) and remaps through the current
+        lens — two chained device gathers, so only the warped screens
+        leave the chip.  Returns [H_out, W_out, B] u32 (or [H_out,
+        W_out] for a single pano).
+        """
+        from blinky_tpu.kernels.ingest import EquirectIngest
+        from blinky_tpu.kernels.remap import pack_rgba
+
+        squeeze = False
+        if getattr(panos, "ndim", 0) == 3 and panos.shape[2] == 3 and (
+                np.asarray(panos).dtype == np.uint8):
+            panos = pack_rgba(np.asarray(panos))
+        if getattr(panos, "ndim", 0) == 2:
+            panos = np.asarray(panos, np.uint32)[..., None]
+            squeeze = True
+        key = (tuple(panos.shape[:2]), self.platesize, id(self.globe),
+               bool(bilinear))
+        cached = getattr(self, "_equirect_cache", None)
+        if cached is None or cached[0] != key:
+            kern = EquirectIngest(panos.shape[0], panos.shape[1],
+                                  self.platesize, globe=self.globe,
+                                  bilinear=bilinear)
+            self._equirect_cache = (key, kern)
+        faces = self._equirect_cache[1](panos)  # device [P, S, S, B] u32
+        out = self.render(faces)
+        return out[..., 0] if squeeze else out
 
     def _background_screen(self, frames):
         bg = self._background

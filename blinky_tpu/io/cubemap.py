@@ -156,49 +156,22 @@ def equirect_to_cubemap(pano, globe=None, platesize: int = 512,
 
     Returns [MAX_PLATES, S, S] uint32 (RGB input) or uint8 (palette
     input); plates beyond the globe's count stay zero.
+
+    This is the single-pano host wrapper over
+    :class:`blinky_tpu.kernels.ingest.EquirectIngest` — the geometry
+    lives in one static index/weight table shared with the batched
+    device path (reuse the kernel object directly for video batches).
     """
-    from blinky_tpu import globes as globes_mod
+    from blinky_tpu.kernels.ingest import EquirectIngest
     from blinky_tpu.kernels.remap import pack_rgba
 
-    if globe is None:
-        globe = globes_mod.get("cube")
     pano = np.asarray(pano, dtype=np.uint8)
     is_rgb = pano.ndim == 3
     if is_rgb and pano.shape[2] != 3:
         raise ValueError("equirect pano must be [H, W, 3] RGB or [H, W]")
     H, W = pano.shape[:2]
-    S = int(platesize)
-
-    grid = (np.arange(S, dtype=np.float64) + 0.5) / S
-    u, v = np.meshgrid(grid, grid)  # [S, S], v = rows
-    out_dt = np.uint32 if is_rgb else np.uint8
-    out = np.zeros((MAX_PLATES, S, S), out_dt)
-    for p in range(globe.numplates):
-        x, y, z = geometry.plate_uv_to_ray(
-            u, v,
-            np.asarray(globe.forward[p], np.float64),
-            np.asarray(globe.right[p], np.float64),
-            np.asarray(globe.up[p], np.float64),
-            float(globe.dist[p]),
-        )
-        lat, lon = geometry.ray_to_latlon(x, y, z)
-        col = (lon + np.pi) / (2 * np.pi) * W  # wraps
-        row = (np.pi / 2 - lat) / np.pi * H    # clamps at the poles
-
-        def sample(ci, ri):
-            return pano[np.clip(ri, 0, H - 1), np.mod(ci, W)]
-
-        if is_rgb and bilinear:
-            c0 = np.floor(col - 0.5).astype(np.int64)
-            r0 = np.floor(row - 0.5).astype(np.int64)
-            fc = (col - 0.5 - c0)[..., None]
-            fr = (row - 0.5 - r0)[..., None]
-            top = sample(c0, r0) * (1 - fc) + sample(c0 + 1, r0) * fc
-            bot = sample(c0, r0 + 1) * (1 - fc) + sample(c0 + 1, r0 + 1) * fc
-            rgb = (top * (1 - fr) + bot * fr + 0.5).astype(np.uint8)
-        else:
-            texel = sample(np.floor(col).astype(np.int64),
-                           np.floor(row).astype(np.int64))
-            rgb = texel
-        out[p] = pack_rgba(rgb) if is_rgb else rgb
-    return out
+    kern = EquirectIngest(H, W, platesize, globe=globe,
+                          bilinear=bool(is_rgb and bilinear))
+    if is_rgb:
+        return kern.host(pack_rgba(pano))
+    return kern.host_nearest_u8(pano)

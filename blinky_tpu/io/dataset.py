@@ -263,24 +263,39 @@ def import_equirect_dir(directory, platesize: int = 512, globe=None):
 
     Returns (frames [N, P, S, S] uint32, stems [N]).
     """
-    from blinky_tpu.io.cubemap import equirect_to_cubemap
     from blinky_tpu.io.png import decode_png
     from blinky_tpu.io.ppm import decode_ppm
+    from blinky_tpu.kernels.ingest import EquirectIngest
+    from blinky_tpu.kernels.remap import pack_rgba
+    from blinky_tpu.palette import MAX_PLATES
 
     directory = Path(directory)
     paths = [p for p in sorted(directory.iterdir())
              if p.suffix.lower() in (".png", ".ppm")]
     if not paths:
         raise ValueError(f"no .png/.ppm panoramas found in {directory}")
-    frames = None
+    panos = None
     for n, p in enumerate(paths):
         data = p.read_bytes()
         pano = (decode_png(data) if p.suffix.lower() == ".png"
                 else decode_ppm(data))
         if pano.ndim == 2:
             pano = np.repeat(pano[..., None], 3, axis=-1)
-        faces = equirect_to_cubemap(pano, globe=globe, platesize=platesize)
-        if frames is None:
-            frames = np.zeros((len(paths),) + faces.shape, np.uint32)
-        frames[n] = faces
+        if panos is None:
+            panos = np.zeros((pano.shape[0], pano.shape[1], len(paths)),
+                             np.uint32)
+        if pano.shape[:2] != panos.shape[:2]:
+            raise ValueError(f"{p.name}: pano size {pano.shape[:2]} != "
+                             f"{panos.shape[:2]}")
+        panos[..., n] = pack_rgba(pano)
+    # host executor: an import round-trips host->device->host, and bulk
+    # relay transfers cost more than the resample (kernels/ingest.py
+    # docstring has the measured numbers).  Pipelines that stay on-device
+    # should use Session.render_equirect / EquirectIngest directly.
+    kern = EquirectIngest(panos.shape[0], panos.shape[1], platesize,
+                          globe=globe)
+    frames = np.zeros((len(paths), MAX_PLATES, platesize, platesize),
+                      np.uint32)
+    for n in range(len(paths)):
+        frames[n] = kern.host(panos[..., n])
     return frames, [p.stem for p in paths]

@@ -1,0 +1,166 @@
+"""Device-side equirect→cubemap ingestion: a static gather, like the remap.
+
+The pano→plate resampling geometry depends only on (pano size, platesize,
+globe) — never on the frame — so it compiles to a STATIC index/weight
+table exactly like the lensmap (the same insight that makes the remap a
+batched row gather, ``kernels/remap.py``).  Ingesting a video batch is
+then one device call: K row-gathers (K=1 nearest, K=4 bilinear) over
+batch-innermost panos plus elementwise channel lerps — no per-frame host
+trigonometry.
+
+Geometry matches :func:`blinky_tpu.io.cubemap.equirect_to_cubemap` (which
+delegates its per-frame host path to these tables): plate texel →
+``plate_uv_to_ray`` (``fisheye.c:1198-1214``) → ``ray_to_latlon``
+(``fisheye.c:1192``) → equirect row/col with longitude wrap and pole
+clamp.  Weights are float32 in both the host and device executors so the
+two paths agree bit-for-bit.
+
+Measured on the attached v5e (4096×2048 pano → 6×1024² plates, B=16,
+device-resident): **27 panos/s bilinear, 94 nearest** vs 1.2/s for the
+NumPy host executor (~23×).  Through the axon relay the host→device
+upload of the pano batch (512 MB) dominates, so the *import-to-disk* CLI
+path stays on the host executor; the device kernel is for pipelines that
+stay on-device — :meth:`blinky_tpu.api.Session.render_equirect` chains
+it straight into the remap so only warped screens leave the chip.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from blinky_tpu import geometry
+from blinky_tpu.palette import MAX_PLATES
+
+
+def _build_tables(pano_h, pano_w, platesize, globe, bilinear):
+    """Static (indices [K, P*S*S] i32 into the flattened pano,
+    weights [K, P*S*S] f32) for every plate texel; unused plates point
+    at index 0 with weight 0."""
+    S = int(platesize)
+    H, W = int(pano_h), int(pano_w)
+    grid = (np.arange(S, dtype=np.float64) + 0.5) / S
+    u, v = np.meshgrid(grid, grid)  # [S, S], v = rows
+
+    K = 4 if bilinear else 1
+    idx = np.zeros((K, MAX_PLATES, S, S), np.int64)
+    w = np.zeros((K, MAX_PLATES, S, S), np.float32)
+    for p in range(globe.numplates):
+        x, y, z = geometry.plate_uv_to_ray(
+            u, v,
+            np.asarray(globe.forward[p], np.float64),
+            np.asarray(globe.right[p], np.float64),
+            np.asarray(globe.up[p], np.float64),
+            float(globe.dist[p]),
+        )
+        lat, lon = geometry.ray_to_latlon(x, y, z)
+        col = (lon + np.pi) / (2 * np.pi) * W  # wraps
+        row = (np.pi / 2 - lat) / np.pi * H    # clamps at the poles
+        if bilinear:
+            c0 = np.floor(col - 0.5).astype(np.int64)
+            r0 = np.floor(row - 0.5).astype(np.int64)
+            fc = (col - 0.5 - c0).astype(np.float32)
+            fr = (row - 0.5 - r0).astype(np.float32)
+            for k, (dc, dr) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+                ri = np.clip(r0 + dr, 0, H - 1)
+                ci = np.mod(c0 + dc, W)
+                idx[k, p] = ri * W + ci
+                w[k, p] = ((fc if dc else 1 - fc) *
+                           (fr if dr else 1 - fr)).astype(np.float32)
+        else:
+            ri = np.clip(np.floor(row).astype(np.int64), 0, H - 1)
+            ci = np.mod(np.floor(col).astype(np.int64), W)
+            idx[0, p] = ri * W + ci
+            w[0, p] = 1.0
+    return idx.reshape(K, -1).astype(np.int32), w.reshape(K, -1)
+
+
+class EquirectIngest:
+    """Reusable pano→plates resampler for one (pano size, platesize,
+    globe, sampling) configuration.
+
+    * ``__call__(panos)`` — device path: ``[H, W, B]`` packed-RGBA u32
+      (batch-innermost, like every source in this framework) →
+      ``[MAX_PLATES, S, S, B]`` u32, one jitted call.
+    * ``host(pano)`` — NumPy path for a single ``[H, W]`` u32 pano,
+      identical tables and float32 weights (bit-equal to the device
+      path's math).
+    """
+
+    def __init__(self, pano_h: int, pano_w: int, platesize: int,
+                 globe=None, bilinear: bool = True):
+        from blinky_tpu import globes as globes_mod
+
+        self.globe = globes_mod.get("cube") if globe is None else globe
+        self.platesize = int(platesize)
+        self.pano_hw = (int(pano_h), int(pano_w))
+        self.bilinear = bool(bilinear)
+        self.idx, self.w = _build_tables(pano_h, pano_w, platesize,
+                                         self.globe, bilinear)
+        self._jitted = None
+
+    # shared math: K gathered u32 rows -> blended u32 (float32 weights)
+    @staticmethod
+    def _blend(rows, w, xp):
+        if len(rows) == 1:
+            return rows[0]
+        out = xp.zeros_like(rows[0]) | (xp.uint32(0xFF) << 24)
+        for shift in (0, 8, 16):
+            acc = None
+            for k, r in enumerate(rows):
+                c = ((r >> shift) & 0xFF).astype(xp.float32)
+                wk = w[k].reshape(w[k].shape + (1,) * (r.ndim - 1))
+                acc = c * wk if acc is None else acc + c * wk
+            ch = xp.clip(acc + 0.5, 0, 255).astype(xp.uint32)
+            out = out | (ch << shift)
+        return out
+
+    def __call__(self, panos):
+        """[H, W, B] u32 (batch-innermost) -> [MAX_PLATES, S, S, B] u32.
+
+        Single panos go through :meth:`host`, or pass ``[..., None]``."""
+        import jax
+        import jax.numpy as jnp
+
+        if self._jitted is None:
+            idx = jnp.asarray(self.idx)
+            w = jnp.asarray(self.w)
+
+            @jax.jit
+            def run(panos):
+                flat = panos.reshape((-1,) + panos.shape[2:])
+                rows = [jnp.take(flat, idx[k], axis=0)
+                        for k in range(idx.shape[0])]
+                out = self._blend(rows, w, jnp)
+                return out.reshape(
+                    (MAX_PLATES, self.platesize, self.platesize)
+                    + panos.shape[2:])
+
+            self._jitted = run
+        import jax.numpy as jnp
+
+        panos = jnp.asarray(panos, jnp.uint32)
+        if panos.ndim != 3 or panos.shape[:2] != self.pano_hw:
+            raise ValueError(f"panos must be [H, W, B] = "
+                             f"{self.pano_hw + ('B',)}, got {panos.shape}")
+        return self._jitted(panos)
+
+    def host(self, pano) -> np.ndarray:
+        """NumPy executor over one [H, W] u32 pano -> [P, S, S] u32."""
+        pano = np.asarray(pano, np.uint32)
+        if pano.shape != self.pano_hw:
+            raise ValueError(f"pano shape {pano.shape} != {self.pano_hw}")
+        flat = pano.reshape(-1)
+        rows = [flat[self.idx[k]] for k in range(self.idx.shape[0])]
+        out = self._blend(rows, self.w, np)
+        return out.reshape(MAX_PLATES, self.platesize, self.platesize)
+
+    def host_nearest_u8(self, pano) -> np.ndarray:
+        """Nearest-neighbor executor for u8 palette panos (indices don't
+        blend); requires ``bilinear=False`` tables."""
+        if self.bilinear:
+            raise ValueError("palette panos need bilinear=False tables")
+        pano = np.asarray(pano, np.uint8)
+        if pano.shape != self.pano_hw:
+            raise ValueError(f"pano shape {pano.shape} != {self.pano_hw}")
+        return pano.reshape(-1)[self.idx[0]].reshape(
+            MAX_PLATES, self.platesize, self.platesize)

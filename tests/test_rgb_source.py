@@ -205,3 +205,67 @@ def test_import_equirect_dir(tmp_path):
     rc = cli_main(["demo-import", str(tmp_path), "--equirect", "24",
                    "--rgb", "--out", str(out)])
     assert rc == 2  # mutually exclusive
+
+
+def test_equirect_ingest_device_matches_host():
+    """The batched device ingest (static gather table, kernels/ingest.py)
+    is bit-equal to the single-pano host path — same tables, same f32
+    weights."""
+    from blinky_tpu.kernels.ingest import EquirectIngest
+
+    rng = np.random.default_rng(4)
+    H, W, B = 24, 48, 5
+    panos_rgb = rng.integers(0, 256, (B, H, W, 3), np.uint8)
+    panos = pack_rgba(panos_rgb)  # [B, H, W] u32
+
+    for bilinear in (True, False):
+        kern = EquirectIngest(H, W, 16, bilinear=bilinear)
+        dev = np.asarray(kern(np.moveaxis(panos, 0, -1)))  # [H, W, B] in
+        assert dev.shape == (MAX_PLATES, 16, 16, B)
+        for b in range(B):
+            np.testing.assert_array_equal(dev[..., b], kern.host(panos[b]))
+
+    # device output feeds the remap directly (device layout [P, S, S, B])
+    from blinky_tpu.api import Session
+
+    sess = Session(32, 24, platesize=16)
+    out = np.asarray(sess.render(dev))
+    assert out.shape == (24, 32, B) and out.dtype == np.uint32
+
+    with pytest.raises(ValueError, match="panos must be"):
+        EquirectIngest(H, W, 16)(panos)  # wrong layout: batch first
+    with pytest.raises(ValueError, match="bilinear=False"):
+        EquirectIngest(H, W, 16, bilinear=True).host_nearest_u8(
+            np.zeros((H, W), np.uint8))
+
+
+def test_session_render_equirect():
+    """render_equirect = equirect_to_cubemap + render, entirely on
+    device; single-pano and batch forms agree."""
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.cubemap import equirect_to_cubemap
+
+    rng = np.random.default_rng(8)
+    H, W = 32, 64
+    pano_rgb = rng.integers(0, 256, (H, W, 3), np.uint8)
+    sess = Session(48, 36, platesize=24)
+    out = np.asarray(sess.render_equirect(pano_rgb))
+    assert out.shape == (36, 48) and out.dtype == np.uint32
+
+    # equals the host-composed path
+    faces = equirect_to_cubemap(pano_rgb, platesize=24)
+    np.testing.assert_array_equal(out, np.asarray(sess.render(faces)))
+
+    # batch form: per-lane equality with the single-pano form
+    pano2 = rng.integers(0, 256, (H, W, 3), np.uint8)
+    batch = np.stack([pack_rgba(pano_rgb), pack_rgba(pano2)], axis=-1)
+    outs = np.asarray(sess.render_equirect(batch))
+    assert outs.shape == (36, 48, 2)
+    np.testing.assert_array_equal(outs[..., 0], out)
+    np.testing.assert_array_equal(
+        outs[..., 1], np.asarray(sess.render_equirect(pack_rgba(pano2))))
+
+    # lens switches apply to the chained pipeline
+    sess.cmd("f_lens hammer")
+    out2 = np.asarray(sess.render_equirect(pano_rgb))
+    assert (out2 != out).any()
