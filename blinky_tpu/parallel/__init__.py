@@ -174,3 +174,14 @@ def remap_sharded(kernel: RemapKernel, frames, mesh: Mesh, rubix: bool = False,
         rubix=rubix,
         decode_rgb=decode_rgb,
     )
+
+
+def ingest_equirect_sharded(ingest, panos, mesh: Mesh):
+    """Run an :class:`~blinky_tpu.kernels.ingest.EquirectIngest` with the
+    pano batch DP-sharded over "data" (panos ``[H, W, B]`` shard on B;
+    the static index/weight tables replicate like the lensmap).  XLA
+    SPMD propagates the batch sharding through the row gathers, so the
+    output faces ``[P, S, S, B]`` come back sharded on B — ready to feed
+    :func:`remap_sharded` without any resharding collective."""
+    lanes = NamedSharding(mesh, P(None, None, "data"))
+    return ingest(jax.device_put(jnp.asarray(panos, jnp.uint32), lanes))

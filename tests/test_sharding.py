@@ -177,3 +177,23 @@ def test_posed_remap_sharded_matches_single_device():
     out = posed_remap_sharded(k, frames, bases, mesh)
     assert len(out.sharding.device_set) == 8
     np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_equirect_ingest_sharded():
+    """DP-sharded pano ingest == unsharded (the equirect->plates stage
+    of the pipeline under SPMD, faces coming back sharded on B)."""
+    import numpy as np
+
+    from blinky_tpu import parallel
+    from blinky_tpu.kernels.ingest import EquirectIngest
+
+    mesh = make_mesh(n_data=8, n_space=1)
+    rng = np.random.default_rng(6)
+    H, W, B = 16, 32, 8
+    panos = rng.integers(0, 2**32, (H, W, B), dtype=np.uint64).astype(np.uint32)
+    kern = EquirectIngest(H, W, 12)
+    ref = np.asarray(kern(panos))
+    shard = parallel.ingest_equirect_sharded(kern, panos, mesh)
+    np.testing.assert_array_equal(np.asarray(shard), ref)
+    # output is actually distributed over the data axis
+    assert len(shard.sharding.device_set) > 1
