@@ -572,7 +572,19 @@ class Session:
                                   bilinear=bilinear)
             self._equirect_cache = (key, kern)
         faces = self._equirect_cache[1](panos)  # device [P, S, S, B] u32
+        if self.rubix_enabled:
+            # rubix on a u32 source needs the expanded raw||tinted layout;
+            # the expansion is elementwise integer math, done on-device
+            from blinky_tpu.kernels.remap import expand_frames_tinted_rgba
+
+            faces = expand_frames_tinted_rgba(faces)
         out = self.render(faces)
+        if out.dtype != np.uint32:
+            # disabled/invalid-lens fallback returns the u8 palette
+            # background; decode so the documented u32 contract holds
+            from blinky_tpu.kernels.remap import frames_to_rgba
+
+            out = frames_to_rgba(np.asarray(out), self.palette)
         return out[..., 0] if squeeze else out
 
     def _background_screen(self, frames):

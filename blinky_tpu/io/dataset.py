@@ -117,6 +117,19 @@ def _group_plate_files(directory, exts):
     return groups, sorted(groups)
 
 
+def _decode_image(path) -> np.ndarray:
+    """Read a .png/.ppm file -> [H, W, 3] u8 RGB (gray promoted)."""
+    from blinky_tpu.io.png import decode_png
+    from blinky_tpu.io.ppm import decode_ppm
+
+    data = Path(path).read_bytes()
+    img = (decode_png(data) if Path(path).suffix.lower() == ".png"
+           else decode_ppm(data))
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    return img
+
+
 def import_rgb_faces_dir(directory, numplates=None):
     """Import a directory of TRUE-COLOR per-frame cubemap faces.
 
@@ -129,8 +142,6 @@ def import_rgb_faces_dir(directory, numplates=None):
 
     Returns (frames [N, P, S, S] uint32, stems [N]).
     """
-    from blinky_tpu.io.png import decode_png
-    from blinky_tpu.io.ppm import decode_ppm
     from blinky_tpu.kernels.remap import pack_rgba
 
     groups, stems = _group_plate_files(directory, ("png", "ppm"))
@@ -143,11 +154,7 @@ def import_rgb_faces_dir(directory, numplates=None):
         if missing:
             raise ValueError(f"frame {stem!r}: missing plate(s) {missing}")
         for i in range(numplates):
-            data = g[i].read_bytes()
-            rgb = (decode_png(data) if g[i].suffix.lower() == ".png"
-                   else decode_ppm(data))
-            if rgb.ndim == 2:  # gray PNG -> RGB
-                rgb = np.repeat(rgb[..., None], 3, axis=-1)
+            rgb = _decode_image(g[i])
             if frames is None:
                 S = rgb.shape[0]
                 frames = np.zeros((len(stems), numplates, S, S), np.uint32)
@@ -263,8 +270,6 @@ def import_equirect_dir(directory, platesize: int = 512, globe=None):
 
     Returns (frames [N, P, S, S] uint32, stems [N]).
     """
-    from blinky_tpu.io.png import decode_png
-    from blinky_tpu.io.ppm import decode_ppm
     from blinky_tpu.kernels.ingest import EquirectIngest
     from blinky_tpu.kernels.remap import pack_rgba
     from blinky_tpu.palette import MAX_PLATES
@@ -274,28 +279,22 @@ def import_equirect_dir(directory, platesize: int = 512, globe=None):
              if p.suffix.lower() in (".png", ".ppm")]
     if not paths:
         raise ValueError(f"no .png/.ppm panoramas found in {directory}")
-    panos = None
-    for n, p in enumerate(paths):
-        data = p.read_bytes()
-        pano = (decode_png(data) if p.suffix.lower() == ".png"
-                else decode_ppm(data))
-        if pano.ndim == 2:
-            pano = np.repeat(pano[..., None], 3, axis=-1)
-        if panos is None:
-            panos = np.zeros((pano.shape[0], pano.shape[1], len(paths)),
-                             np.uint32)
-        if pano.shape[:2] != panos.shape[:2]:
-            raise ValueError(f"{p.name}: pano size {pano.shape[:2]} != "
-                             f"{panos.shape[:2]}")
-        panos[..., n] = pack_rgba(pano)
-    # host executor: an import round-trips host->device->host, and bulk
-    # relay transfers cost more than the resample (kernels/ingest.py
-    # docstring has the measured numbers).  Pipelines that stay on-device
-    # should use Session.render_equirect / EquirectIngest directly.
-    kern = EquirectIngest(panos.shape[0], panos.shape[1], platesize,
-                          globe=globe)
+    # streaming host executor, one pano resident at a time (a long 4K
+    # video would not fit decoded all at once).  The import round-trips
+    # host->device->host, and bulk relay transfers cost more than the
+    # resample (kernels/ingest.py docstring has the measured numbers) —
+    # pipelines that stay on-device should use Session.render_equirect /
+    # EquirectIngest directly.
+    kern = None
     frames = np.zeros((len(paths), MAX_PLATES, platesize, platesize),
                       np.uint32)
-    for n in range(len(paths)):
-        frames[n] = kern.host(panos[..., n])
+    for n, p in enumerate(paths):
+        pano = _decode_image(p)
+        if kern is None:
+            kern = EquirectIngest(pano.shape[0], pano.shape[1], platesize,
+                                  globe=globe)
+        if pano.shape[:2] != kern.pano_hw:
+            raise ValueError(f"{p.name}: pano size {pano.shape[:2]} != "
+                             f"{kern.pano_hw}")
+        frames[n] = kern.host(pack_rgba(pano))
     return frames, [p.stem for p in paths]

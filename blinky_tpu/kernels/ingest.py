@@ -96,6 +96,12 @@ class EquirectIngest:
         self.bilinear = bool(bilinear)
         self.idx, self.w = _build_tables(pano_h, pano_w, platesize,
                                          self.globe, bilinear)
+        # plates beyond the globe's count are zeroed in the output (their
+        # table rows point at index 0, which would otherwise replicate
+        # the pano's top-left texel through the nearest path)
+        mask = np.zeros(MAX_PLATES, np.uint32)
+        mask[: self.globe.numplates] = 0xFFFFFFFF
+        self.plate_mask = np.repeat(mask, self.platesize * self.platesize)
         self._jitted = None
 
     # shared math: K gathered u32 rows -> blended u32 (float32 weights)
@@ -124,6 +130,7 @@ class EquirectIngest:
         if self._jitted is None:
             idx = jnp.asarray(self.idx)
             w = jnp.asarray(self.w)
+            pmask = jnp.asarray(self.plate_mask)
 
             @jax.jit
             def run(panos):
@@ -131,6 +138,7 @@ class EquirectIngest:
                 rows = [jnp.take(flat, idx[k], axis=0)
                         for k in range(idx.shape[0])]
                 out = self._blend(rows, w, jnp)
+                out = out & pmask.reshape(pmask.shape + (1,) * (out.ndim - 1))
                 return out.reshape(
                     (MAX_PLATES, self.platesize, self.platesize)
                     + panos.shape[2:])
@@ -151,7 +159,7 @@ class EquirectIngest:
             raise ValueError(f"pano shape {pano.shape} != {self.pano_hw}")
         flat = pano.reshape(-1)
         rows = [flat[self.idx[k]] for k in range(self.idx.shape[0])]
-        out = self._blend(rows, self.w, np)
+        out = self._blend(rows, self.w, np) & self.plate_mask
         return out.reshape(MAX_PLATES, self.platesize, self.platesize)
 
     def host_nearest_u8(self, pano) -> np.ndarray:
@@ -162,5 +170,5 @@ class EquirectIngest:
         pano = np.asarray(pano, np.uint8)
         if pano.shape != self.pano_hw:
             raise ValueError(f"pano shape {pano.shape} != {self.pano_hw}")
-        return pano.reshape(-1)[self.idx[0]].reshape(
-            MAX_PLATES, self.platesize, self.platesize)
+        out = pano.reshape(-1)[self.idx[0]] & self.plate_mask.astype(np.uint8)
+        return out.reshape(MAX_PLATES, self.platesize, self.platesize)

@@ -215,7 +215,7 @@ def unpack_rgb(rgba) -> np.ndarray:
         [(rgba >> s).astype(np.uint8) for s in (0, 8, 16)], axis=-1)
 
 
-def expand_frames_tinted_rgba(frames_rgba) -> np.ndarray:
+def expand_frames_tinted_rgba(frames_rgba):
     """Rubix source expansion for TRUE-COLOR (packed RGBA u32) frames.
 
     [P, S, S(, B)] u32 -> [2*MAX_PLATES, S, S(, B)] u32: raw plates
@@ -224,22 +224,30 @@ def expand_frames_tinted_rgba(frames_rgba) -> np.ndarray:
     (``c += percent*(tint-c) >> 8``, percent=256/6 — ``create_palmap``,
     ``fisheye.c:884-901``) but WITHOUT the final nearest-palette snap:
     with a continuous color source there is no palette to snap to, so the
-    tint is exact rather than palette-quantized."""
+    tint is exact rather than palette-quantized.
+
+    Backend-generic: NumPy input stays on host; a jax array expands on
+    device (pure elementwise integer math — ``Session.render_equirect``
+    uses this to keep its rubix path on-chip)."""
     from blinky_tpu.palette import PLATE_TINTS
 
-    frames_rgba = np.asarray(frames_rgba, dtype=np.uint32)
+    xp = jnp if isinstance(frames_rgba, jnp.ndarray) else np
+    frames_rgba = xp.asarray(frames_rgba, dtype=xp.uint32)
     percent = 256 // MAX_PLATES
-    out = np.zeros((2 * MAX_PLATES,) + frames_rgba.shape[1:], np.uint32)
-    out[: frames_rgba.shape[0]] = frames_rgba
-    for p in range(frames_rgba.shape[0]):
-        tinted = np.uint32(0xFF) << 24  # alpha
+    nplates = frames_rgba.shape[0]
+    pad_shape = (MAX_PLATES - nplates,) + frames_rgba.shape[1:]
+    pad = xp.zeros(pad_shape, xp.uint32)
+    tinted_plates = []
+    for p in range(nplates):
+        tinted = xp.uint32(0xFF) << xp.uint32(24)  # alpha
         for ch, shift in enumerate((0, 8, 16)):
-            c = ((frames_rgba[p] >> shift) & 0xFF).astype(np.int64)
+            c = ((frames_rgba[p] >> shift) & 0xFF).astype(xp.int32)
             t = int(PLATE_TINTS[p, ch])
-            c = np.clip(c + ((percent * (t - c)) >> 8), 0, 255)
-            tinted = tinted | (c.astype(np.uint32) << shift)
-        out[MAX_PLATES + p] = tinted
-    return out
+            c = xp.clip(c + ((percent * (t - c)) >> 8), 0, 255)
+            tinted = tinted | (c.astype(xp.uint32) << shift)
+        tinted_plates.append(tinted)
+    return xp.concatenate(
+        [frames_rgba, pad, xp.stack(tinted_plates), pad], axis=0)
 
 
 class RemapKernel:

@@ -242,9 +242,21 @@ class Viewer:
         ``reproject --follow-poses``)."""
         sess = self.session
         if follow and self.poses is not None:
-            p, y, r = self.poses[min(i, len(self.poses) - 1)]
-            sess.cmd(f"setviewangles {p:g} {y:g} {r:g}")
-        screen = np.asarray(sess.render(self.frames[i]))
+            p, y, r = (float(v) for v in
+                       self.poses[min(i, len(self.poses) - 1)])
+            # skip the no-op command: setviewangles always flags a
+            # rebuild, and the page polls at 20 Hz even when paused
+            if sess.view_angles != (p, y, r):
+                # str(float) round-trips exactly, so the equality check
+                # above stays stable across polls
+                sess.cmd(f"setviewangles {p} {y} {r}")
+        frame = self.frames[i]
+        if frame.dtype == np.uint32 and sess.rubix_enabled:
+            # rubix on a u32 source needs the expanded raw||tinted layout
+            from blinky_tpu.kernels.remap import expand_frames_tinted_rgba
+
+            frame = expand_frames_tinted_rgba(frame)
+        screen = np.asarray(sess.render(frame))
         if screen.dtype == np.uint32:  # packed-RGBA true-color output
             from blinky_tpu.kernels.remap import unpack_rgb
 

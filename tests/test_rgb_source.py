@@ -269,3 +269,65 @@ def test_session_render_equirect():
     sess.cmd("f_lens hammer")
     out2 = np.asarray(sess.render_equirect(pano_rgb))
     assert (out2 != out).any()
+
+
+def test_render_equirect_with_rubix_and_fallback():
+    """Session rubix mode expands the u32 faces on-device instead of
+    raising; disabled-fisheye fallback still honors the u32 contract."""
+    from blinky_tpu.api import Session
+
+    rng = np.random.default_rng(12)
+    pano = rng.integers(0, 256, (24, 48, 3), np.uint8)
+    sess = Session(48, 36, platesize=16)
+    base = np.asarray(sess.render_equirect(pano))
+    sess.cmd("f_rubix")
+    out = np.asarray(sess.render_equirect(pano))
+    assert out.dtype == np.uint32 and out.shape == (36, 48)
+    assert (out != base).any()  # the tint layer shows
+
+    sess.cmd("fisheye 0")
+    fb = np.asarray(sess.render_equirect(pano))
+    assert fb.dtype == np.uint32  # background decoded, not raw indices
+
+
+def test_viewer_true_color_rubix():
+    """Toggling f_rubix on a true-color demo keeps /frame.png working
+    (the frame is expanded to the raw||tinted layout per request)."""
+    from urllib.request import urlopen
+
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.png import decode_png
+    from blinky_tpu.viewer import Viewer
+
+    rng = np.random.default_rng(13)
+    frames = pack_rgba(rng.integers(0, 256, (1, 6, 16, 16, 3), np.uint8))
+    sess = Session(32, 24, platesize=16)
+    sess.cmd("f_rubix")
+    v = Viewer(sess, frames)
+    v.start()
+    try:
+        with urlopen(v.address + "/frame.png?i=0", timeout=30) as r:
+            assert decode_png(r.read()).shape == (24, 32, 3)
+    finally:
+        v.stop()
+
+
+def test_equirect_unused_plates_are_zero():
+    """Plates beyond the globe's count come back all-zero, for both
+    sampling modes and the palette path (they used to replicate
+    pano[0, 0] through the weightless nearest gather)."""
+    from blinky_tpu import globes
+    from blinky_tpu.io.cubemap import equirect_to_cubemap
+
+    rng = np.random.default_rng(14)
+    pano = rng.integers(1, 256, (16, 32, 3), np.uint8)  # no zero texels
+    fast = globes.get("fast")  # 2 plates
+    for bilinear in (True, False):
+        faces = equirect_to_cubemap(pano, globe=fast, platesize=8,
+                                    bilinear=bilinear)
+        assert faces[:2].all(), "used plates populated"
+        assert not faces[2:].any(), "unused plates must be zero"
+    pal_pano = rng.integers(1, 256, (16, 32), np.uint8)
+    faces = equirect_to_cubemap(pal_pano, globe=fast, platesize=8)
+    assert faces.dtype == np.uint8
+    assert faces[:2].all() and not faces[2:].any()
