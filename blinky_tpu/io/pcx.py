@@ -80,12 +80,16 @@ def encode_pcx(image: np.ndarray, palette: np.ndarray, mode: str = "reference") 
 
 def decode_pcx(data: bytes):
     """Decode PCX bytes -> ([H, W] uint8 image, [256, 3] uint8 palette)."""
+    if len(data) < _HEADER.size:
+        raise ValueError("truncated PCX header")
     (man, ver, enc, bpp, xmin, ymin, xmax, ymax, _hres, _vres,
      _pal16, _res, planes, bpl, _ptype, _fill) = _HEADER.unpack_from(data, 0)
     if man != 0x0A or bpp != 8 or planes != 1:
         raise ValueError("unsupported PCX variant")
     w = xmax - xmin + 1
     h = ymax - ymin + 1
+    if w <= 0 or h <= 0 or bpl < w:
+        raise ValueError("bad PCX dimensions")
     raw = np.frombuffer(data, dtype=np.uint8)
     pos = _HEADER.size
     total = h * bpl

@@ -129,7 +129,10 @@ def decode_png(data: bytes) -> np.ndarray:
             f"interlace={interlace}); decoder handles 8-bit gray/RGB only"
         )
     channels = 3 if color_type == 2 else 1
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"bad PNG image data: {e}") from None
     stride = 1 + w * channels
     if len(raw) != h * stride:
         raise ValueError("PNG data size mismatch")
