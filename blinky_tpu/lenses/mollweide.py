@@ -15,12 +15,14 @@ _ROOT2 = math.sqrt(2)
 
 
 def _solve_theta(lat):
+    # lat rides in the state so the NumPy active-set path can compact it
+    # together with t (repeat_until's elementwise contract)
     def body(state):
-        (t,) = state
-        dt = -(t + m.sin(t) - m.pi * m.sin(lat)) / (1 + m.cos(t))
-        return (t + dt,), dt < 0.001
+        t, lat_ = state
+        dt = -(t + m.sin(t) - m.pi * m.sin(lat_)) / (1 + m.cos(t))
+        return (t + dt, lat_), dt < 0.001
 
-    (t,) = m.repeat_until(body, (lat,), max_iter=100)
+    t, _ = m.repeat_until(body, (lat, lat), max_iter=100)
     return t / 2
 
 

@@ -53,8 +53,10 @@ def make(ctx):
     def _newton(x, y):
         halfpi = m.pi / 2
 
+        # the targets (x, y) ride in the state so the NumPy active-set
+        # path can compact them together with (lam, phi)
         def body(state):
-            lam, phi = state
+            lam, phi, x, y = state
             cosphi = m.cos(phi)
             sinphi = m.sin(phi)
             sin_2phi = m.sin(2 * phi)
@@ -78,9 +80,10 @@ def make(ctx):
             siglam = (fy * dxdp - fx * dydp) / den
             sigphi = (fx * dydl - fy * dxdl) / den
             exit_ = (m.abs(siglam) < _EPS) & (m.abs(sigphi) < _EPS)
-            return (lam - siglam, phi - sigphi), exit_
+            return (lam - siglam, phi - sigphi, x, y), exit_
 
-        return m.repeat_until(body, (x, y), max_iter=25)
+        lam, phi, _, _ = m.repeat_until(body, (x, y, x, y), max_iter=25)
+        return lam, phi
 
     def lens_inverse(x, y):
         outside = m.abs(y) >= lens_height / 2

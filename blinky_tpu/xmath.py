@@ -168,7 +168,10 @@ def repeat_until(body, state, max_iter):
 
     Args:
         body: ``body(state_tuple) -> (new_state_tuple, exit_bool_array)``.
-            Must be shape-preserving.
+            Must be shape-preserving and ELEMENTWISE over the state — any
+            captured per-element array (solver targets, parameters) must
+            ride in the state tuple, because the NumPy path compacts the
+            working set to the still-active elements each round.
         state: tuple of arrays (broadcast to a common shape internally).
         max_iter: static iteration cap (NumPy exits early once all elements
             have exited; under jit a fixed masked loop runs — identical
@@ -178,17 +181,30 @@ def repeat_until(body, state, max_iter):
     """
     x = xp(*state)
     if x is np:
+        # Active-set evaluation: each round runs the body only on the
+        # elements that have not exited, compacting the working set as
+        # convergence spreads (most pixels of the iterative lenses exit
+        # well before the cap, so this is a multi-x win on big grids).
+        # Bit-exact vs the dense masked loop: bodies are elementwise (the
+        # vectorized-scalar-loop contract above), so every element sees
+        # the identical op sequence until its own exit.
         state = tuple(np.asarray(s, dtype=np.result_type(s, np.float64)) for s in state)
         shape = np.broadcast_shapes(*[s.shape for s in state])
-        state = tuple(np.broadcast_to(s, shape).copy() for s in state)
-        active = np.ones(shape, dtype=bool)
+        flat = [np.broadcast_to(s, shape).reshape(-1).copy() for s in state]
+        idx = np.arange(flat[0].size)
+        work = tuple(f[idx] for f in flat)
         for _ in range(max_iter):
-            if not active.any():
+            if idx.size == 0:
                 break
-            new_state, ex = body(state)
-            state = tuple(np.where(active, n, o) for n, o in zip(new_state, state))
-            active &= ~np.asarray(ex)
-        return state
+            new_state, ex = body(work)
+            new_state = tuple(np.broadcast_to(n, idx.shape)
+                              for n in new_state)
+            for f, n in zip(flat, new_state):
+                f[idx] = n
+            keep = ~np.broadcast_to(np.asarray(ex), idx.shape)
+            idx = idx[keep]
+            work = tuple(n[keep] for n in new_state)
+        return tuple(f.reshape(shape) for f in flat)
 
     import jax
 
