@@ -62,11 +62,43 @@ SHORTCUT_BINDINGS = {
 
 
 def _atof(s: str) -> float:
-    """``Q_atof``: 0 on parse failure (see e.g. fisheye.c:1043)."""
-    try:
-        return float(s)
-    except ValueError:
-        return 0.0
+    """``Q_atof`` transcription (``common/common.c:1076-1140``; used by
+    e.g. ``cmd_fov``, ``fisheye.c:1043``): optional ``-``, ``0x`` hex,
+    ``'c`` char constant, else digits with a single honored ``.`` —
+    parsing stops at the first other character.  Notably "nan"/"inf"
+    parse to 0 and "9e99" parses to 9 (no exponent syntax), so console
+    input can never smuggle non-finite or overflowing values in."""
+    i, sign = 0, 1.0
+    if s.startswith("-"):
+        sign, i = -1.0, 1
+    t = s[i:]
+    if t[:2].lower() == "0x":
+        val = 0.0
+        for ch in t[2:]:
+            d = "0123456789abcdef".find(ch.lower())
+            if d < 0:
+                break
+            val = val * 16 + d
+        return val * sign
+    if t[:1] == "'":
+        return sign * ord(t[1]) if len(t) > 1 else 0.0
+    val = 0.0
+    decimal = -1
+    total = 0
+    for ch in t:
+        if ch == ".":
+            decimal = total
+            continue
+        if not "0" <= ch <= "9":
+            break
+        val = val * 10 + (ord(ch) - 48)
+        total += 1
+    if decimal == -1:
+        return val * sign
+    while total > decimal:
+        val /= 10
+        total -= 1
+    return val * sign
 
 
 class Session:
@@ -339,7 +371,11 @@ class Session:
 
     def _cmd_exec(self, argv):
         if len(argv) >= 2:
-            self.exec_config(argv[1])
+            try:
+                self.exec_config(argv[1])
+            except OSError:
+                # Cmd_Exec_f keeps the console alive (common/cmd.c:325)
+                self._print(f"couldn't exec {argv[1]}")
 
     def press_key(self, key: str) -> None:
         """Run the command bound to *key* (the shortcut-key surface)."""

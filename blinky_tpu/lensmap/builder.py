@@ -82,10 +82,17 @@ def rubix_grid_mask(px, py, platesize, numcells, cell_size, pad_size, xp):
     """
     block_size = pad_size + cell_size
     num_units = numcells * block_size + pad_size
-    unit_size_px = platesize / num_units
-    ux = px / unit_size_px
-    uy = py / unit_size_px
-    return (xp.fmod(ux, block_size) < pad_size) | (xp.fmod(uy, block_size) < pad_size)
+    # C computes this in IEEE doubles: `f_rubixgrid 0 0 0` divides by zero
+    # to inf (-> no grid lines) rather than crashing, and so must we.
+    # errstate only affects the NumPy backend; num_units stays an xp value
+    # because it is a traced dynamic arg on the jit path.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        unit_size_px = xp.asarray(platesize, dtype=xp.float64) / xp.asarray(
+            num_units, dtype=xp.float64)
+        ux = px / unit_size_px
+        uy = py / unit_size_px
+        return (xp.fmod(ux, block_size) < pad_size) | (
+            xp.fmod(uy, block_size) < pad_size)
 
 
 def inverse_grid(
