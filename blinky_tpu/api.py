@@ -29,6 +29,7 @@ from blinky_tpu import lenses as lenses_mod
 from blinky_tpu import palette as palette_mod
 from blinky_tpu.io.cubemap import save_globe_pcx
 from blinky_tpu.kernels.remap import RemapKernel
+from blinky_tpu.palette import MAX_PLATES
 from blinky_tpu.lensmap import Zoom, ZoomError, build_lensmap, calc_scale
 
 HELP_TEXT = """-----------------------------
@@ -576,6 +577,54 @@ class Session:
             )
             self._posed_cache = (key, kernel)
         return self._posed_cache[1](frames, bases)
+
+    def render_aa(self, frames, factor: int = 2, rubix: Optional[bool] = None):
+        """Supersampled (anti-aliased) true-color rendering.
+
+        Renders through a lensmap built at ``factor``× the session size
+        and box-averages back down on device — an extension: the
+        reference's software renderer is aliased by nature (one palette
+        index per pixel), but true-color output can resolve the lens
+        distortions' edge aliasing properly.
+
+        ``frames``: u8 palette plates (decoded via the session palette),
+        packed-RGBA u32 plates, or either one's expanded raw||tinted
+        layout for rubix.  Returns [H, W(, B)] packed-RGBA uint32.
+
+        The hi-res session mirrors this session's state (config replay +
+        view angles); its lensmap build is cached per (state, factor).
+        """
+        from blinky_tpu.kernels.remap import downsample_rgba, frames_to_rgba
+
+        factor = int(factor)
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        frames = np.asarray(frames)
+        if frames.dtype != np.uint32:
+            frames = frames_to_rgba(frames, self.palette)
+        rubix = self.rubix_enabled if rubix is None else bool(rubix)
+        if rubix and frames.shape[0] != 2 * MAX_PLATES:
+            raise ValueError(
+                "rubix AA needs the expanded raw||tinted layout "
+                "(expand_frames_tinted[_rgba])")
+
+        state = (self.config_str(), self.view_angles, self.platesize,
+                 id(self.palette), factor)
+        cached = getattr(self, "_aa_cache", None)
+        if cached is None or cached[0] != state:
+            hi_sess = Session(self.width_px * factor, self.height_px * factor,
+                              platesize=self.platesize, palette=self.palette,
+                              backend=self.backend)
+            for line in self.config_str().splitlines():
+                hi_sess.cmd(line)
+            if self.view_angles is not None:
+                hi_sess.cmd("setviewangles %s %s %s" % self.view_angles)
+            self._aa_cache = (state, hi_sess)
+        hi_sess = self._aa_cache[1]
+        hi = hi_sess.render(frames, rubix=rubix)
+        if getattr(hi, "dtype", None) != np.uint32:
+            hi = frames_to_rgba(np.asarray(hi), self.palette)  # background
+        return downsample_rgba(hi, factor) if factor > 1 else hi
 
     def render_equirect(self, panos, bilinear: bool = True):
         """Warp equirectangular panoramas end-to-end on the device.

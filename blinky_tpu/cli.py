@@ -259,9 +259,14 @@ def cmd_reproject(args) -> int:
         print("demo has no pose track; --follow-poses ignored")
 
     is_rgba = frames.dtype == np.uint32  # true-color (demo-import --rgb)
-    if is_rgba and args.format == "pcx":
+    out_rgba = is_rgba or args.aa > 1    # AA resolves in RGB space
+    if args.aa > 1 and poses is not None:
+        print("error: --aa applies to static views (render_aa); "
+              "drop --follow-poses")
+        return 2
+    if out_rgba and args.format == "pcx":
         print("error: pcx is palette-indexed; use --format png/ppm/npz "
-              "for true-color demos")
+              "for true-color output")
         return 2
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -294,12 +299,15 @@ def cmd_reproject(args) -> int:
                 np.asarray(sess.render_posed(batch_frames, np.asarray(poses)[pidx])),
                 0, -1,
             )
+        elif args.aa > 1:
+            out = np.asarray(sess.render_aa(batch_frames, factor=args.aa,
+                                            rubix=want_rubix))
         else:
             out = np.asarray(sess.render(batch_frames, rubix=want_rubix))
         clock.tick(n_valid)
         for b in range(n_valid):
             img = out[..., b]
-            if is_rgba and args.format in ("ppm", "png"):
+            if out_rgba and args.format in ("ppm", "png"):
                 from blinky_tpu.kernels.remap import unpack_rgb
 
                 rgb = unpack_rgb(img)
@@ -504,6 +512,9 @@ def main(argv=None) -> int:
                    help="rotate the view within the recorded plates (deg)")
     p.add_argument("--follow-poses", action="store_true",
                    help="track the demo's pose stream (per batch)")
+    p.add_argument("--aa", type=int, default=1, metavar="K",
+                   help="supersample factor: render at Kx and box-average "
+                        "down (true-color output)")
     p.add_argument("--format", default="pcx", choices=["pcx", "ppm", "png", "npz"])
     p.add_argument("--outdir", default="warped")
     p.set_defaults(fn=cmd_reproject)

@@ -208,6 +208,30 @@ def pack_rgba(rgb) -> np.ndarray:
     )
 
 
+def downsample_rgba(hi, factor: int):
+    """Box-average a packed-RGBA screen by ``factor`` along H and W —
+    the resolve step of supersampled rendering (``Session.render_aa``).
+    [kH, kW(, B)] u32 -> [H, W(, B)] u32, on device, per channel in f32
+    with round-half-up."""
+    import jax
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(hi, k):
+        H, W = hi.shape[0] // k, hi.shape[1] // k
+        rest = hi.shape[2:]
+        out = jnp.full((H, W) + rest, jnp.uint32(0xFF) << 24)
+        for shift in (0, 8, 16):
+            c = ((hi >> shift) & 0xFF).astype(jnp.float32)
+            c = c.reshape((H, k, W, k) + rest).mean(axis=(1, 3))
+            out = out | (jnp.clip(c + 0.5, 0, 255).astype(jnp.uint32) << shift)
+        return out
+
+    hi = jnp.asarray(hi, jnp.uint32)
+    if hi.shape[0] % factor or hi.shape[1] % factor:
+        raise ValueError(f"screen {hi.shape[:2]} not divisible by {factor}")
+    return run(hi, int(factor))
+
+
 def unpack_rgb(rgba) -> np.ndarray:
     """Packed RGBA uint32 -> [..., 3] u8 (drops alpha)."""
     rgba = np.asarray(rgba, dtype=np.uint32)

@@ -161,3 +161,31 @@ def test_gallery_html_contact_sheet(tmp_path, monkeypatch):
     assert decode_png(pngs[0].read_bytes()).shape == (36, 48, 3)
     index = (tmp_path / "index.html").read_text()
     assert "panini" in index and 'src="hammer.png"' in index
+
+
+def test_reproject_aa(tmp_path):
+    """--aa K supersamples: true-color output, pcx refused, poses refused."""
+    from blinky_tpu.cli import main as cli_main
+    from blinky_tpu.io.png import decode_png
+
+    demo = tmp_path / "demo.npz"
+    cli_main(["demo-synth", "--frames", "2", "--platesize", "32",
+              "--out", str(demo)])
+    out = tmp_path / "aa"
+    rc = cli_main(["reproject", "--demo", str(demo), "--width", "64",
+                   "--height", "48", "--cmd", "f_lens fisheye1",
+                   "--aa", "2", "--format", "png", "--outdir", str(out)])
+    assert rc in (0, None)
+    files = sorted(out.glob("*.png"))
+    assert len(files) == 2
+    img = decode_png(files[0].read_bytes())
+    assert img.shape == (48, 64, 3)
+
+    rc = cli_main(["reproject", "--demo", str(demo), "--width", "64",
+                   "--height", "48", "--aa", "2", "--format", "pcx",
+                   "--outdir", str(out)])
+    assert rc == 2
+    rc = cli_main(["reproject", "--demo", str(demo), "--width", "64",
+                   "--height", "48", "--aa", "2", "--follow-poses",
+                   "--format", "png", "--outdir", str(out)])
+    assert rc == 2

@@ -331,3 +331,46 @@ def test_equirect_unused_plates_are_zero():
     faces = equirect_to_cubemap(pal_pano, globe=fast, platesize=8)
     assert faces.dtype == np.uint8
     assert faces[:2].all() and not faces[2:].any()
+
+
+def test_render_aa():
+    """Supersampled rendering: factor 1 equals plain u32 render; factor 2
+    smooths edges (strictly more intermediate values along the image
+    circle) and follows session state."""
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.cubemap import synthetic_cubemap
+
+    pal = default_palette()
+    frames = synthetic_cubemap(32)
+    sess = Session(64, 48, platesize=32, palette=pal)
+    sess.cmd("f_lens fisheye1; f_contain")  # circular boundary = aliasing
+
+    plain = np.asarray(sess.render(frames_to_rgba(frames, pal)))
+    aa1 = np.asarray(sess.render_aa(frames, factor=1))
+    np.testing.assert_array_equal(aa1, plain)
+
+    aa2 = np.asarray(sess.render_aa(frames, factor=2))
+    assert aa2.shape == plain.shape and aa2.dtype == np.uint32
+    # the boundary ring gains blended colors the 1x render can't have
+    vals_plain = set(np.unique(unpack_rgb(plain)[..., 0]).tolist())
+    vals_aa = set(np.unique(unpack_rgb(aa2)[..., 0]).tolist())
+    assert len(vals_aa) > len(vals_plain)
+    assert (aa2 != plain).any()
+
+    # state follows: a lens switch invalidates the cached hi-res session
+    sess.cmd("f_lens hammer")
+    aa_h = np.asarray(sess.render_aa(frames, factor=2))
+    assert (aa_h != aa2).any()
+
+    # rubix AA needs the expanded layout; with it, it renders
+    from blinky_tpu.kernels.remap import expand_frames_tinted
+
+    sess.cmd("f_rubix")
+    with pytest.raises(ValueError, match="expanded"):
+        sess.render_aa(frames, factor=2)
+    ex = expand_frames_tinted(frames, pal)
+    out = np.asarray(sess.render_aa(ex, factor=2))
+    assert out.shape == (48, 64) and out.dtype == np.uint32
+
+    with pytest.raises(ValueError, match="factor"):
+        sess.render_aa(frames, factor=0)
