@@ -24,3 +24,24 @@ def test_360_video_example(tmp_path):
     assert first.shape == (48, 64, 3)
     # the example pans 90 degrees over the sequence — frames must differ
     assert (first != last).any()
+
+
+def test_equirect_pipeline_example(tmp_path):
+    spec = importlib.util.spec_from_file_location(
+        "example_equirect", EXAMPLES / "equirect_pipeline.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.W, mod.H, mod.PANO_W, mod.PANO_H = 64, 48, 128, 64
+    mod.S, mod.N, mod.BATCH = 48, 4, 2
+    mod.main(tmp_path / "out")
+    from blinky_tpu.io.png import decode_png
+
+    pngs = sorted((tmp_path / "out").glob("frame*.png"))
+    assert len(pngs) == 4
+    assert decode_png(pngs[0].read_bytes()).shape == (48, 64, 3)
+    # the mid-stream lens switch changes the output
+    first = decode_png(pngs[0].read_bytes())
+    last = decode_png(pngs[-1].read_bytes())
+    assert (first != last).any()
+    poster = decode_png((tmp_path / "out" / "poster_aa.png").read_bytes())
+    assert poster.shape == (48, 64, 3)
