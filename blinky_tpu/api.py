@@ -593,6 +593,9 @@ class Session:
 
         The hi-res session mirrors this session's state (config replay +
         view angles); its lensmap build is cached per (state, factor).
+        Measured on v5e: 204 ms warm for one 1280x720 frame at factor 2
+        (batch lanes amortize the gather like every remap; first compile
+        at a new hi-res shape is minutes, then persistently cached).
         """
         from blinky_tpu.kernels.remap import downsample_rgba, frames_to_rgba
 
@@ -636,7 +639,9 @@ class Session:
         gather table like the lensmap) and remaps through the current
         lens — two chained device gathers, so only the warped screens
         leave the chip.  Returns [H_out, W_out, B] u32 (or [H_out,
-        W_out] for a single pano).
+        W_out] for a single pano).  Measured on v5e: 327 ms warm for one
+        2048x1024 pano to 1280x720 (relay upload included; batches
+        amortize — see kernels/ingest.py for the batched rates).
         """
         from blinky_tpu.kernels.ingest import EquirectIngest
         from blinky_tpu.kernels.remap import pack_rgba
