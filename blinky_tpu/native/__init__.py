@@ -82,6 +82,9 @@ def _bind(lib) -> None:
     f64p = ctypes.POINTER(ctypes.c_double)
     lib.libm_unary.argtypes = [ctypes.c_int, f64p, f64p, ctypes.c_long]
     lib.libm_binary.argtypes = [ctypes.c_int, f64p, f64p, f64p, ctypes.c_long]
+    lib.png_unfilter.restype = ctypes.c_int
+    lib.png_unfilter.argtypes = [u8p, u8p, ctypes.c_long, ctypes.c_long,
+                                 ctypes.c_int]
 
 
 def available() -> bool:
@@ -232,3 +235,20 @@ def unpack_batch(frames_pssb: np.ndarray):
     dst = np.empty((B, P, S, S), dtype=np.uint8)
     lib.unpack_batch(_u8(src), _u8(dst), B, P, S)
     return dst
+
+
+def png_unfilter(scan: np.ndarray, channels: int):
+    """PNG scanline unfilter: scan [H, 1+W*C] u8 -> [H, W*C] u8; None if
+    the native lib is unavailable, ValueError on an unknown filter byte
+    (the decoder's error contract)."""
+    lib = _load()
+    if lib is None:
+        return None
+    scan = np.ascontiguousarray(scan, dtype=np.uint8)
+    h, stride1 = scan.shape
+    out = np.empty((h, stride1 - 1), dtype=np.uint8)
+    rc = lib.png_unfilter(_u8(scan), _u8(out), h, stride1 - 1,
+                          int(channels))
+    if rc != 0:
+        raise ValueError("unsupported PNG filter")
+    return out

@@ -355,4 +355,60 @@ void libm_binary(int op, const double* a, const double* b, double* out, long n) 
   });
 }
 
+// PNG scanline unfilter (spec section 6): scan = [h][1 + w*channels]
+// (filter byte + filtered row), out = [h][w*channels].  Sequential by
+// nature (each row depends on the previous; Sub/Average/Paeth also on
+// the left pixel), which is exactly why the Python fallback is slow.
+// Returns 0 on success, -1 on an unknown filter byte.
+int png_unfilter(const unsigned char* scan, unsigned char* out,
+                 long h, long stride, int bpp) {
+  for (long y = 0; y < h; ++y) {
+    const unsigned char* cur = scan + y * (stride + 1);
+    int f = cur[0];
+    cur += 1;
+    unsigned char* row = out + y * stride;
+    const unsigned char* prev = y ? out + (y - 1) * stride : nullptr;
+    switch (f) {
+      case 0:
+        for (long x = 0; x < stride; ++x) row[x] = cur[x];
+        break;
+      case 1:
+        for (long x = 0; x < stride; ++x) {
+          int a = x >= bpp ? row[x - bpp] : 0;
+          row[x] = (unsigned char)(cur[x] + a);
+        }
+        break;
+      case 2:
+        for (long x = 0; x < stride; ++x) {
+          int b = prev ? prev[x] : 0;
+          row[x] = (unsigned char)(cur[x] + b);
+        }
+        break;
+      case 3:
+        for (long x = 0; x < stride; ++x) {
+          int a = x >= bpp ? row[x - bpp] : 0;
+          int b = prev ? prev[x] : 0;
+          row[x] = (unsigned char)(cur[x] + ((a + b) >> 1));
+        }
+        break;
+      case 4:
+        for (long x = 0; x < stride; ++x) {
+          int a = x >= bpp ? row[x - bpp] : 0;
+          int b = prev ? prev[x] : 0;
+          int c = (prev && x >= bpp) ? prev[x - bpp] : 0;
+          int p = a + b - c;
+          int pa = p > a ? p - a : a - p;
+          int pb = p > b ? p - b : b - p;
+          int pc = p > c ? p - c : c - p;
+          int pr = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+          row[x] = (unsigned char)(cur[x] + pr);
+        }
+        break;
+      default:
+        return -1;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"
