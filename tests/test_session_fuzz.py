@@ -10,7 +10,10 @@ from blinky_tpu.io.cubemap import synthetic_cubemap
 from blinky_tpu.lensmap.zoom import ZoomError  # noqa: F401 (contract ref)
 
 
-def test_console_fuzz_never_crashes():
+def test_console_fuzz_never_crashes(tmp_path, monkeypatch):
+    # f_saveglobe / f_dumppal write into the CWD (as the reference's
+    # COM_WriteFile does) — keep the fuzz storm's files out of the repo.
+    monkeypatch.chdir(tmp_path)
     rng = np.random.default_rng(0)
     words = ["f_lens", "f_globe", "f_fov", "f_vfov", "f_cover", "f_contain",
              "f_rubix", "f_rubixgrid", "fisheye", "fov", "bind", "unbind",
