@@ -63,7 +63,7 @@ SHORTCUT_BINDINGS = {
 
 
 def _atof(s: str) -> float:
-    """``Q_atof`` transcription (``common/common.c:1076-1140``; used by
+    """``Q_atof`` transcription (``common/common.c:252-315``; used by
     e.g. ``cmd_fov``, ``fisheye.c:1043``): optional ``-``, ``0x`` hex,
     ``'c`` char constant, else digits with a single honored ``.`` —
     parsing stops at the first other character.  Notably "nan"/"inf"
@@ -206,7 +206,18 @@ class Session:
             part = part.strip()
             if not part:
                 continue
-            argv = shlex.split(part)
+            try:
+                argv = shlex.split(part)
+            except ValueError:
+                # COM_Parse reads an unterminated quote through to the end
+                # of the line rather than erroring (common/common.c:270-281);
+                # shlex raises, so close the quote and retry.
+                try:
+                    argv = shlex.split(part + '"')
+                except ValueError:
+                    argv = part.split()
+            if not argv:
+                continue
             handler = self._commands.get(argv[0])
             if handler is None:
                 self._print(f'Unknown command "{argv[0]}"')
@@ -374,8 +385,10 @@ class Session:
         if len(argv) >= 2:
             try:
                 self.exec_config(argv[1])
-            except OSError:
-                # Cmd_Exec_f keeps the console alive (common/cmd.c:325)
+            except (OSError, UnicodeDecodeError):
+                # Cmd_Exec_f keeps the console alive (common/cmd.c:325);
+                # the C path execs raw bytes, so undecodable files must
+                # not crash the session either.
                 self._print(f"couldn't exec {argv[1]}")
 
     def press_key(self, key: str) -> None:
@@ -468,9 +481,13 @@ class Session:
         # Reassigning the palette must invalidate the cached remap kernels:
         # their tint/rgb LUTs bake the palette in at construction.
         self._palette = np.asarray(pal, dtype=np.uint8)
+        # Generation counter, not id(): a freed array's id can be reused
+        # and silently hit a stale cache entry (see _posed_cache note).
+        self._palette_gen = getattr(self, "_palette_gen", 0) + 1
         self._kernel = None
         self._plain_cache = None
         self._posed_cache = None  # its RGBA background decodes the palette
+        self._aa_cache = None  # hi-res sessions bake the palette in
 
     def set_background(self, background) -> None:
         """Set the underlay shown where the lensmap is unmapped (the
@@ -485,6 +502,13 @@ class Session:
         self.width_px = int(width)
         self.height_px = int(height)
         self.platesize = int(platesize) if platesize else min(width, height)
+        if self._background is not None and self._background.shape[:2] != (
+                self.height_px, self.width_px):
+            # A screen-sized underlay can't survive a resize (the
+            # reference re-tiles its background texture per frame,
+            # Draw_TileClear fisheye.c:802); drop back to the default.
+            self._background = None
+            self._background_gen = getattr(self, "_background_gen", 0) + 1
         self._changed = True  # sizechange, fisheye.c:709
 
     def render(self, frames, rubix: Optional[bool] = None, decode_rgb: bool = False):
@@ -611,19 +635,33 @@ class Session:
                 "rubix AA needs the expanded raw||tinted layout "
                 "(expand_frames_tinted[_rgba])")
 
-        state = (self.config_str(), self.view_angles, self.platesize,
-                 id(self.palette), factor)
-        cached = getattr(self, "_aa_cache", None)
-        if cached is None or cached[0] != state:
+        state = (self.config_str(), self.view_angles, self.width_px,
+                 self.height_px, self.platesize,
+                 getattr(self, "_palette_gen", 0),
+                 getattr(self, "_background_gen", 0), factor)
+        cache = getattr(self, "_aa_cache", None)
+        if not isinstance(cache, dict):
+            cache = self._aa_cache = {}
+        hi_sess = cache.get(state)
+        if hi_sess is None:
             hi_sess = Session(self.width_px * factor, self.height_px * factor,
                               platesize=self.platesize, palette=self.palette,
+                              lens_dirs=self.lens_dirs,
+                              globe_dirs=self.globe_dirs,
                               backend=self.backend)
             for line in self.config_str().splitlines():
                 hi_sess.cmd(line)
             if self.view_angles is not None:
                 hi_sess.cmd("setviewangles %s %s %s" % self.view_angles)
-            self._aa_cache = (state, hi_sess)
-        hi_sess = self._aa_cache[1]
+            if self._background is not None:
+                # Nearest-neighbor upscale: each source background pixel
+                # covers a factor x factor block, so the box downsample
+                # hands it back unchanged where the lens leaves gaps.
+                hi_sess.set_background(np.repeat(
+                    np.repeat(self._background, factor, 0), factor, 1))
+            while len(cache) >= 4:  # hi-res sessions hold big tables
+                cache.pop(next(iter(cache)))
+            cache[state] = hi_sess
         hi = hi_sess.render(frames, rubix=rubix)
         if getattr(hi, "dtype", None) != np.uint32:
             hi = frames_to_rgba(np.asarray(hi), self.palette)  # background

@@ -171,7 +171,10 @@ def repeat_until(body, state, max_iter):
             Must be shape-preserving and ELEMENTWISE over the state — any
             captured per-element array (solver targets, parameters) must
             ride in the state tuple, because the NumPy path compacts the
-            working set to the still-active elements each round.
+            working set to the still-active elements each round.  A body
+            that instead captures full-size arrays in its closure (the
+            pre-compaction pattern) still works: the compacted call
+            raises a shape error and the loop restarts densely.
         state: tuple of arrays (broadcast to a common shape internally).
         max_iter: static iteration cap (NumPy exits early once all elements
             have exited; under jit a fixed masked loop runs — identical
@@ -187,24 +190,44 @@ def repeat_until(body, state, max_iter):
         # well before the cap, so this is a multi-x win on big grids).
         # Bit-exact vs the dense masked loop: bodies are elementwise (the
         # vectorized-scalar-loop contract above), so every element sees
-        # the identical op sequence until its own exit.
+        # the identical op sequence until its own exit.  (Assumption worth
+        # naming: NumPy's float64 transcendentals give length-independent
+        # results on a given host — true here and pinned by the golden
+        # suite; the f64 *parity* path routes through glibc libm anyway,
+        # see native.libm_unary.)
         state = tuple(np.asarray(s, dtype=np.result_type(s, np.float64)) for s in state)
         shape = np.broadcast_shapes(*[s.shape for s in state])
-        flat = [np.broadcast_to(s, shape).reshape(-1).copy() for s in state]
-        idx = np.arange(flat[0].size)
-        work = tuple(f[idx] for f in flat)
-        for _ in range(max_iter):
-            if idx.size == 0:
-                break
-            new_state, ex = body(work)
-            new_state = tuple(np.broadcast_to(n, idx.shape)
-                              for n in new_state)
-            for f, n in zip(flat, new_state):
-                f[idx] = n
-            keep = ~np.broadcast_to(np.asarray(ex), idx.shape)
-            idx = idx[keep]
-            work = tuple(n[keep] for n in new_state)
-        return tuple(f.reshape(shape) for f in flat)
+        try:
+            flat = [np.broadcast_to(s, shape).reshape(-1).copy() for s in state]
+            idx = np.arange(flat[0].size)
+            work = tuple(f[idx] for f in flat)
+            for _ in range(max_iter):
+                if idx.size == 0:
+                    break
+                new_state, ex = body(work)
+                new_state = tuple(np.broadcast_to(n, idx.shape)
+                                  for n in new_state)
+                for f, n in zip(flat, new_state):
+                    f[idx] = n
+                keep = ~np.broadcast_to(np.asarray(ex), idx.shape)
+                idx = idx[keep]
+                work = tuple(n[keep] for n in new_state)
+            return tuple(f.reshape(shape) for f in flat)
+        except (ValueError, IndexError):
+            # A body that captures full-size arrays in its closure (the
+            # pre-compaction user-lens pattern) breaks once the working
+            # set shrinks; bodies are pure, so restart with the dense
+            # masked loop, which keeps the old contract working.
+            st = tuple(np.broadcast_to(s, shape).copy() for s in state)
+            active = np.ones(shape, dtype=bool)
+            for _ in range(max_iter):
+                if not active.any():
+                    break
+                new_state, ex = body(st)
+                st = tuple(np.where(active, np.broadcast_to(n, shape), o)
+                           for n, o in zip(new_state, st))
+                active &= ~np.broadcast_to(np.asarray(ex), shape)
+            return st
 
     import jax
 

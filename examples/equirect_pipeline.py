@@ -50,9 +50,13 @@ def main(outdir="warped_equirect"):
 
     clock = FrameClock()
     wrote = 0
+    switched = False
     panos = np.stack([pack_rgba(synth_pano(i)) for i in range(N)], axis=-1)
     for i0 in range(0, N, BATCH):
-        if wrote == N // 2:  # lens switch mid-stream, like the console
+        if wrote >= N // 2 and not switched:
+            # lens switch mid-stream, like the console (batch boundaries
+            # need not land exactly on N//2)
+            switched = True
             sess.cmd("f_lens quincuncial; f_contain")
         batch = panos[..., i0 : i0 + BATCH]  # [PANO_H, PANO_W, B]
         screens = np.asarray(sess.render_equirect(batch))

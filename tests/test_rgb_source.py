@@ -374,3 +374,67 @@ def test_render_aa():
 
     with pytest.raises(ValueError, match="factor"):
         sess.render_aa(frames, factor=0)
+
+
+def test_render_aa_follows_session_environment(tmp_path):
+    """The hi-res AA session must mirror EVERYTHING that shapes the
+    low-res one: user script dirs, the background underlay, size changes,
+    palette reassignment — and alternating factors must hit the cache."""
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.cubemap import synthetic_cubemap
+
+    # a user lens only resolvable through lens_dirs
+    (tmp_path / "sq.py").write_text(
+        "def make(ctx):\n"
+        "    def lens_inverse(x, y):\n"
+        "        import numpy as np\n"
+        "        r2 = x * x + y * y\n"
+        "        z = (1 - r2) / (1 + r2)\n"
+        "        s = 1 + z\n"
+        "        return x * s, y * s, z + 0 * x, True\n"
+        "    return dict(lens_inverse=lens_inverse, lens_width=2.0,\n"
+        "                lens_height=2.0, onload='f_contain')\n")
+    pal = default_palette()
+    frames = synthetic_cubemap(16)
+    sess = Session(32, 24, platesize=16, palette=pal, lens_dirs=[tmp_path])
+    sess.cmd("f_lens sq")
+    assert sess.lens_valid
+    aa = np.asarray(sess.render_aa(frames, factor=2))
+    assert aa.shape == (24, 32)
+    # the user lens actually rendered (not the background-only screen)
+    assert len(np.unique(aa)) > 2
+
+    # custom background shows through where the lens leaves gaps
+    sess.cmd("f_lens fisheye1; f_contain")  # circular image -> corners bg
+    bg = np.full((24, 32), 251, np.uint8)  # a bright palette entry
+    sess.set_background(bg)
+    aa_bg = np.asarray(sess.render_aa(frames, factor=2))
+    plain_bg = np.asarray(sess.render(frames_to_rgba(frames, pal)))
+    # corners are pure background in both, and they agree
+    np.testing.assert_array_equal(aa_bg[0, 0], plain_bg[0, 0])
+    assert aa_bg[0, 0] == pack_rgba(pal[251][None, None])[0, 0]
+
+    # size change invalidates the cached hi-res session (and drops the
+    # now wrong-sized background back to the default)
+    sess.set_size(48, 36, platesize=16)
+    aa_big = np.asarray(sess.render_aa(frames, factor=2))
+    assert aa_big.shape == (36, 48)
+    sess.set_background(np.full((36, 48), 251, np.uint8))
+
+    # alternating factors both stay cached (no single-slot thrash)
+    s1 = np.asarray(sess.render_aa(frames, factor=1))
+    s2 = np.asarray(sess.render_aa(frames, factor=2))
+    cache = sess._aa_cache
+    assert isinstance(cache, dict) and len(cache) >= 2
+    np.testing.assert_array_equal(
+        np.asarray(sess.render_aa(frames, factor=1)), s1)
+    assert len(sess._aa_cache) == len(cache)  # hit, not rebuild
+    np.testing.assert_array_equal(
+        np.asarray(sess.render_aa(frames, factor=2)), s2)
+
+    # palette reassignment flushes the baked-in LUTs
+    pal2 = pal.copy()
+    pal2[251] = (0, 255, 0)
+    sess.palette = pal2
+    aa_p2 = np.asarray(sess.render_aa(frames, factor=2))
+    assert aa_p2[0, 0] == pack_rgba(pal2[251][None, None])[0, 0]

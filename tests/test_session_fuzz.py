@@ -56,3 +56,37 @@ def test_config_roundtrip_after_fuzz(tmp_path):
     # reference's F_WriteConfig (fisheye.c:683-696) writes only the
     # f_rubixgrid parameters
     assert not sess2.rubix_enabled and sess2.rubix_numcells == 7
+
+
+def test_console_parser_survives_malformed_quoting_and_exec(tmp_path, monkeypatch):
+    """COM_Parse reads an unterminated quote through end-of-line instead of
+    erroring (common/common.c:270-281), and Cmd_Exec_f execs raw bytes —
+    neither may crash the session."""
+    monkeypatch.chdir(tmp_path)
+    sess = Session(48, 36, platesize=16)
+    sess.cmd('f_lens "unterminated')  # shlex would raise ValueError
+    sess.cmd('bind 3 "f_lens fisheye1')  # unterminated bind value
+    sess.cmd('"')
+    sess.cmd("   ;;  ;")
+    bad = tmp_path / "bad.cfg"
+    bad.write_bytes(b"\xff\xfe\x00garbage\nf_lens panini\n")
+    sess.cmd(f"exec {bad}")  # undecodable file: print, don't raise
+    good = tmp_path / "good.cfg"
+    good.write_text('f_lens hammer\nf_fov "90\n')
+    sess.cmd(f"exec {good}")
+    assert sess.lens_name == "hammer"
+    out = np.asarray(sess.render(synthetic_cubemap(16)))
+    assert out.shape == (36, 48)
+
+
+def test_set_size_drops_stale_background():
+    """A screen-sized underlay can't survive a resize — the session falls
+    back to the default background instead of crashing the next render."""
+    sess = Session(32, 24, platesize=16)
+    sess.cmd("f_lens fisheye1; f_contain")
+    frames = synthetic_cubemap(16)
+    sess.set_background(np.full((24, 32), 251, np.uint8))
+    assert np.asarray(sess.render(frames))[0, 0] == 251
+    sess.set_size(48, 36, platesize=16)
+    out = np.asarray(sess.render(frames))
+    assert out.shape == (36, 48) and out[0, 0] != 251
