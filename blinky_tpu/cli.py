@@ -264,15 +264,15 @@ def cmd_reproject(args) -> int:
         print("error: --aa applies to static views (render_aa); "
               "drop --follow-poses")
         return 2
-    if out_rgba and args.format == "pcx":
-        print("error: pcx is palette-indexed; use --format png/ppm/npz "
-              "for true-color output")
+    if out_rgba and args.format in ("pcx", "gif"):
+        print(f"error: {args.format} is palette-indexed; use --format "
+              "png/ppm/npz for true-color output")
         return 2
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
     clock = FrameClock()
     wrote = 0
-    stack = [] if args.format == "npz" else None
+    stack = [] if args.format in ("npz", "gif") else None
     # rubix comes from --rubix or from session state (a user --cmd f_rubix);
     # the per-frame-pose path needs the expanded source either way
     want_rubix = bool(args.rubix or sess.rubix_enabled)
@@ -324,7 +324,13 @@ def cmd_reproject(args) -> int:
             else:
                 stack.append(img)
             wrote += 1
-    if stack is not None:
+    if stack is not None and args.format == "gif":
+        from blinky_tpu.io.gif import encode_gif
+
+        (outdir / "warped.gif").write_bytes(encode_gif(
+            np.stack(stack, axis=-1), sess.palette,
+            delay_cs=args.gif_delay))
+    elif stack is not None:
         np.savez_compressed(outdir / "warped.npz",
                             screen=np.stack(stack), palette=sess.palette)
     print(clock.report())
@@ -515,7 +521,11 @@ def main(argv=None) -> int:
     p.add_argument("--aa", type=int, default=1, metavar="K",
                    help="supersample factor: render at Kx and box-average "
                         "down (true-color output)")
-    p.add_argument("--format", default="pcx", choices=["pcx", "ppm", "png", "npz"])
+    p.add_argument("--format", default="pcx",
+                   choices=["pcx", "ppm", "png", "npz", "gif"])
+    p.add_argument("--gif-delay", type=int, default=5, metavar="CS",
+                   help="animated-GIF frame delay in centiseconds "
+                        "(--format gif; 5 = 20 fps)")
     p.add_argument("--outdir", default="warped")
     p.set_defaults(fn=cmd_reproject)
 

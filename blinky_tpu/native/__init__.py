@@ -85,6 +85,12 @@ def _bind(lib) -> None:
     lib.png_unfilter.restype = ctypes.c_int
     lib.png_unfilter.argtypes = [u8p, u8p, ctypes.c_long, ctypes.c_long,
                                  ctypes.c_int]
+    lib.gif_lzw_encode.restype = ctypes.c_long
+    lib.gif_lzw_encode.argtypes = [u8p, ctypes.c_long, ctypes.c_int,
+                                   u8p, ctypes.c_long]
+    lib.gif_lzw_decode.restype = ctypes.c_long
+    lib.gif_lzw_decode.argtypes = [u8p, ctypes.c_long, ctypes.c_int,
+                                   u8p, ctypes.c_long]
 
 
 def available() -> bool:
@@ -235,6 +241,37 @@ def unpack_batch(frames_pssb: np.ndarray):
     dst = np.empty((B, P, S, S), dtype=np.uint8)
     lib.unpack_batch(_u8(src), _u8(dst), B, P, S)
     return dst
+
+
+def gif_lzw_encode(pixels: np.ndarray, min_code_size: int):
+    """Raw GIF LZW codestream for *pixels* (u8, < 2**min_code_size);
+    None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    px = np.ascontiguousarray(pixels.reshape(-1), dtype=np.uint8)
+    cap = 2 * px.size + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.gif_lzw_encode(_u8(px), px.size, int(min_code_size), _u8(out), cap)
+    if n < 0:
+        raise ValueError("GIF LZW encode overflow")
+    return out[:n].tobytes()
+
+
+def gif_lzw_decode(stream: bytes, min_code_size: int, total: int):
+    """Decode a raw GIF LZW codestream to *total* pixels; None if the
+    native lib is unavailable, ValueError on a corrupt stream (the io/
+    decoders' error contract)."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.frombuffer(stream, dtype=np.uint8)
+    out = np.empty(max(total, 1), dtype=np.uint8)
+    n = lib.gif_lzw_decode(_u8(data), len(data), int(min_code_size),
+                           _u8(out), total)
+    if n < 0:
+        raise ValueError("corrupt GIF LZW stream")
+    return out[:n]
 
 
 def png_unfilter(scan: np.ndarray, channels: int):

@@ -411,4 +411,158 @@ int png_unfilter(const unsigned char* scan, unsigned char* out,
   return 0;
 }
 
+// GIF LZW codestream (GIF89a spec appendix F): variable-width codes
+// (min_code_size+1 .. 12 bits, LSB-first), CLEAR emitted up front and on
+// table overflow, EOI terminating.  The codestream here is raw (no
+// 255-byte sub-block framing — the Python layer does that with array
+// slicing).  Encoder and decoder advance code width under the identical
+// rule (after adding entry `next`, bump when next == 1<<width), which
+// keeps them in lockstep across CLEARs.
+
+struct GifBitWriter {
+  unsigned char* out;
+  long cap, pos;
+  unsigned int acc;
+  int nbits;
+  bool overflow;
+  void put(int code, int width) {
+    acc |= ((unsigned int)code) << nbits;
+    nbits += width;
+    while (nbits >= 8) {
+      if (pos >= cap) { overflow = true; return; }
+      out[pos++] = (unsigned char)(acc & 0xFF);
+      acc >>= 8;
+      nbits -= 8;
+    }
+  }
+  void flush() {
+    if (nbits > 0) {
+      if (pos >= cap) { overflow = true; return; }
+      out[pos++] = (unsigned char)(acc & 0xFF);
+      acc = 0; nbits = 0;
+    }
+  }
+};
+
+long gif_lzw_encode(const unsigned char* px, long n, int min_code_size,
+                    unsigned char* out, long cap) {
+  if (min_code_size < 2 || min_code_size > 8) return -1;
+  const int clear = 1 << min_code_size, eoi = clear + 1;
+  const int nsym = clear;
+  GifBitWriter w{out, cap, 0, 0, 0, false};
+  int width = min_code_size + 1;
+  int next = eoi + 1;
+  // (prefix_code, char) -> code table; flat array reset per CLEAR
+  static thread_local int* table = nullptr;
+  if (!table) table = new int[4096 * 256];
+  (void)nsym;
+  auto reset = [&]() {
+    // rows are indexed prefix*256+c
+    for (long i = 0; i < 4096L * 256; ++i) table[i] = -1;
+  };
+  reset();
+  w.put(clear, width);
+  if (n > 0) {
+    int prefix = px[0];
+    for (long i = 1; i < n; ++i) {
+      int c = px[i];
+      long key = (long)prefix * 256 + c;
+      if (table[key] >= 0) { prefix = table[key]; continue; }
+      w.put(prefix, width);
+      if (w.overflow) return -1;
+      if (next < 4096) {
+        // bump on the PRE-add counter: the encoder's table runs one
+        // entry ahead of the decoder's (the decoder adds its entry only
+        // on the NEXT code), so checking post-add would widen one code
+        // too early and desync at each power-of-two boundary
+        if (next == (1 << width) && width < 12) width++;
+        table[key] = next++;
+      } else {
+        w.put(clear, width);
+        reset();
+        width = min_code_size + 1;
+        next = eoi + 1;
+      }
+      prefix = c;
+    }
+    w.put(prefix, width);
+  }
+  w.put(eoi, width);
+  w.flush();
+  return w.overflow ? -1 : w.pos;
+}
+
+long gif_lzw_decode(const unsigned char* in, long nbytes, int min_code_size,
+                    unsigned char* out, long cap) {
+  if (min_code_size < 2 || min_code_size > 8) return -1;
+  const int clear = 1 << min_code_size, eoi = clear + 1;
+  static thread_local int* prefix = nullptr;
+  static thread_local unsigned char* suffix = nullptr;
+  static thread_local unsigned char* stack = nullptr;
+  if (!prefix) {
+    prefix = new int[4096];
+    suffix = new unsigned char[4096];
+    stack = new unsigned char[4096];
+  }
+  int width = min_code_size + 1;
+  int next = eoi + 1;
+  int prev = -1;
+  long bitpos = 0, written = 0;
+  const long nbits_total = nbytes * 8;
+  while (true) {
+    if (bitpos + width > nbits_total) return -1;  // ran off the stream
+    int code = 0;
+    for (int b = 0; b < width; ++b, ++bitpos)
+      code |= ((in[bitpos >> 3] >> (bitpos & 7)) & 1) << b;
+    if (code == clear) {
+      width = min_code_size + 1;
+      next = eoi + 1;
+      prev = -1;
+      continue;
+    }
+    if (code == eoi) break;
+    long sp = 0;
+    int cur;
+    if (prev < 0) {
+      if (code >= clear) return -1;  // first code must be a literal
+      stack[sp++] = (unsigned char)code;
+      cur = code;
+    } else if (code < next && code != eoi) {
+      cur = code;
+      while (cur >= clear + 2) { stack[sp++] = suffix[cur]; cur = prefix[cur]; }
+      stack[sp++] = (unsigned char)cur;
+    } else if (code == next && next < 4096) {
+      // KwKwK case: string(prev) + first(string(prev))
+      cur = prev;
+      while (cur >= clear + 2) { stack[sp++] = suffix[cur]; cur = prefix[cur]; }
+      stack[sp++] = (unsigned char)cur;
+      // emit first char again at the end: handled below by repeating
+      // after reversal (we push it at the FRONT of the reversed output)
+      if (written + sp + 1 > cap) return -1;
+      for (long i = sp - 1; i >= 0; --i) out[written++] = stack[i];
+      out[written++] = stack[sp - 1];  // first char of string(prev)
+      if (next < 4096) {
+        prefix[next] = prev;
+        suffix[next] = stack[sp - 1];
+        ++next;
+        if (next == (1 << width) && width < 12) width++;
+      }
+      prev = code;
+      continue;
+    } else {
+      return -1;  // code beyond table: corrupt stream
+    }
+    if (written + sp > cap) return -1;
+    for (long i = sp - 1; i >= 0; --i) out[written++] = stack[i];
+    if (prev >= 0 && next < 4096) {
+      prefix[next] = prev;
+      suffix[next] = stack[sp - 1];  // first char of string(code)
+      ++next;
+      if (next == (1 << width) && width < 12) width++;
+    }
+    prev = code;
+  }
+  return written;
+}
+
 }  // extern "C"

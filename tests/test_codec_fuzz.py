@@ -10,6 +10,7 @@ import pytest
 
 from blinky_tpu.io.dataset import parse_pose_track
 from blinky_tpu.io.demfile import read_dem, write_dem
+from blinky_tpu.io.gif import decode_gif, encode_gif
 from blinky_tpu.io.pcx import decode_pcx, encode_pcx
 from blinky_tpu.io.png import decode_png, encode_png
 from blinky_tpu.io.ppm import decode_ppm, encode_ppm
@@ -20,6 +21,7 @@ DECODERS = {
     "ppm": decode_ppm,
     "pcx": decode_pcx,
     "dem": lambda b: read_dem(b, keep_messages=True),
+    "gif": decode_gif,
 }
 
 
@@ -39,6 +41,8 @@ def _valid_samples():
         "ppm": encode_ppm(img),
         "pcx": encode_pcx(idx, default_palette()),
         "dem": _dem_bytes(),
+        "gif": encode_gif(np.stack([idx, np.roll(idx, 3, 1)], axis=-1),
+                          default_palette(), delay_cs=4),
     }
 
 
