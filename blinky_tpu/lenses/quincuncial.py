@@ -66,7 +66,11 @@ def _cnrectify(x, y):
     ypr = _KE * (_SQRT22 * x + _SQRT22 * y) / _SQRT2
     s, c, d, _ = _ellipj(xpr)
     s1, c1, d1, _ = _ellipj(ypr)
-    delta = c1 * c1 + _M * s * s * s1 * s1
+    # Lua: c1^2 + m*s^2*s1^2 — ^ is pow() (== one-rounding square) and
+    # the products associate (m*s^2)*s1^2; keep that exact order, a
+    # different association drifts 1 ulp and flips texel boundaries at
+    # production sizes (the 1080p C-reference pin caught this)
+    delta = c1 * c1 + _M * (s * s) * (s1 * s1)
     x1g = (c * c1) / delta
     y1g = -(s * d * s1 * d1) / delta
     near_axis = m.abs(ypr) < _EPS

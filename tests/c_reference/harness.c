@@ -179,6 +179,19 @@ static void lua_ray_to_latlon(double x, double y, double z, double *lat, double 
     ray_to_latlon(ray, lat, lon);
 }
 
+/* CtoLUA_plate_to_ray (fisheye.c:1521-1537): nil when the plate index is
+ * out of range; the vec3_t float pass-through otherwise */
+static int lua_plate_to_ray(double plate_index, double u, double v,
+                            double *x, double *y, double *z)
+{
+    int pi_ = (int)plate_index;
+    vec3_t ray;
+    if (pi_ < 0 || pi_ >= globe.numplates) return 0;
+    plate_uv_to_ray(pi_, u, v, ray);
+    *x = ray[0]; *y = ray[1]; *z = ray[2];
+    return 1;
+}
+
 /* ------------------------------------------------------------------ */
 /* lens scripts, transliterated from game/lua-scripts/lenses/*.lua     */
 /* (status: 1 = values returned, 0 = Lua nil)                          */
@@ -428,6 +441,613 @@ static int fwd_polyconic(double x, double y, double z, double *X, double *Y)
     return 1;
 }
 
+/* fisheye2.lua */
+static int inv_fisheye2(double x, double y, double *X, double *Y, double *Z)
+{
+    double maxr = 2*sin(M_PI*0.5);
+    double r = sqrt(x*x+y*y);
+    if (r > maxr) return 0;
+    double theta = 2*asin(r*0.5);
+    double s = sin(theta);
+    *X = x/r*s; *Y = y/r*s; *Z = cos(theta);
+    return 1;
+}
+static int fwd_fisheye2(double x, double y, double z, double *X, double *Y)
+{
+    double theta = acos(z);
+    double r = 2*sin(theta*0.5);
+    double c = r/sqrt(x*x+y*y);
+    *X = x*c; *Y = y*c;
+    return 1;
+}
+
+/* cylinder.lua */
+static int inv_cylinder(double x, double y, double *X, double *Y, double *Z)
+{
+    if (fabs(x) > M_PI) return 0;
+    double lon = x;
+    double lat = atan(y);
+    lua_latlon_to_ray(lat,lon,X,Y,Z);
+    return 1;
+}
+static int fwd_cylinder(double x, double y, double z, double *X, double *Y)
+{
+    double lat, lon;
+    lua_ray_to_latlon(x,y,z,&lat,&lon);
+    *X = lon; *Y = tan(lat);
+    return 1;
+}
+
+/* miller.lua */
+static int inv_miller(double x, double y, double *X, double *Y, double *Z)
+{
+    double maxy = 1.25*log(tan(0.25*M_PI+0.4*M_PI*0.5));
+    if (fabs(y) > maxy || fabs(x) > M_PI) return 0;
+    double lon = x;
+    double lat = 5.0/4*atan(sinh(4.0/5*y));
+    lua_latlon_to_ray(lat,lon,X,Y,Z);
+    return 1;
+}
+static int fwd_miller(double x, double y, double z, double *X, double *Y)
+{
+    double lat, lon;
+    lua_ray_to_latlon(x,y,z,&lat,&lon);
+    *X = lon;
+    *Y = 1.25*log(tan(0.25*M_PI+0.4*lat));
+    return 1;
+}
+
+/* gumby.lua (panini scaled by 0.75) */
+static int inv_gumby(double x, double y, double *X, double *Y, double *Z)
+{
+    double d = 1, gumbyScaleInv = 1.0/0.75;
+    double k = x*x/((d+1)*(d+1));
+    double dscr = k*k*d*d - (k+1)*(k*d*d-1);
+    double clon = (-k*d+sqrt(dscr))/(k+1);
+    double S = (d+1)/(d+clon);
+    double lon = atan2(x,S*clon);
+    double lat = atan2(y,S);
+    lon = lon*gumbyScaleInv;
+    lat = lat*gumbyScaleInv;
+    lua_latlon_to_ray(lat,lon,X,Y,Z);
+    return 1;
+}
+static int fwd_gumby(double x, double y, double z, double *X, double *Y)
+{
+    double d = 1, gumbyScale = 0.75, lat, lon;
+    lua_ray_to_latlon(x,y,z,&lat,&lon);
+    lon = lon*gumbyScale;
+    lat = lat*gumbyScale;
+    double S = (d+1)/(d+cos(lon));
+    *X = S*sin(lon);
+    *Y = S*tan(lat);
+    return 1;
+}
+
+/* fahey.lua (note: lens_inverse reassigns its y parameter; kept) */
+static int inv_fahey(double x, double y, double *X, double *Y, double *Z)
+{
+    double XR = 0.819152 * M_PI, YR = 1.819152;
+    if (x*x/(XR*XR) + y*y/(YR*YR) >= 1) return 0;
+    y = y / 1.819152;
+    double lat = 2 * atan(y);
+    y = 1 - y*y;
+    double lon = x / (0.819152 * sqrt(y));
+    lua_latlon_to_ray(lat,lon,X,Y,Z);
+    return 1;
+}
+static int fwd_fahey(double x, double y, double z, double *X, double *Y)
+{
+    double lat, lon;
+    lua_ray_to_latlon(x,y,z,&lat,&lon);
+    double fx = tan(0.5 * lat);
+    double fy = 1.819152 * fx;
+    fx = 0.819152 * lon * sqrt(1-fx*fx);
+    *X = fx; *Y = fy;
+    return 1;
+}
+
+/* gallstereo.lua (its forward checks the RAY components against the
+ * plane bounds — a script quirk kept as written; it never fires since
+ * |ray| <= 1 < maxx) */
+static int inv_gallstereo(double x, double y, double *X, double *Y, double *Z)
+{
+    double RYF = 0.58578643762690495119, RXF = 1.41421356237309504880;
+    double lon = RXF * x;
+    double lat = 2 * atan(y * RYF);
+    lua_latlon_to_ray(lat,lon,X,Y,Z);
+    return 1;
+}
+static int fwd_gallstereo(double x, double y, double z, double *X, double *Y)
+{
+    double YF = 1.70710678118654752440, XF = 0.70710678118654752440;
+    double maxx = XF * M_PI, maxy = YF * tan(0.5*M_PI/2);
+    if (fabs(x) > maxx || fabs(y) > maxy) return 0;
+    double lat, lon;
+    lua_ray_to_latlon(x,y,z,&lat,&lon);
+    *X = XF * lon;
+    *Y = YF * tan(0.5 * lat);
+    return 1;
+}
+
+/* cube.lua — unfolded cross; inverse returns the ray directly */
+static void cube_col(double x, double *i, double *f)
+{
+    double cols = 4;
+    double nx = x+cols/2;
+    double fi;
+    double ff = modf(nx, &fi);
+    if (nx < 0) { fi = fi-1; ff = ff+1; }
+    *i = fi; *f = ff;
+}
+static void cube_row(double y, double *i, double *f)
+{
+    double rows = 3;
+    double ny = -y+rows/2;
+    double fi;
+    double ff = modf(ny, &fi);
+    if (ny < 0) { fi = fi-1; ff = ff+1; }
+    *i = fi; *f = ff;
+}
+static int inv_cube(double x, double y, double *X, double *Y, double *Z)
+{
+    double rows = 3, cols = 4;
+    x = x - 0.5;
+    double r, v, c, u;
+    cube_row(y, &r, &v);
+    cube_col(x, &c, &u);
+    u = u - 0.5;
+    v = v - 0.5;
+    v = -v;
+    if (r < 0 || r >= rows || c < -1 || c >= cols) return 0;
+    if (r == 0 || r == 2) {
+        if (!(c == 1)) return 0;
+    }
+    if (r == 0)      { *X = u;    *Y = 0.5;  *Z = -v;   return 1; }  /* top */
+    else if (r == 2) { *X = u;    *Y = -0.5; *Z = v;    return 1; }  /* bottom */
+    else if (c == 0) { *X = -0.5; *Y = v;    *Z = u;    return 1; }  /* left */
+    else if (c == 1) { *X = u;    *Y = v;    *Z = 0.5;  return 1; }  /* front */
+    else if (c == 2) { *X = 0.5;  *Y = v;    *Z = -u;   return 1; }  /* right */
+    else if (c == 3 || c == -1) { *X = -u; *Y = v; *Z = -0.5; return 1; } /* back */
+    return 0;
+}
+static int fwd_cube(double x, double y, double z, double *X, double *Y)
+{
+    double ax = fabs(x), ay = fabs(y), az = fabs(z);
+    double max = ax;                 /* math.max: strict > replaces */
+    if (ay > max) max = ay;
+    if (az > max) max = az;
+    double u, v;
+    if (max == ax) {
+        if (x > 0) { u = -z/x*0.5; v = y/x*0.5; *X = 1+u; *Y = v; return 1; }
+        else       { u = z/-x*0.5; v = y/-x*0.5; *X = -1+u; *Y = v; return 1; }
+    } else if (max == ay) {
+        if (y > 0) { u = x/y*0.5; v = -z/y*0.5; *X = u; *Y = 1+v; return 1; }
+        else       { u = x/-y*0.5; v = z/-y*0.5; *X = u; *Y = -1+v; return 1; }
+    } else if (max == az) {
+        if (z > 0) { u = x/z*0.5; v = y/z*0.5; *X = u; *Y = v; return 1; }
+        else {
+            u = -x/-z*0.5; v = y/-z*0.5;
+            if (u > 0) { *X = -2+u; *Y = v; } else { *X = 2+u; *Y = v; }
+            return 1;
+        }
+    }
+    return 0;  /* unreachable (Lua would return no values) */
+}
+
+/* cubestereo.lua */
+static void cubestereo_projectcube(double x, double y, double z,
+                                   double *px, double *py, double *pz)
+{
+    double magx = fabs(x), magy = fabs(y), magz = fabs(z);
+    double mag = magz;
+    if (magx >= magy && magx >= magz) mag = magx;
+    else if (magy >= magx && magy >= magz) mag = magy;
+    *px = x / mag; *py = y / mag; *pz = z / mag;
+}
+static int inv_cubestereo(double x, double y, double *X, double *Y, double *Z)
+{
+    double rx, ry, rz;
+    double magx = fabs(x), magy = fabs(y);
+    double z = 2;
+    if (magx <= 1 && magy <= 1) { rx = x; ry = y; rz = z-1; }
+    else if (magx > magy) { rx = x / magx; ry = y / magx; rz = z / magx-1; }
+    else { rx = x / magy; ry = y / magy; rz = z / magy-1; }
+    double len = sqrt(rx*rx+ry*ry+rz*rz);
+    *X = rx/len; *Y = ry/len; *Z = rz/len;
+    return 1;
+}
+static int fwd_cubestereo(double x, double y, double z, double *X, double *Y)
+{
+    double px, py, pz;
+    cubestereo_projectcube(x, y, z, &px, &py, &pz);
+    *X = px/(pz+1)*2; *Y = py/(pz+1)*2;
+    return 1;
+}
+
+/* mollweide.lua */
+static double mollweide_solveTheta(double lat)
+{
+    double t = lat, dt;
+    do {
+        dt = -(t + sin(t) - M_PI*sin(lat))/(1+cos(t));
+        t = t+dt;
+    } while (!(dt < 0.001));
+    return t/2;
+}
+static int inv_mollweide(double x, double y, double *X, double *Y, double *Z)
+{
+    double root2 = sqrt(2);
+    if (x*x/8 + y*y/2 > 1) return 0;
+    double t = asin(y/root2);
+    double lon = M_PI*x/(2*root2*cos(t));
+    double lat = asin((2*t+sin(2*t))/M_PI);
+    lua_latlon_to_ray(lat,lon,X,Y,Z);
+    return 1;
+}
+static int fwd_mollweide(double x, double y, double z, double *X, double *Y)
+{
+    double lat, lon;
+    lua_ray_to_latlon(x,y,z,&lat,&lon);
+    double t = mollweide_solveTheta(lat);
+    *X = 2*sqrt(2)/M_PI*lon*cos(t);
+    *Y = sqrt(2)*sin(t);
+    return 1;
+}
+
+/* eckert4.lua — fixed 20-iteration Newton; get_max_x memoizes on the
+ * previous y (a Lua global, cleared between loads -> reset in load_lens) */
+static double eckert4_solveTheta(double lat)
+{
+    double t = lat/2, dt = 0;
+    for (int i = 1; i <= 20; ++i) {
+        dt = -(t + sin(t)*cos(t) + 2*sin(t) - (2+M_PI*0.5)*sin(lat))
+             /(2*cos(t)*(1+cos(t)));
+        t = t+dt;
+    }
+    return t;
+}
+static double e4_maxy;          /* load-time global */
+static double e4_lasty, e4_maxx;
+static int e4_has_lasty;
+static double eckert4_get_max_x(double y, double lat)
+{
+    if (!e4_has_lasty || y != e4_lasty) {
+        double t = eckert4_solveTheta(fabs(lat));
+        e4_maxx = 2/sqrt(M_PI*(4+M_PI))*M_PI*(1+cos(t));
+        e4_lasty = y;
+        e4_has_lasty = 1;
+    }
+    return e4_maxx;
+}
+static int inv_eckert4(double x, double y, double *X, double *Y, double *Z)
+{
+    double t = asin(y/2*sqrt((4+M_PI)/M_PI));
+    double lat = asin((t+sin(t)*cos(t)+2*sin(t))/(2+M_PI*0.5));
+    double lon = sqrt(M_PI*(4+M_PI))*x/(2*(1+cos(t)));
+    if (fabs(y) > e4_maxy || fabs(x) > eckert4_get_max_x(y,lat)) return 0;
+    lua_latlon_to_ray(lat,lon,X,Y,Z);
+    return 1;
+}
+static int fwd_eckert4(double x, double y, double z, double *X, double *Y)
+{
+    double lat, lon;
+    lua_ray_to_latlon(x,y,z,&lat,&lon);
+    double t = eckert4_solveTheta(lat);
+    *X = 2/sqrt(M_PI*(4+M_PI))*lon*(1+cos(t));
+    *Y = 2*sqrt(M_PI/(4+M_PI))*sin(t);
+    return 1;
+}
+
+/* winkeltripel.lua — 25-iter 2-D Newton (d3 winkel3.js port) with the
+ * manual corner-artifact mask; bounds are load-time globals */
+static double wt_width, wt_height, wt_artifact_x, wt_artifact_y;
+static int fwd_winkeltripel(double x, double y, double z, double *X, double *Y)
+{
+    double clat0 = 2/M_PI;
+    double lat, lon;
+    lua_ray_to_latlon(x,y,z,&lat,&lon);
+    double clat = cos(lat);
+    double temp = clat*cos(lon*0.5);
+    double D = acos(temp);
+    double C = 1 - temp*temp;
+    temp = D/sqrt(C);
+    *X = 0.5 * (2*temp*clat*sin(lon*0.5)+lon*clat0);
+    *Y = 0.5 * (temp*sin(lat) + lat);
+    return 1;
+}
+static int inv_winkeltripel(double x, double y, double *X, double *Y, double *Z)
+{
+    if (fabs(y) >= wt_height/2) return 0;
+    if (fabs(x) > wt_artifact_x && fabs(y) > wt_artifact_y) return 0;
+    double lambda = x, phi = y;
+    double eps = 0.0001, halfpi = M_PI/2;
+    for (int iter = 1; iter <= 25; ++iter) {
+        double cosphi = cos(phi);
+        double sinphi = sin(phi);
+        double sin_2phi = sin(2 * phi);
+        double sin2phi = sinphi * sinphi;
+        double cos2phi = cosphi * cosphi;
+        double sinlambda = sin(lambda);
+        double coslambda_2 = cos(lambda / 2);
+        double sinlambda_2 = sin(lambda / 2);
+        double sin2lambda_2 = sinlambda_2 * sinlambda_2;
+        double C = 1 - cos2phi * coslambda_2 * coslambda_2;
+        double E, F;
+        if (C != 0) {
+            F = 1/C;
+            E = acos(cosphi * coslambda_2) * sqrt(F);
+        } else {
+            E = 0; F = 0;
+        }
+        double fx = .5 * (2 * E * cosphi * sinlambda_2 + lambda / halfpi) - x;
+        double fy = .5 * (E * sinphi + phi) - y;
+        double sigxsiglambda = .5 * F * (cos2phi * sin2lambda_2 + E * cosphi * coslambda_2 * sin2phi) + .5 / halfpi;
+        double sigxsigphi = F * (sinlambda * sin_2phi / 4 - E * sinphi * sinlambda_2);
+        double sigysiglambda = .125 * F * (sin_2phi * sinlambda_2 - E * sinphi * cos2phi * sinlambda);
+        double sigysigphi = .5 * F * (sin2phi * coslambda_2 + E * sin2lambda_2 * cosphi) + .5;
+        double denominator = sigxsigphi * sigysiglambda - sigysigphi * sigxsiglambda;
+        double siglambda = (fy * sigxsigphi - fx * sigysigphi) / denominator;
+        double sigphi = (fx * sigysiglambda - fy * sigxsiglambda) / denominator;
+        lambda = lambda - siglambda;
+        phi = phi - sigphi;
+        if (fabs(siglambda) < eps && fabs(sigphi) < eps) break;
+    }
+    double lat = phi, lon = lambda;
+    double rx, ry, rz, x0, y0;
+    lua_latlon_to_ray(lat, M_PI, &rx, &ry, &rz);
+    fwd_winkeltripel(rx, ry, rz, &x0, &y0);
+    if (fabs(x) < fabs(x0)) {
+        lua_latlon_to_ray(lat, lon, X, Y, Z);
+        return 1;
+    }
+    return 0;
+}
+
+/* vandergrinten.lua — cubic-resolvent inverse, TOL-guarded */
+static double vdg_maxr;         /* load-time global */
+static int fwd_vandergrinten(double x, double y, double z, double *X, double *Y)
+{
+    double lat, lon;
+    lua_ray_to_latlon(x,y,z,&lat,&lon);
+    if (lat == 0) { *X = lon; *Y = 0; return 1; }
+    double t = asin(fabs(2*lat/M_PI));
+    if (fabs(lat) == M_PI/2) {
+        double y2 = M_PI*tan(t/2);
+        if (y2*lat < 0) y2 = -y2;
+        *X = 0; *Y = y2;
+        return 1;
+    }
+    double a = 0.5*fabs(M_PI/lon - lon/M_PI);
+    double g = cos(t)/(sin(t)+cos(t)-1);
+    double p = g*(2/sin(t) - 1);
+    double q = a*a+g;
+    double fx = M_PI*(a*(g-p*p) + sqrt(a*a*(g-p*p)*(g-p*p)-(p*p+a*a)*(g*g-p*p)))/(p*p+a*a);
+    double fy = M_PI*(p*q-a*sqrt((a*a+1)*(p*p+a*a) - q*q))/(p*p+a*a);
+    if (lon*fx < 0) fx = -fx;
+    if (lat*fy < 0) fy = -fy;
+    *X = fx; *Y = fy;
+    return 1;
+}
+static int inv_vandergrinten(double x, double y, double *X, double *Y, double *Z)
+{
+    double TOL = 1.e-10;
+    double THIRD = .33333333333333333333;
+    double C2_27 = .07407407407407407407;
+    double PI4_3 = 4.18879020478639098458;
+    double PISQ = 9.86960440108935861869;
+    double TPISQ = 19.73920880217871723738;
+    double HPISQ = 4.93480220054467930934;
+    if (x*x+y*y > vdg_maxr*vdg_maxr) return 0;
+    double lat, lon;
+    double t, c0, c1, c2, c3, al, r2, r, m, d, ay, x2, y2;
+    x2 = x*x;
+    ay = fabs(y);
+    if (ay < TOL) {
+        lat = 0;
+        t = x2*x2 + TPISQ * (x2 + HPISQ);
+        if (fabs(x) <= TOL) lon = 0;
+        else lon = 0.5 * (x2 - PISQ + sqrt(t)) / x;
+        lua_latlon_to_ray(lat,lon,X,Y,Z);
+        return 1;
+    }
+    y2 = y*y;
+    r = x2+y2;
+    r2 = r*r;
+    c1 = -M_PI*ay*(r+PISQ);
+    c3 = r2 + (2*M_PI)*(ay*r+M_PI*(y2+M_PI*(ay+M_PI/2)));
+    c2 = c1 + PISQ * (r-3*y2);
+    c0 = M_PI*ay;
+    c2 = c2/c3;
+    al = c1 / c3 - THIRD * c2*c2;
+    m = 2 *sqrt(-THIRD*al);
+    d = C2_27*c2*c2*c2+(c0*c0-THIRD*c2*c1)/c3;
+    d = 3*d/(al*m);
+    t = fabs(d);
+    if (t - TOL <= 1) {
+        if (t > 1) {
+            if (d > 0) d = 0;
+            else d = M_PI;
+        } else {
+            d = acos(d);
+        }
+        lat = M_PI * (m*cos(d*THIRD+PI4_3) - THIRD*c2);
+        if (y < 0) lat = -lat;
+        t = r2 + TPISQ * (x2-y2+HPISQ);
+        if (fabs(x) <= TOL) lon = 0;
+        else {
+            if (t <= 0) lon = 0.5 * (r - PISQ) / x;
+            else lon = 0.5 * (r - PISQ + sqrt(t)) / x;
+        }
+    } else {
+        return 0;
+    }
+    lua_latlon_to_ray(lat,lon,X,Y,Z);
+    return 1;
+}
+
+/* quincuncial.lua — Peirce quincuncial via the d3 ellipj port +
+ * cnrectify (Fong & Vogel) + the 5-region square rotation.  Lua's ^ is
+ * pow(); kept where the script uses it */
+static double q_asqrt(double x) { return x > 0 ? sqrt(x) : 0; }
+static void q_ellipj(double u, double m, double *sn, double *cn, double *dn,
+                     double *ph)
+{
+    double eps = 0.0001, halfpi = M_PI/2;
+    double ai, b, phi, t, twon;
+    if (m < eps) {
+        t = sin(u);
+        b = cos(u);
+        ai = .25 * m * (u - t * b);
+        *sn = t - ai * b;
+        *cn = b + ai * t;
+        *dn = 1 - .5 * m * t * t;
+        *ph = u - ai;
+        return;
+    }
+    if (m >= 1 - eps) {
+        ai = .25 * (1 - m);
+        b = cosh(u);
+        t = tanh(u);
+        phi = 1 / b;
+        twon = b * sinh(u);
+        *sn = t + ai * (twon - u) / (b * b);
+        *cn = phi - ai * t * phi * (twon - u);
+        *dn = phi + ai * t * phi * (twon + u);
+        *ph = 2 * atan(exp(u)) - halfpi + ai * (twon - u) / b;
+        return;
+    }
+    double a[10], c[10];
+    a[1] = 1; c[1] = sqrt(m);
+    int i = 1;
+    b = sqrt(1 - m);
+    twon = 1;
+    while (fabs(c[i] / a[i]) > eps && i < 9) {
+        ai = a[i];
+        i = i+1;
+        c[i] = .5 * (ai - b);
+        a[i] = .5 * (ai + b);
+        b = q_asqrt(ai * b);
+        twon = twon*2;
+    }
+    phi = twon * a[i] * u;
+    do {
+        b = phi;
+        t = c[i] * sin(b) / a[i];
+        phi = .5 * (asin(t) + phi);
+        i = i-1;
+    } while (!(i == 1));
+    t = cos(phi);
+    *sn = sin(phi);
+    *cn = t;
+    *dn = t / cos(phi - b);
+    *ph = phi;
+}
+static void q_cnrectify(double x, double y, double *latp, double *longd)
+{
+    double eps = 0.0001, halfpi = M_PI/2;
+    double sqrt2 = sqrt(2), sqrt22 = sqrt(2)/2;
+    double m = 1.0/2;
+    double ke = 1.85407467730137;
+    double xpr = ke*(sqrt22*x-sqrt22*y)/sqrt2+ke;
+    double ypr = ke*(sqrt22*x+sqrt22*y)/sqrt2;
+    double x1, y1;
+    if (fabs(ypr) < eps) {
+        double sni, cni, dni, phi_;
+        q_ellipj(xpr, m, &sni, &cni, &dni, &phi_);
+        x1 = cni;
+        y1 = 0.0;
+    } else {
+        double phi = xpr, psi = ypr;
+        double s, c, d, ph1, s1, c1, d1, ph2;
+        q_ellipj(phi, m, &s, &c, &d, &ph1);
+        q_ellipj(psi, 1-m, &s1, &c1, &d1, &ph2);
+        double delta = pow(c1,2) + m*pow(s,2)*pow(s1,2);
+        x1 = (c*c1)/delta;
+        y1 = -(s*d*s1*d1)/delta;
+    }
+    *longd = atan2(y1,x1);
+    *latp = 2*atan2(sqrt(x1*x1+y1*y1),1)-halfpi;
+}
+static void q_rotate(double a, double b, double angle, double *a0, double *b0)
+{
+    double c = cos(angle), s = sin(angle);
+    *a0 = a*c - b*s;
+    *b0 = a*s + b*c;
+}
+static int q_inverse_intermediate(double x, double y,
+                                  double *X, double *Y, double *Z)
+{
+    if (fabs(x) > 2 || fabs(y) > 1) return 0;
+    x = x+1;
+    double lat, lon;
+    q_cnrectify(x, y, &lat, &lon);
+    double x0, y0, z0;
+    lua_latlon_to_ray(lat, -lon, &x0, &y0, &z0);
+    /* rotate from south pole to origin */
+    *X = x0; *Y = z0; *Z = -y0;
+    return 1;
+}
+static int inv_quincuncial(double x, double y, double *X, double *Y, double *Z)
+{
+    double sqrt2 = sqrt(2);
+    if (fabs(x) > sqrt2 || fabs(y) > sqrt2) return 0;
+    double x0, y0;
+    if (fabs(x)+fabs(y) < sqrt2) {          /* front */
+        q_rotate(x, y, M_PI/4, &x0, &y0);
+        x0 = x0-1;
+    } else if (x > 0 && y < 0) {            /* lower right */
+        q_rotate(x, y, M_PI/4, &x0, &y0);
+        x0 = x0-1;
+    } else if (x < 0 && y > 0) {            /* upper left */
+        q_rotate(x, y, M_PI/4, &x0, &y0);
+        x0 = x0+3;
+    } else if (x < 0 && y < 0) {            /* lower left */
+        q_rotate(x, y, M_PI/4+M_PI, &x0, &y0);
+        x0 = x0+1; y0 = y0-2;
+    } else {                                /* upper right */
+        q_rotate(x, y, M_PI/4+M_PI, &x0, &y0);
+        x0 = x0+1; y0 = y0+2;
+    }
+    return q_inverse_intermediate(x0, y0, X, Y, Z);
+}
+
+/* debug.lua — plate table layout from numplates; metadata and layout
+ * are computed in load_lens (the reference re-executes the script per
+ * rebuild because they depend on the globe, fisheye.c:734-737) */
+static double dbg_rows, dbg_cols[2];
+static int dbg_col(double rowcols, double x, double *i, double *f)
+{
+    double nx = x+rowcols/2;
+    double fi;
+    double ff = modf(nx, &fi);
+    if (nx < 0 || nx >= rowcols) return 0;   /* nil, nil */
+    *i = fi; *f = ff;
+    return 1;
+}
+static int dbg_row(double y, double *i, double *f)
+{
+    double ny = -y+dbg_rows/2;
+    double fi;
+    double ff = modf(ny, &fi);
+    if (ny < 0 || ny >= dbg_rows) return 0;
+    *i = fi; *f = ff;
+    return 1;
+}
+static int inv_debug(double x, double y, double *X, double *Y, double *Z)
+{
+    double r, v, c, u;
+    if (!dbg_row(y, &r, &v)) return 0;
+    if (!dbg_col(dbg_cols[(int)r], x, &c, &u)) return 0;
+    double plate = c;
+    double i = 0;
+    while (i < r) {
+        plate = plate + dbg_cols[(int)i];
+        i = i + 1;
+    }
+    return lua_plate_to_ray(plate, u, v, X, Y, Z);
+}
+
 typedef int (*inverse_fn)(double, double, double *, double *, double *);
 typedef int (*forward_fn)(double, double, double, double *, double *);
 
@@ -460,6 +1080,20 @@ static struct lens_script LENSES[] = {
     {"larrivee",      NULL,              fwd_larrivee,      360, 180, 0, 0},
     {"gins8",         NULL,              fwd_gins8,         360, 180, 0, 0},
     {"polyconic",     NULL,              fwd_polyconic,     360, 180, 0, 0},
+    {"fisheye2",      inv_fisheye2,      fwd_fisheye2,      360, 360, 0, 0},
+    {"cylinder",      inv_cylinder,      fwd_cylinder,      360, 180, 0, 0},
+    {"miller",        inv_miller,        fwd_miller,        360, 180, 0, 0},
+    {"gumby",         inv_gumby,         fwd_gumby,         360, 180, 0, 0},
+    {"fahey",         inv_fahey,         fwd_fahey,         360, 180, 0, 0},
+    {"gallstereo",    inv_gallstereo,    fwd_gallstereo,    360, 180, 0, 0},
+    {"cube",          inv_cube,          fwd_cube,          360, 180, 0, 0},
+    {"cubestereo",    inv_cubestereo,    fwd_cubestereo,    270, 270, 0, 0},
+    {"mollweide",     inv_mollweide,     fwd_mollweide,     360, 180, 0, 0},
+    {"eckert4",       inv_eckert4,       fwd_eckert4,       360, 180, 0, 0},
+    {"winkeltripel",  inv_winkeltripel,  fwd_winkeltripel,  360, 180, 0, 0},
+    {"vandergrinten", inv_vandergrinten, fwd_vandergrinten, 360, 180, 0, 0},
+    {"quincuncial",   inv_quincuncial,   NULL,              0,   0,   0, 0},
+    {"debug",         inv_debug,         NULL,              0,   0,   0, 0},
 };
 
 /* lens_width/lens_height globals are load-time Lua expressions; compute
@@ -493,6 +1127,68 @@ static void init_lens_metadata(void)
             lua_latlon_to_ray(M_PI/2, 0, &rx, &ry, &rz);
             fwd_gins8(rx, ry, rz, &gx, &gy);
             L->lens_height = 2*fabs(gy);
+        }
+        else if (!strcmp(L->name, "fisheye2")) {
+            double maxr = 2*sin(M_PI*0.5);
+            L->lens_width = maxr*2; L->lens_height = maxr*2;
+        }
+        else if (!strcmp(L->name, "cylinder")) { L->lens_width = 2*M_PI; }
+        else if (!strcmp(L->name, "miller")) {
+            double maxy = 1.25*log(tan(0.25*M_PI+0.4*M_PI*0.5));
+            L->lens_width = 2*M_PI; L->lens_height = maxy*2;
+        }
+        else if (!strcmp(L->name, "gumby")) {
+            /* gumby.lua tail: bounds by forward-mapping through the
+             * f32 builtin */
+            double rx, ry, rz, gx, gy;
+            lua_latlon_to_ray(M_PI/2, 0, &rx, &ry, &rz);
+            fwd_gumby(rx, ry, rz, &gx, &gy);
+            L->lens_height = gy*2;
+            lua_latlon_to_ray(0, M_PI, &rx, &ry, &rz);
+            fwd_gumby(rx, ry, rz, &gx, &gy);
+            L->lens_width = gx*2;
+        }
+        else if (!strcmp(L->name, "fahey")) {
+            double XR = 0.819152 * M_PI, YR = 1.819152;
+            L->lens_width = XR*2; L->lens_height = YR*2;
+        }
+        else if (!strcmp(L->name, "gallstereo")) {
+            double YF = 1.70710678118654752440, XF = 0.70710678118654752440;
+            L->lens_width = XF*M_PI*2; L->lens_height = YF*tan(0.5*M_PI/2)*2;
+        }
+        else if (!strcmp(L->name, "cube")) {
+            L->lens_width = 4; L->lens_height = 3;
+        }
+        else if (!strcmp(L->name, "mollweide")) {
+            L->lens_width = 2*sqrt(2)*2; L->lens_height = sqrt(2)*2;
+        }
+        else if (!strcmp(L->name, "eckert4")) {
+            double t = eckert4_solveTheta(M_PI*0.5);
+            e4_maxy = 2*sqrt(M_PI/(4+M_PI))*sin(t);
+            t = eckert4_solveTheta(0);
+            L->lens_width = 2/sqrt(M_PI*(4+M_PI))*M_PI*(1+cos(t))*2;
+            L->lens_height = 2*e4_maxy;
+        }
+        else if (!strcmp(L->name, "winkeltripel")) {
+            double rx, ry, rz, gx, gy;
+            lua_latlon_to_ray(M_PI/2, 0, &rx, &ry, &rz);
+            fwd_winkeltripel(rx, ry, rz, &gx, &gy);
+            wt_height = 2*gy;
+            lua_latlon_to_ray(0, M_PI, &rx, &ry, &rz);
+            fwd_winkeltripel(rx, ry, rz, &gx, &gy);
+            wt_width = 2*gx;
+            L->lens_width = wt_width; L->lens_height = wt_height;
+            wt_artifact_x = wt_width/2*0.71;
+            wt_artifact_y = wt_height/2*0.81;
+        }
+        else if (!strcmp(L->name, "vandergrinten")) {
+            double rx, ry, rz, gy;
+            lua_latlon_to_ray(0, M_PI, &rx, &ry, &rz);
+            fwd_vandergrinten(rx, ry, rz, &vdg_maxr, &gy);
+            L->lens_width = 2*vdg_maxr; L->lens_height = 2*vdg_maxr;
+        }
+        else if (!strcmp(L->name, "quincuncial")) {
+            L->lens_width = 2*sqrt(2); L->lens_height = 2*sqrt(2);
         }
     }
 }
@@ -663,6 +1359,24 @@ static void find_and_load_globe(const char *name)
 static void load_lens(const char *name)
 {
     cur_lens = find_lens(name);
+    e4_has_lasty = 0;  /* LUA_clear_lens wipes script globals between
+                        * loads (fisheye.c:1880-1891); eckert4's lasty
+                        * memo is one */
+    if (!strcmp(name, "debug")) {
+        /* debug.lua: layout (and so the metadata) depends on numplates
+         * — the reference re-executes the script per rebuild
+         * (fisheye.c:734-737); the globe is already loaded here */
+        struct lens_script *L = (struct lens_script *)cur_lens;
+        int np = globe.numplates;
+        if (np == 4) { dbg_rows = 2; dbg_cols[0] = 2; dbg_cols[1] = 2; }
+        else if (np == 5) { dbg_rows = 2; dbg_cols[0] = 3; dbg_cols[1] = 2; }
+        else if (np == 6) { dbg_rows = 2; dbg_cols[0] = 3; dbg_cols[1] = 3; }
+        else { dbg_rows = 1; dbg_cols[0] = np; dbg_cols[1] = 0; }
+        double maxcols = dbg_cols[0];
+        if (dbg_rows > 1 && dbg_cols[1] > maxcols) maxcols = dbg_cols[1];
+        L->lens_width = maxcols;
+        L->lens_height = dbg_rows;
+    }
     lens.map_type = cur_lens->inv ? MAP_INVERSE : MAP_FORWARD;
     lua_refs.lens_inverse = cur_lens->inv ? 1 : -1;
     lua_refs.lens_forward = cur_lens->fwd ? 1 : -1;

@@ -84,6 +84,26 @@ INVERSE_CONFIGS = [
     ("mercator", "cube", "cover", 0, 10, 4.0, 1.0),
     ("hammer", "trism", "contain", 0, 10, 4.0, 1.0),
     ("stereographic", "cube", "vfov", 120, 10, 4.0, 1.0),
+    # round-2 harness extension: every remaining inverse-capable lens,
+    # incl. the iterative/elliptic ones where transliteration bugs hide
+    ("fisheye2", "cube", "contain", 0, 10, 4.0, 1.0),
+    ("cylinder", "cube", "cover", 0, 10, 4.0, 1.0),
+    ("miller", "cube", "contain", 0, 10, 4.0, 1.0),
+    ("gumby", "cube", "contain", 0, 10, 4.0, 1.0),
+    ("fahey", "cube", "contain", 0, 10, 4.0, 1.0),
+    ("gallstereo", "cube", "contain", 0, 10, 4.0, 1.0),
+    ("cube", "cube", "contain", 0, 10, 4.0, 1.0),
+    ("cubestereo", "cube", "fov", 180, 10, 4.0, 1.0),
+    ("mollweide", "cube", "contain", 0, 10, 4.0, 1.0),
+    ("eckert4", "cube", "contain", 0, 3, 2.0, 1.0),
+    ("winkeltripel", "cube", "contain", 0, 10, 4.0, 1.0),
+    ("winkeltripel", "tetra", "contain", 0, 10, 4.0, 1.0),
+    ("vandergrinten", "cube", "contain", 0, 10, 4.0, 1.0),
+    ("quincuncial", "cube", "contain", 0, 10, 4.0, 1.0),
+    ("quincuncial", "fast", "contain", 0, 10, 4.0, 1.0),
+    ("debug", "cube", "contain", 0, 10, 4.0, 1.0),
+    ("debug", "tetra", "contain", 0, 10, 4.0, 1.0),
+    ("debug", "trism", "contain", 0, 10, 4.0, 1.0),
 ]
 
 
@@ -137,6 +157,30 @@ def test_inverse_lensmap_bitexact_vs_c_320x240(harness, workdir):
         lens = lenses.get(lens_name, g)
         scale = calc_scale(Zoom(ztype, fov), lens, W, H)
         lm = build_lensmap(lens, g, scale, W, H, c["platesize"], backend="numpy")
+        _assert_lensmap_matches(
+            c,
+            dict(scale=lm.scale, plate=lm.plate, px=lm.px, py=lm.py,
+                 valid=lm.valid, tint=lm.tint, plates_used=lm.plates_used),
+        )
+
+
+def test_inverse_lensmap_bitexact_vs_c_1080p(harness, workdir):
+    """Production-size pin: the exact host builder (the Session default
+    for static views) vs the reference C at the full 1920x1080 headline
+    size — the whole 2.07 Mpix table, including the elliptic-function
+    lens (quincuncial's static-AGM ``ellipj``)."""
+    W, H = 1920, 1080
+    for lens_name, ztype, fov in [("panini", "fov", 180),
+                                  ("quincuncial", "contain", 0)]:
+        c = cref.c_lensmap(
+            harness, workdir / "lm_1080.bin", lens_name, "cube", W, H,
+            ztype, fov,
+        )
+        g = globes.get("cube")
+        lens = lenses.get(lens_name, g)
+        scale = calc_scale(Zoom(ztype, fov), lens, W, H)
+        lm = build_lensmap(lens, g, scale, W, H, c["platesize"],
+                           backend="numpy")
         _assert_lensmap_matches(
             c,
             dict(scale=lm.scale, plate=lm.plate, px=lm.px, py=lm.py,
