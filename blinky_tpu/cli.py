@@ -338,6 +338,65 @@ def cmd_reproject(args) -> int:
     return 0
 
 
+def cmd_sweep(args) -> int:
+    """Animated zoom sweep: rebuild the lensmap across an f_fov/f_vfov
+    range and write one animated GIF — the moving version of the bench's
+    rebuild-path config (BASELINE config 1), and a direct showcase of the
+    builder's no-recompile dynamic-zoom design (fov is a traced argument,
+    so every step is a warm ms-scale device call)."""
+    from pathlib import Path
+
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.cubemap import synthetic_cubemap
+    from blinky_tpu.io.dataset import read_demo
+    from blinky_tpu.io.gif import encode_gif
+    from blinky_tpu.utils.timing import FrameClock
+
+    pal = _load_palette(args.palette)
+    if args.demo:
+        demo = read_demo(args.demo)
+        frames = demo["frames"][0]  # [P, S, S] u8
+        if frames.dtype != np.uint8:
+            print("error: sweep needs a palettized demo (GIF output)")
+            return 2
+        if pal is None:
+            pal = demo["palette"]
+        src = frames
+    else:
+        src = None  # synthesized after the session fixes platesize
+    # the f32 device builder makes per-step rebuilds ms-scale (the exact
+    # host build would pay seconds per frame; drift is characterized in
+    # docs/PERF.md section 5 and invisible in motion)
+    sess = Session(args.width, args.height,
+                   platesize=(src.shape[1] if src is not None else None),
+                   palette=pal, echo=True, backend="jax", **_script_dirs(args))
+    for c in args.cmd:
+        sess.cmd(c)
+    sess.cmd(f"f_lens {args.lens}; f_globe {args.globe}")
+    if not sess.lens_valid or not sess.globe_valid:
+        print("error: invalid lens/globe")
+        return 2
+    if src is None:
+        src = synthetic_cubemap(sess.platesize)
+    zoom_cmd = "f_vfov" if args.vfov else "f_fov"
+    values = np.linspace(args.start, args.stop, args.steps)
+    if args.bounce:
+        values = np.concatenate([values, values[-2:0:-1]])
+    shots = []
+    clock = FrameClock()
+    for v in values:
+        sess.cmd(f"{zoom_cmd} {v:.6g}")
+        shots.append(np.asarray(sess.render(src, rubix=args.rubix)))
+        clock.tick(1)
+    out = Path(args.out)
+    out.write_bytes(encode_gif(np.stack(shots, axis=-1), sess.palette,
+                               delay_cs=args.gif_delay))
+    print(clock.report())
+    print(f"wrote {len(shots)} steps ({zoom_cmd} {args.start:g}..{args.stop:g}"
+          f"{', bounce' if args.bounce else ''}) to {out}")
+    return 0
+
+
 def cmd_gallery(args) -> int:
     """Render every shipped lens once (its onload default zoom) into an
     output directory — the visual-QA sweep the reference did by tabbing
@@ -551,6 +610,24 @@ def main(argv=None) -> int:
                    help="also write an index.html contact sheet")
     p.add_argument("--outdir", default="gallery")
     p.set_defaults(fn=cmd_gallery)
+
+    p = sub.add_parser("sweep",
+                       help="animated f_fov/f_vfov zoom sweep -> GIF")
+    _add_session_args(p)
+    p.add_argument("--lens", default="stereographic")
+    p.add_argument("--globe", default="cube")
+    p.add_argument("--demo", default=None,
+                   help="render frame 0 of this demo .npz (else synthetic)")
+    p.add_argument("--start", type=float, default=100.0)
+    p.add_argument("--stop", type=float, default=330.0)
+    p.add_argument("--steps", type=int, default=24)
+    p.add_argument("--vfov", action="store_true", help="sweep f_vfov")
+    p.add_argument("--bounce", action="store_true",
+                   help="append the reverse sweep for a seamless loop")
+    p.add_argument("--rubix", action="store_true")
+    p.add_argument("--gif-delay", type=int, default=5, metavar="CS")
+    p.add_argument("--out", default="sweep.gif")
+    p.set_defaults(fn=cmd_sweep)
 
     sub.add_parser("lenses", help="list lenses (f_lens <tab>)").set_defaults(fn=cmd_lenses)
     sub.add_parser("globes", help="list globes (f_globe <tab>)").set_defaults(fn=cmd_globes)

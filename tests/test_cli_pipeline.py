@@ -189,3 +189,23 @@ def test_reproject_aa(tmp_path):
                    "--height", "48", "--aa", "2", "--follow-poses",
                    "--format", "png", "--outdir", str(out)])
     assert rc == 2
+
+
+def test_sweep_gif(tmp_path):
+    """`sweep` writes an animated zoom sweep whose steps actually move,
+    and a --bounce loop mirrors the ramp."""
+    from blinky_tpu.cli import main
+    from blinky_tpu.io.gif import decode_gif
+
+    out = tmp_path / "sweep.gif"
+    rc = main(["sweep", "--width", "64", "--height", "48", "--steps", "4",
+               "--start", "120", "--stop", "300", "--bounce",
+               "--out", str(out)])
+    assert rc == 0
+    frames, pal, delays = decode_gif(out.read_bytes())
+    assert frames.shape == (48, 64, 6)  # 4 up + 2 back (bounce)
+    assert (frames[..., 0] != frames[..., 3]).any()  # the zoom moved
+    np.testing.assert_array_equal(frames[..., 1], frames[..., 5])  # mirror
+
+    # an invalid lens errors out instead of writing junk
+    assert main(["sweep", "--lens", "nosuch", "--out", str(out)]) == 2
