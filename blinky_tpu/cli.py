@@ -378,6 +378,13 @@ def cmd_sweep(args) -> int:
         return 2
     if src is None:
         src = synthetic_cubemap(sess.platesize)
+    if args.rubix:
+        # expand once to the raw||tinted layout: rubix then rides the
+        # static gather indices with zero per-frame cost (the plain-source
+        # per-element tint LUT is catastrophic on v5e — kernels/remap.py)
+        from blinky_tpu.kernels.remap import expand_frames_tinted
+
+        src = expand_frames_tinted(src, sess.palette)
     zoom_cmd = "f_vfov" if args.vfov else "f_fov"
     values = np.linspace(args.start, args.stop, args.steps)
     if args.bounce:
