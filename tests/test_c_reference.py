@@ -231,6 +231,27 @@ def test_forward_lensmap_bitexact_vs_c(
     )
 
 
+def test_forward_lensmap_bitexact_vs_c_production_sizes(harness, workdir):
+    """Production-size pins for the forward (draw_quad rasterizer) path:
+    640x480 and the full 1920x1080 — scan order, the maxdiff wrap guard
+    and last-writer-wins quads all replayed at scale."""
+    for W, H, lens_name in [(640, 480, "sinusoidal"), (1920, 1080, "eckert1")]:
+        c = cref.c_lensmap(
+            harness, workdir / "lm_fwd_big.bin", lens_name, "cube", W, H,
+            "contain", 0,
+        )
+        g = globes.get("cube")
+        lens = lenses.get(lens_name, g)
+        scale = calc_scale(Zoom("contain", 0), lens, W, H)
+        lm = build_forward(lens, g, scale, W, H, c["platesize"],
+                           use_native=True)
+        _assert_lensmap_matches(
+            c,
+            dict(scale=lm.scale, plate=lm.plate, px=lm.px, py=lm.py,
+                 valid=lm.valid, tint=lm.tint, plates_used=lm.plates_used),
+        )
+
+
 def test_palmap_bitexact_vs_c(harness, workdir):
     from blinky_tpu.palette import create_palmap, default_palette
 
