@@ -210,7 +210,7 @@ class Session:
                 argv = shlex.split(part)
             except ValueError:
                 # COM_Parse reads an unterminated quote through to the end
-                # of the line rather than erroring (common/common.c:270-281);
+                # of the line rather than erroring (common/common.c:1101-1114);
                 # shlex raises, so close the quote and retry.
                 try:
                     argv = shlex.split(part + '"')
@@ -548,12 +548,18 @@ class Session:
         rubix = self.rubix_enabled if rubix is None else rubix
         return self._kernel(frames, rubix=rubix, decode_rgb=decode_rgb)
 
-    def render_posed(self, frames, poses):
+    def render_posed(self, frames, poses, render_scale: int = 1):
         """Per-frame-pose playback: every frame gets its own view rotation.
 
         ``frames``: [P, S, S, B] (u8 plates, the expanded [12, ...] rubix
         layout, or RGBA u32); ``poses``: [B, 3] (pitch, yaw, roll) degrees
         or precomputed [B, 3, 3] bases.  Returns [B, H, W].
+
+        ``render_scale`` k > 1 trades resolution for sustained fps (the
+        reference's own quality<->speed axis, "Performance vs Quality"):
+        the per-pose lensmap is built at 1/k size and nearest-upsampled
+        on device, cutting the per-index gather wall (docs/PERF.md §6)
+        by ~k².  The full-res background stays crisp.
 
         One fused device call builds B lensmaps (vmapped f32 builder) and
         gathers each frame through its own — the framework analog of the
@@ -583,7 +589,8 @@ class Session:
         # can be reused and silently hit a stale cache entry
         key = (id(self.lens), id(self.globe), scale, self.width_px,
                self.height_px, S, self.rubix_numcells, self.rubix_cell_size,
-               self.rubix_pad_size, getattr(self, "_background_gen", 0), is_rgba)
+               self.rubix_pad_size, getattr(self, "_background_gen", 0),
+               is_rgba, int(render_scale))
         cached = getattr(self, "_posed_cache", None)
         if cached is None or cached[0] != key:
             bg = self._background
@@ -597,7 +604,7 @@ class Session:
                 self.lens, self.globe, self.width_px, self.height_px, scale,
                 platesize=S, numcells=self.rubix_numcells,
                 cell_size=self.rubix_cell_size, pad_size=self.rubix_pad_size,
-                background=bg,
+                background=bg, render_scale=int(render_scale),
             )
             self._posed_cache = (key, kernel)
         return self._posed_cache[1](frames, bases)
@@ -635,8 +642,11 @@ class Session:
                 "rubix AA needs the expanded raw||tinted layout "
                 "(expand_frames_tinted[_rgba])")
 
+        S = int(frames.shape[1])  # the frames' actual plate size (render
+        # syncs self.platesize from it lazily; key on S so differing
+        # sources get their own hi-res session instead of thrashing one)
         state = (self.config_str(), self.view_angles, self.width_px,
-                 self.height_px, self.platesize,
+                 self.height_px, S,
                  getattr(self, "_palette_gen", 0),
                  getattr(self, "_background_gen", 0), factor)
         cache = getattr(self, "_aa_cache", None)
@@ -645,7 +655,7 @@ class Session:
         hi_sess = cache.get(state)
         if hi_sess is None:
             hi_sess = Session(self.width_px * factor, self.height_px * factor,
-                              platesize=self.platesize, palette=self.palette,
+                              platesize=S, palette=self.palette,
                               lens_dirs=self.lens_dirs,
                               globe_dirs=self.globe_dirs,
                               backend=self.backend)

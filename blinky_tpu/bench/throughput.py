@@ -378,10 +378,22 @@ def run_per_frame_pose_throughput(
     for _ in range(reps):
         _sync(k(frames, bases))
     dt = (time.perf_counter() - t0) / reps
+    # the quality<->speed knob: lensmap at 1/2 size, nearest-upsampled on
+    # device (render_scale; ~k^2 x the sustained rate past the per-index
+    # gather wall)
+    k2 = PosedRemapKernel(lens, g, width, height, scale,
+                          platesize=platesize, render_scale=2)
+    _sync(k2(frames, bases))  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _sync(k2(frames, bases))
+    dt2 = (time.perf_counter() - t0) / reps
     return dict(
         config=f"per-frame poses {lens_name}+{globe_name} {width}x{height} chunk={batch}",
         fps=batch / dt,
         ms_per_frame=dt / batch * 1000,
+        fps_scale2=batch / dt2,
+        ms_per_frame_scale2=dt2 / batch * 1000,
     )
 
 

@@ -296,7 +296,9 @@ def cmd_reproject(args) -> int:
             B = batch_frames.shape[-1]
             pidx = np.minimum(np.arange(wrote, wrote + B), len(poses) - 1)
             out = np.moveaxis(
-                np.asarray(sess.render_posed(batch_frames, np.asarray(poses)[pidx])),
+                np.asarray(sess.render_posed(batch_frames,
+                                             np.asarray(poses)[pidx],
+                                             render_scale=args.pose_scale)),
                 0, -1,
             )
         elif args.aa > 1:
@@ -584,6 +586,10 @@ def main(argv=None) -> int:
                    help="rotate the view within the recorded plates (deg)")
     p.add_argument("--follow-poses", action="store_true",
                    help="track the demo's pose stream (per batch)")
+    p.add_argument("--pose-scale", type=int, default=1, metavar="K",
+                   help="per-frame-pose quality<->speed knob: build each "
+                        "pose's lensmap at 1/K size and upsample on device "
+                        "(~K^2 x the sustained fps; docs/PERF.md section 6)")
     p.add_argument("--aa", type=int, default=1, metavar="K",
                    help="supersample factor: render at Kx and box-average "
                         "down (true-color output)")

@@ -183,6 +183,10 @@ def encode_gif(frames, palette: np.ndarray, delay_cs: int = 5,
     if palette.shape != (256, 3):
         raise ValueError("encode_gif expects a [256, 3] u8 palette")
     h, w, nframes = frames.shape
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
+        raise ValueError("GIF dimensions must be 1..65535")
+    if not (0 <= int(delay_cs) <= 0xFFFF and 0 <= int(loop) <= 0xFFFF):
+        raise ValueError("delay_cs and loop must fit uint16")
     out = bytearray()
     out += b"GIF89a"
     # logical screen descriptor: global color table, 8 bits/entry, 256
@@ -335,6 +339,11 @@ def decode_gif(data: bytes):
         elif disposal == 3:  # restore to previous
             canvas = prev
         # disposal 0/1: leave as-is
+        # a Graphic Control Extension governs only the single following
+        # image (GIF89a spec 23); reset for the next block
+        transparent = -1
+        disposal = 0
+        delay = 0
     if not frames:
         raise ValueError("GIF contains no image")
     return np.stack(frames, axis=-1), palette, delays

@@ -37,15 +37,27 @@ from blinky_tpu.palette import MAX_PLATES
 
 @functools.lru_cache(maxsize=32)
 def _compiled_posed_pipeline(lens, globe, width_px, height_px, platesize,
-                             expanded, dtype):
+                             expanded, dtype, render_scale=1):
     """One executable per (lens, globe, shape, source-kind): takes the
     dynamic zoom scale, rubix params, a [B, 3] basis triple and the
-    [B, N] flattened sources."""
+    [B, N] flattened sources.
+
+    ``render_scale`` k > 1 is the quality<->speed knob (the reference's
+    own design axis — low-poly globes, README "Performance vs Quality"):
+    the per-pose lensmap is built at 1/k resolution and the gathered
+    image nearest-upsampled on device.  The per-frame-pose wall is the
+    chip's ~13.4 ns/index gather cost (docs/PERF.md §6), so k^2x fewer
+    indices buys ~k^2x sustained fps; a low-res pixel samples exactly
+    the full-res grid's every-k-th ray ((lx' - w'/2)*(k*scale) ==
+    (k*lx' - w/2)*scale), and the full-res background stays crisp under
+    the upsampled validity mask."""
     S = platesize
+    k = int(render_scale)
+    W, H = width_px // k, height_px // k
 
     def one_pose(src_b, bg, fwd, rgt, up, scale, numcells, cell_size, pad_size):
         lm = inverse_grid(
-            lens, globe, scale, width_px, height_px, S,
+            lens, globe, scale * k, W, H, S,
             numcells, cell_size, pad_size, jnp, dtype,
             view_basis=(fwd, rgt, up),
         )
@@ -57,9 +69,12 @@ def _compiled_posed_pipeline(lens, globe, width_px, height_px, platesize,
                 (lm["tint"] != TINT_NONE) & lm["valid"],
                 jnp.int32(MAX_PLATES * S * S), jnp.int32(0),
             )
-        out = jnp.take(src_b, idx.reshape(-1), axis=0, mode="clip")
-        out = jnp.where(lm["valid"].reshape(-1), out, bg.reshape(-1))
-        return out.reshape(height_px, width_px)
+        out = jnp.take(src_b, idx.reshape(-1), axis=0, mode="clip").reshape(H, W)
+        valid = lm["valid"].reshape(H, W)
+        if k > 1:
+            out = jnp.repeat(jnp.repeat(out, k, axis=0), k, axis=1)
+            valid = jnp.repeat(jnp.repeat(valid, k, axis=0), k, axis=1)
+        return jnp.where(valid, out, bg)
 
     def run(src, background, bases_fwd, bases_rgt, bases_up,
             scale, numcells, cell_size, pad_size):
@@ -89,11 +104,19 @@ class PosedRemapKernel:
 
     def __init__(self, lens, globe, width_px, height_px, scale,
                  platesize=None, numcells=10, cell_size=4.0, pad_size=1.0,
-                 background=None, dtype=None):
+                 background=None, dtype=None, render_scale=1):
         self.lens = lens
         self.globe = globe
         self.width_px = int(width_px)
         self.height_px = int(height_px)
+        self.render_scale = int(render_scale)
+        if self.render_scale < 1:
+            raise ValueError("render_scale must be >= 1")
+        if (self.width_px % self.render_scale
+                or self.height_px % self.render_scale):
+            raise ValueError(
+                f"screen {self.width_px}x{self.height_px} not divisible by "
+                f"render_scale {self.render_scale}")
         self.platesize = int(platesize) if platesize else min(width_px, height_px)
         self.scale = float(scale)
         self.numcells = float(numcells)
@@ -127,7 +150,7 @@ class PosedRemapKernel:
             raise ValueError("RGBA frames need an RGBA (uint32) background")
         fn = _compiled_posed_pipeline(
             self.lens, self.globe, self.width_px, self.height_px,
-            self.platesize, expanded, self.dtype,
+            self.platesize, expanded, self.dtype, self.render_scale,
         )
         return fn(
             src, bg, bases[:, 0], bases[:, 1], bases[:, 2],
@@ -172,7 +195,7 @@ def posed_remap_sharded(kernel: PosedRemapKernel, frames, bases, mesh):
     bg = jax.device_put(kernel.background, NamedSharding(mesh, P()))
     fn = _compiled_posed_pipeline(
         kernel.lens, kernel.globe, kernel.width_px, kernel.height_px,
-        kernel.platesize, expanded, kernel.dtype,
+        kernel.platesize, expanded, kernel.dtype, kernel.render_scale,
     )
     return fn(
         src, bg, bf, br, bu,

@@ -426,6 +426,8 @@ struct GifBitWriter {
   int nbits;
   bool overflow;
   void put(int code, int width) {
+    if (overflow) return;  // stop accumulating: nbits would otherwise
+                           // grow past 32 and the shift would be UB
     acc |= ((unsigned int)code) << nbits;
     nbits += width;
     while (nbits >= 8) {

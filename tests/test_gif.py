@@ -170,3 +170,41 @@ def test_cli_reproject_gif(tmp_path):
     assert rc == 0
     first, _ = decode_pcx((pcxdir / "frame000000.pcx").read_bytes())
     np.testing.assert_array_equal(frames[..., 0], first)
+
+
+def test_gce_scope_resets_per_image():
+    """A Graphic Control Extension governs only the single following image
+    (GIF89a spec §23): transparency/disposal/delay must not leak into
+    GCE-less frames."""
+    import struct
+
+    from blinky_tpu.io.gif import _lzw_encode, _subblocks
+
+    pal = default_palette()
+    f0 = np.full((4, 6), 7, np.uint8)
+    f1 = np.zeros((4, 6), np.uint8)  # index 0 everywhere
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", 6, 4, 0xF7, 99, 0)
+    out += pal.tobytes()
+    # frame 0: GCE with transparency on index 0, disposal 2, delay 9
+    out += b"\x21\xf9" + bytes([4, (2 << 2) | 1]) + struct.pack("<H", 9)
+    out += bytes([0, 0])
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 6, 4, 0)
+    out += bytes([8]) + _subblocks(_lzw_encode(f0, 8))
+    # frame 1: NO GCE — index 0 must be opaque, delay 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 6, 4, 0)
+    out += bytes([8]) + _subblocks(_lzw_encode(f1, 8))
+    out += b"\x3b"
+    frames, _, delays = decode_gif(bytes(out))
+    assert delays == [9, 0]
+    # frame 1 is fully index 0 (opaque overwrite), not stale frame-0 bytes
+    np.testing.assert_array_equal(frames[..., 1], f1)
+
+
+def test_encode_gif_range_validation():
+    pal = default_palette()
+    f = np.zeros((4, 4), np.uint8)
+    with pytest.raises(ValueError, match="uint16"):
+        encode_gif(np.stack([f, f], -1), pal, delay_cs=70000)
+    with pytest.raises(ValueError, match="uint16"):
+        encode_gif(np.stack([f, f], -1), pal, loop=-1)

@@ -152,3 +152,48 @@ def test_palette_and_background_changes_invalidate_posed_cache(setup):
         sess.set_background(np.full((H, W), val, np.uint8))
         u8 = np.asarray(sess.render_posed(frames, poses))
         assert (u8 == val).any(), f"stale background {val}"
+
+
+def test_render_scale_matches_half_res_build_upsampled(setup):
+    """render_scale=2 == the same pose's lensmap built at half size with
+    scale*2, gathered, nearest-upsampled — with the FULL-res background
+    showing through the upsampled validity mask."""
+    g, lens, scale, frames, bases = setup
+    bg = np.arange(H * W, dtype=np.uint32).reshape(H, W) % 251
+    bg = bg.astype(np.uint8)
+    k2 = PosedRemapKernel(lens, g, W, H, scale, platesize=S, background=bg,
+                          render_scale=2)
+    out = np.asarray(k2(frames, bases))
+    assert out.shape == (B, H, W)
+
+    for b in range(B):
+        lm = build_lensmap(lens, g, scale * 2, W // 2, H // 2, S,
+                           backend="jax", view_basis=tuple(bases[b]))
+        small = np.asarray(RemapKernel(lm)(frames[..., b]))
+        up = np.repeat(np.repeat(small, 2, axis=0), 2, axis=1)
+        valid_up = np.repeat(np.repeat(np.asarray(lm.valid), 2, 0), 2, 1)
+        expect = np.where(valid_up, up, bg)
+        np.testing.assert_array_equal(out[b], expect)
+
+    # the fused identity-pose output at k=1 differs from k=2 only inside
+    # (resolution), never in the background region
+    k1 = PosedRemapKernel(lens, g, W, H, scale, platesize=S, background=bg)
+    out1 = np.asarray(k1(frames, bases))
+    assert (out1 != out).any()
+
+    with pytest.raises(ValueError, match="divisible"):
+        PosedRemapKernel(lens, g, W, 50, scale, platesize=S, render_scale=4)
+    with pytest.raises(ValueError, match="render_scale"):
+        PosedRemapKernel(lens, g, W, H, scale, platesize=S, render_scale=0)
+
+
+def test_session_render_posed_scale(setup):
+    from blinky_tpu.api import Session
+
+    g, lens, scale, frames, bases = setup
+    sess = Session(W, H, platesize=S)
+    out = np.asarray(sess.render_posed(frames, np.asarray(POSES),
+                                       render_scale=2))
+    assert out.shape == (B, H, W)
+    full = np.asarray(sess.render_posed(frames, np.asarray(POSES)))
+    assert (out != full).any()  # distinct cache entries, distinct results

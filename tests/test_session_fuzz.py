@@ -60,7 +60,7 @@ def test_config_roundtrip_after_fuzz(tmp_path):
 
 def test_console_parser_survives_malformed_quoting_and_exec(tmp_path, monkeypatch):
     """COM_Parse reads an unterminated quote through end-of-line instead of
-    erroring (common/common.c:270-281), and Cmd_Exec_f execs raw bytes —
+    erroring (common/common.c:1101-1114), and Cmd_Exec_f execs raw bytes —
     neither may crash the session."""
     monkeypatch.chdir(tmp_path)
     sess = Session(48, 36, platesize=16)
