@@ -169,6 +169,8 @@ def config5_pose_playback(quick=False):
         chunked_fps=round(chunked["fps"], 1),
         per_frame_fps=round(per_frame["fps"], 1),
         per_frame_ms=round(per_frame["ms_per_frame"], 2),
+        per_frame_fps_scale2=round(per_frame["fps_scale2"], 1),
+        per_frame_ms_scale2=round(per_frame["ms_per_frame_scale2"], 2),
     )
 
 
