@@ -52,6 +52,8 @@ _PAGE = """<!DOCTYPE html>
  <button id="play">pause</button>
  <label id="followbox" style="display:none">
    <input type="checkbox" id="follow"> follow pose track</label>
+ <a id="rec" href="/record.gif" download="blinky.gif"
+    style="color:#8cf">&#9660; gif</a>
  keys: 1-9 lenses, y/u/i/o/p globes (f_shortcutkeys) — drag to look
 </div>
 <div id="log"></div>
@@ -72,6 +74,8 @@ async function refresh() {
   busy = true;
   const i = playing ? Math.floor(base + (Date.now()-t0)/1000*fps) % n : base % n;
   const fl = document.getElementById('follow').checked ? '&follow=1' : '';
+  document.getElementById('rec').href =
+    '/record.gif?d=' + Math.max(2, Math.round(100/fps)) + fl;
   try {
     const r = await fetch('/frame.png?i=' + i + fl, {cache:'no-store'});
     const blob = await r.blob();
@@ -215,6 +219,15 @@ class Viewer:
                             viewer.session.press_key(q.get("k", [""])[0])
                         self._send(200, self._console_json(),
                                    "application/json")
+                    elif url.path == "/record.gif":
+                        start = int(q.get("from", ["0"])[0])
+                        count = q.get("n", [None])[0]
+                        count = int(count) if count is not None else None
+                        follow = q.get("follow", ["0"])[0] == "1"
+                        delay = int(q.get("d", ["10"])[0])
+                        gif = viewer.render_gif(start, count, follow=follow,
+                                                delay_cs=delay)
+                        self._send(200, gif, "image/gif")
                     elif url.path == "/state":
                         self._send(200, viewer.state_json(),
                                    "application/json")
@@ -268,6 +281,33 @@ class Viewer:
                   f"f_lens {sess.lens_name}  f_globe {sess.globe_name}  "
                   f"{sess.zoom.command() or ''}")
         return png, status
+
+    def render_gif(self, start: int = 0, count=None, follow: bool = False,
+                   delay_cs: int = 10) -> bytes:
+        """Render frames ``start..start+count`` through the live session
+        (current lens/globe/zoom/rubix state) into one animated GIF —
+        the viewer's capture/export surface, lossless for the engine's
+        palettized frames.  True-color (u32) sources can't be palettized
+        losslessly; use ``reproject --format png`` for those."""
+        n = len(self.frames)
+        count = n if count is None else max(1, min(int(count), n))
+        shots = []
+        for k in range(count):
+            i = (start + k) % n
+            if self.frames[i].dtype == np.uint32:
+                raise ValueError(
+                    "GIF capture needs a palettized (u8) source; "
+                    "true-color demos export via reproject --format png")
+            if follow and self.poses is not None:
+                p, y, r = (float(v) for v in
+                           self.poses[min(i, len(self.poses) - 1)])
+                if self.session.view_angles != (p, y, r):
+                    self.session.cmd(f"setviewangles {p} {y} {r}")
+            shots.append(np.asarray(self.session.render(self.frames[i])))
+        from blinky_tpu.io.gif import encode_gif
+
+        return encode_gif(np.stack(shots, axis=-1), self.session.palette,
+                          delay_cs=delay_cs)
 
     def drain_console(self) -> list:
         """Console lines added since the last drain (delivered once)."""

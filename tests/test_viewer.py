@@ -157,3 +157,47 @@ def test_follow_pose_track():
     # an empty pose array counts as "no track"
     v2 = Viewer(sess, frames, poses=np.zeros((0, 3), np.float32))
     assert v2.poses is None
+
+
+def test_record_gif(served):
+    """/record.gif captures the frame loop through the live session as
+    one animated GIF, honoring from/n/d; the page links it."""
+    from blinky_tpu.io.gif import decode_gif
+
+    v, sess = served
+    code, headers, body = _get(v, "/record.gif?d=7")
+    assert code == 200 and headers["Content-Type"] == "image/gif"
+    frames, pal, delays = decode_gif(body)
+    assert frames.shape == (48, 64, 3) and delays == [7, 7, 7]
+    np.testing.assert_array_equal(pal, sess.palette)
+    # frame 0 of the capture == the live single-frame render
+    np.testing.assert_array_equal(frames[..., 0],
+                                  np.asarray(sess.render(v.frames[0])))
+    # windowed capture
+    _, _, two = _get(v, "/record.gif?from=1&n=2")
+    f2 = decode_gif(two)[0]
+    assert f2.shape[-1] == 2
+    np.testing.assert_array_equal(f2[..., 0], frames[..., 1])
+    # the page exposes the link
+    _, _, page = _get(v, "/")
+    assert b"/record.gif" in page
+
+
+def test_record_gif_true_color_errors():
+    from blinky_tpu.kernels.remap import frames_to_rgba
+
+    sess = Session(48, 36, platesize=16)
+    u8 = np.stack([synthetic_cubemap(16)] * 2)
+    rgba = np.stack([frames_to_rgba(f, sess.palette) for f in u8])
+    v = Viewer(sess, rgba)
+    v.start()
+    try:
+        from urllib.error import HTTPError
+
+        try:
+            _get(v, "/record.gif")
+            raise AssertionError("expected 500")
+        except HTTPError as e:
+            assert e.code == 500 and b"palettized" in e.read()
+    finally:
+        v.stop()
