@@ -264,9 +264,9 @@ def cmd_reproject(args) -> int:
         print("error: --aa applies to static views (render_aa); "
               "drop --follow-poses")
         return 2
-    if out_rgba and args.format in ("pcx", "gif"):
-        print(f"error: {args.format} is palette-indexed; use --format "
-              "png/ppm/npz for true-color output")
+    if out_rgba and args.format == "pcx":
+        print("error: pcx is palette-indexed; use --format png/ppm/npz "
+              "for true-color output (gif quantizes via median cut)")
         return 2
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -329,9 +329,21 @@ def cmd_reproject(args) -> int:
     if stack is not None and args.format == "gif":
         from blinky_tpu.io.gif import encode_gif
 
-        (outdir / "warped.gif").write_bytes(encode_gif(
-            np.stack(stack, axis=-1), sess.palette,
-            delay_cs=args.gif_delay))
+        if out_rgba:
+            # true-color run: one global median-cut palette over the
+            # whole sequence (palette.quantize_rgb), then the lossless
+            # palettized encoder
+            from blinky_tpu.kernels.remap import unpack_rgb
+            from blinky_tpu.palette import quantize_rgb
+
+            rgb_stack = np.stack([unpack_rgb(s) for s in stack])
+            gpal, gidx = quantize_rgb(rgb_stack)
+            data = encode_gif(np.moveaxis(gidx, 0, -1), gpal,
+                              delay_cs=args.gif_delay)
+        else:
+            data = encode_gif(np.stack(stack, axis=-1), sess.palette,
+                              delay_cs=args.gif_delay)
+        (outdir / "warped.gif").write_bytes(data)
     elif stack is not None:
         np.savez_compressed(outdir / "warped.npz",
                             screen=np.stack(stack), palette=sess.palette)

@@ -152,3 +152,63 @@ def tint_lut(pal: np.ndarray) -> np.ndarray:
     lut[:MAX_PLATES] = create_palmap(pal)
     lut[MAX_PLATES] = np.arange(256, dtype=np.uint8)
     return lut
+
+
+def quantize_rgb(rgb, ncolors: int = 256):
+    """Median-cut color quantization: RGB -> (palette [256, 3] u8,
+    indices u8 of the input's shape minus the channel axis).
+
+    The bridge from the framework's true-color outputs (RGBA decode,
+    supersampled ``render_aa``, equirect ingestion) back into the
+    engine's palettized world — e.g. animated-GIF export of a
+    true-color reproject run.  Classic median cut: recursively split the
+    occupied color box with the largest pixel count along its widest
+    channel at the median, then average each box; pixels map through the
+    same first-minimum nearest-color search the tint palettes use
+    (``find_closest_pal_index``, ``fisheye.c:835-855``), evaluated once
+    per distinct color.  Deterministic (no dithering, ties split by
+    channel order), lossless whenever the input has <= *ncolors*
+    distinct colors.
+    """
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if rgb.shape[-1] != 3:
+        raise ValueError("quantize_rgb expects [..., 3] RGB")
+    flat = rgb.reshape(-1, 3)
+    packed = (flat[:, 0].astype(np.uint32)
+              | (flat[:, 1].astype(np.uint32) << 8)
+              | (flat[:, 2].astype(np.uint32) << 16))
+    uniq, inv, counts = np.unique(packed, return_inverse=True,
+                                  return_counts=True)
+    colors = np.stack([uniq & 0xFF, (uniq >> 8) & 0xFF,
+                       (uniq >> 16) & 0xFF], axis=1).astype(np.int64)
+
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    if len(uniq) <= ncolors:
+        pal[: len(uniq)] = colors
+        idx = inv.astype(np.uint8).reshape(rgb.shape[:-1])
+        return pal, idx
+
+    # median cut over the distinct-color histogram
+    boxes = [np.arange(len(uniq))]
+    while len(boxes) < ncolors:
+        # split the box with the most pixels that still has >1 color
+        weights = [counts[b].sum() if len(b) > 1 else -1 for b in boxes]
+        i = int(np.argmax(weights))
+        if weights[i] < 0:
+            break
+        box = boxes[i]
+        spans = colors[box].max(axis=0) - colors[box].min(axis=0)
+        ch = int(np.argmax(spans))
+        order = box[np.argsort(colors[box, ch], kind="stable")]
+        # median by pixel population, not by distinct-color count
+        csum = np.cumsum(counts[order])
+        split = int(np.searchsorted(csum, csum[-1] / 2)) + 1
+        split = min(max(split, 1), len(order) - 1)
+        boxes[i] = order[:split]
+        boxes.append(order[split:])
+    for j, box in enumerate(boxes):
+        w = counts[box].astype(np.float64)
+        pal[j] = np.round((colors[box] * w[:, None]).sum(0) / w.sum())
+    lut = find_closest_pal_index(pal, colors[:, 0], colors[:, 1],
+                                 colors[:, 2])
+    return pal, lut[inv].reshape(rgb.shape[:-1])

@@ -286,26 +286,35 @@ class Viewer:
                    delay_cs: int = 10) -> bytes:
         """Render frames ``start..start+count`` through the live session
         (current lens/globe/zoom/rubix state) into one animated GIF —
-        the viewer's capture/export surface, lossless for the engine's
-        palettized frames.  True-color (u32) sources can't be palettized
-        losslessly; use ``reproject --format png`` for those."""
+        the viewer's capture/export surface.  Lossless for the engine's
+        palettized frames; true-color (u32) sources are quantized with
+        one median-cut palette over the whole capture
+        (``palette.quantize_rgb``)."""
         n = len(self.frames)
         count = n if count is None else max(1, min(int(count), n))
         shots = []
         for k in range(count):
             i = (start + k) % n
-            if self.frames[i].dtype == np.uint32:
-                raise ValueError(
-                    "GIF capture needs a palettized (u8) source; "
-                    "true-color demos export via reproject --format png")
             if follow and self.poses is not None:
                 p, y, r = (float(v) for v in
                            self.poses[min(i, len(self.poses) - 1)])
                 if self.session.view_angles != (p, y, r):
                     self.session.cmd(f"setviewangles {p} {y} {r}")
-            shots.append(np.asarray(self.session.render(self.frames[i])))
+            frame = self.frames[i]
+            if frame.dtype == np.uint32 and self.session.rubix_enabled:
+                from blinky_tpu.kernels.remap import expand_frames_tinted_rgba
+
+                frame = expand_frames_tinted_rgba(frame)
+            shots.append(np.asarray(self.session.render(frame)))
         from blinky_tpu.io.gif import encode_gif
 
+        if shots[0].dtype == np.uint32:
+            from blinky_tpu.kernels.remap import unpack_rgb
+            from blinky_tpu.palette import quantize_rgb
+
+            pal, idx = quantize_rgb(np.stack([unpack_rgb(s) for s in shots]))
+            return encode_gif(np.moveaxis(idx, 0, -1), pal,
+                              delay_cs=delay_cs)
         return encode_gif(np.stack(shots, axis=-1), self.session.palette,
                           delay_cs=delay_cs)
 

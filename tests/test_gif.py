@@ -208,3 +208,30 @@ def test_encode_gif_range_validation():
         encode_gif(np.stack([f, f], -1), pal, delay_cs=70000)
     with pytest.raises(ValueError, match="uint16"):
         encode_gif(np.stack([f, f], -1), pal, loop=-1)
+
+
+def test_cli_reproject_true_color_gif(tmp_path):
+    """`reproject --aa 2 --format gif`: the supersampled true-color run
+    exports as one median-cut-quantized animation."""
+    from blinky_tpu.cli import main
+
+    demo = tmp_path / "demo.npz"
+    assert main(["demo-synth", "--frames", "3", "--platesize", "24",
+                 "--out", str(demo)]) == 0
+    outdir = tmp_path / "gif_aa"
+    rc = main(["reproject", "--demo", str(demo), "--width", "48",
+               "--height", "36", "--aa", "2", "--format", "gif",
+               "--outdir", str(outdir)])
+    assert rc == 0
+    frames, pal, _ = decode_gif((outdir / "warped.gif").read_bytes())
+    assert frames.shape == (36, 48, 3)
+    # quantized colors track the png output of the same run closely
+    pngdir = tmp_path / "png_aa"
+    assert main(["reproject", "--demo", str(demo), "--width", "48",
+                 "--height", "36", "--aa", "2", "--format", "png",
+                 "--outdir", str(pngdir)]) == 0
+    from blinky_tpu.io.png import decode_png
+
+    truth = decode_png((pngdir / "frame000000.png").read_bytes())
+    err = np.abs(pal[frames[..., 0]].astype(int) - truth.astype(int))
+    assert err.mean() < 8

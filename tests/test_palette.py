@@ -1,5 +1,6 @@
 """Palette, tint palmap, and dumppal format tests."""
 
+import pytest
 import numpy as np
 
 from blinky_tpu import palette as P
@@ -59,3 +60,27 @@ def test_lmp_roundtrip():
     pal = P.default_palette()
     back = P.load_lmp(pal.tobytes())
     assert np.array_equal(back, pal)
+
+
+def test_quantize_rgb_lossless_and_median_cut():
+    """quantize_rgb: lossless for <=256 distinct colors, bounded error on
+    a smooth field, deterministic."""
+    from blinky_tpu.palette import default_palette, quantize_rgb
+
+    pal = default_palette()
+    rng = np.random.default_rng(0)
+    img = pal[rng.integers(0, 256, (30, 44))]
+    qpal, qidx = quantize_rgb(img)
+    np.testing.assert_array_equal(qpal[qidx], img)
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    grad = np.stack([xx * 4, yy * 4, (xx + yy) * 2], -1).astype(np.uint8)
+    qpal, qidx = quantize_rgb(grad)
+    err = np.abs(qpal[qidx].astype(int) - grad.astype(int))
+    assert err.max() <= 24 and err.mean() < 4
+    qpal2, qidx2 = quantize_rgb(grad)
+    np.testing.assert_array_equal(qpal, qpal2)
+    np.testing.assert_array_equal(qidx, qidx2)
+
+    with pytest.raises(ValueError, match="RGB"):
+        quantize_rgb(np.zeros((4, 4), np.uint8))

@@ -183,8 +183,11 @@ def test_record_gif(served):
     assert b"/record.gif" in page
 
 
-def test_record_gif_true_color_errors():
-    from blinky_tpu.kernels.remap import frames_to_rgba
+def test_record_gif_true_color_quantizes():
+    """A u32 source capture comes back as a median-cut-quantized GIF whose
+    colors match the true-color render closely."""
+    from blinky_tpu.io.gif import decode_gif
+    from blinky_tpu.kernels.remap import frames_to_rgba, unpack_rgb
 
     sess = Session(48, 36, platesize=16)
     u8 = np.stack([synthetic_cubemap(16)] * 2)
@@ -192,12 +195,12 @@ def test_record_gif_true_color_errors():
     v = Viewer(sess, rgba)
     v.start()
     try:
-        from urllib.error import HTTPError
-
-        try:
-            _get(v, "/record.gif")
-            raise AssertionError("expected 500")
-        except HTTPError as e:
-            assert e.code == 500 and b"palettized" in e.read()
+        _, headers, body = _get(v, "/record.gif?n=2")
+        assert headers["Content-Type"] == "image/gif"
+        frames, pal, _ = decode_gif(body)
+        assert frames.shape == (36, 48, 2)
+        truth = unpack_rgb(np.asarray(sess.render(rgba[0])))
+        err = np.abs(pal[frames[..., 0]].astype(int) - truth.astype(int))
+        assert err.mean() < 8
     finally:
         v.stop()
