@@ -268,6 +268,17 @@ def cmd_reproject(args) -> int:
         print("error: pcx is palette-indexed; use --format png/ppm/npz "
               "for true-color output (gif quantizes via median cut)")
         return 2
+    k = args.pose_scale
+    if k < 1 or args.width % k or args.height % k or (
+            k > 1 and ((args.width // k) % 2 or (args.height // k) % 2)):
+        print(f"error: --pose-scale {k} must divide {args.width}x"
+              f"{args.height} into an even build grid")
+        return 2
+    if k > 1 and poses is None:
+        print("--pose-scale applies to --follow-poses only; ignored")
+    if args.format == "gif" and not 0 <= args.gif_delay <= 0xFFFF:
+        print("error: --gif-delay must be 0..65535 centiseconds")
+        return 2
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
     clock = FrameClock()

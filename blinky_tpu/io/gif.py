@@ -183,6 +183,8 @@ def encode_gif(frames, palette: np.ndarray, delay_cs: int = 5,
     if palette.shape != (256, 3):
         raise ValueError("encode_gif expects a [256, 3] u8 palette")
     h, w, nframes = frames.shape
+    if nframes < 1:
+        raise ValueError("encode_gif needs at least one frame")
     if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
         raise ValueError("GIF dimensions must be 1..65535")
     if not (0 <= int(delay_cs) <= 0xFFFF and 0 <= int(loop) <= 0xFFFF):

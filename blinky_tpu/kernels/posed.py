@@ -117,6 +117,17 @@ class PosedRemapKernel:
             raise ValueError(
                 f"screen {self.width_px}x{self.height_px} not divisible by "
                 f"render_scale {self.render_scale}")
+        if self.render_scale > 1 and (
+                (self.width_px // self.render_scale) % 2
+                or (self.height_px // self.render_scale) % 2):
+            # the every-k-th-ray identity needs k*(W'//2) == W//2, which
+            # fails for odd W'/H' (the builder centers with C int
+            # division) — the k-scaled render would pan ~k/2 px
+            raise ValueError(
+                f"render_scale {self.render_scale} leaves an odd "
+                f"{self.width_px // self.render_scale}x"
+                f"{self.height_px // self.render_scale} build grid; "
+                "pick k with even width/k and height/k")
         self.platesize = int(platesize) if platesize else min(width_px, height_px)
         self.scale = float(scale)
         self.numcells = float(numcells)
@@ -125,7 +136,13 @@ class PosedRemapKernel:
         self.dtype = dtype or jnp.float32
         if background is None:
             background = np.zeros((self.height_px, self.width_px), np.uint8)
-        self.background = jnp.asarray(background)
+        background = np.asarray(background)
+        if background.size != self.height_px * self.width_px:
+            raise ValueError(
+                f"background must be [{self.height_px}, {self.width_px}], "
+                f"got {background.shape}")
+        self.background = jnp.asarray(
+            background.reshape(self.height_px, self.width_px))
 
     def __call__(self, frames, bases):
         frames = jnp.asarray(frames)

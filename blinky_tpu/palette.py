@@ -173,6 +173,9 @@ def quantize_rgb(rgb, ncolors: int = 256):
     rgb = np.asarray(rgb, dtype=np.uint8)
     if rgb.shape[-1] != 3:
         raise ValueError("quantize_rgb expects [..., 3] RGB")
+    if not 1 <= int(ncolors) <= 256:
+        raise ValueError("ncolors must be 1..256 (u8 indices)")
+    ncolors = int(ncolors)
     flat = rgb.reshape(-1, 3)
     packed = (flat[:, 0].astype(np.uint32)
               | (flat[:, 1].astype(np.uint32) << 8)
@@ -187,6 +190,7 @@ def quantize_rgb(rgb, ncolors: int = 256):
         pal[: len(uniq)] = colors
         idx = inv.astype(np.uint8).reshape(rgb.shape[:-1])
         return pal, idx
+    del flat, packed  # the distinct-color histogram is all we need now
 
     # median cut over the distinct-color histogram
     boxes = [np.arange(len(uniq))]
@@ -209,6 +213,15 @@ def quantize_rgb(rgb, ncolors: int = 256):
     for j, box in enumerate(boxes):
         w = counts[box].astype(np.float64)
         pal[j] = np.round((colors[box] * w[:, None]).sum(0) / w.sum())
-    lut = find_closest_pal_index(pal, colors[:, 0], colors[:, 1],
-                                 colors[:, 2])
+    # nearest-color per DISTINCT color, chunked: the vectorized search
+    # materializes [U, P] int64 temporaries, which for a smooth-shaded
+    # capture (U ~ 1e6 distinct colors) would spike multiple GB at once.
+    # Search only the FILLED prefix — the zero tail would act as extra
+    # black entries and siphon dark colors to unused indices.
+    used = pal[: len(boxes)]
+    lut = np.empty(len(uniq), dtype=np.uint8)
+    for lo in range(0, len(uniq), 65536):
+        hi = lo + 65536
+        lut[lo:hi] = find_closest_pal_index(
+            used, colors[lo:hi, 0], colors[lo:hi, 1], colors[lo:hi, 2])
     return pal, lut[inv].reshape(rgb.shape[:-1])

@@ -52,7 +52,7 @@ _PAGE = """<!DOCTYPE html>
  <button id="play">pause</button>
  <label id="followbox" style="display:none">
    <input type="checkbox" id="follow"> follow pose track</label>
- <a id="rec" href="/record.gif" download="blinky.gif"
+ <a id="rec" href="/record.gif?t=%TOKEN%" download="blinky.gif"
     style="color:#8cf">&#9660; gif</a>
  keys: 1-9 lenses, y/u/i/o/p globes (f_shortcutkeys) — drag to look
 </div>
@@ -75,7 +75,7 @@ async function refresh() {
   const i = playing ? Math.floor(base + (Date.now()-t0)/1000*fps) % n : base % n;
   const fl = document.getElementById('follow').checked ? '&follow=1' : '';
   document.getElementById('rec').href =
-    '/record.gif?d=' + Math.max(2, Math.round(100/fps)) + fl;
+    '/record.gif?t=%TOKEN%&d=' + Math.max(2, Math.round(100/fps)) + fl;
   try {
     const r = await fetch('/frame.png?i=' + i + fl, {cache:'no-store'});
     const blob = await r.blob();
@@ -220,6 +220,13 @@ class Viewer:
                         self._send(200, self._console_json(),
                                    "application/json")
                     elif url.path == "/record.gif":
+                        # token-gated like /cmd and /key: the capture can
+                        # mutate session state (setviewangles via
+                        # follow=1) and device-renders the whole loop —
+                        # not for drive-by cross-origin GETs
+                        if q.get("t", [""])[0] != viewer.token:
+                            self._send(403, b"bad token", "text/plain")
+                            return
                         start = int(q.get("from", ["0"])[0])
                         count = q.get("n", [None])[0]
                         count = int(count) if count is not None else None
@@ -248,20 +255,20 @@ class Viewer:
         host, port = self._httpd.server_address[:2]
         return f"http://{host}:{port}"
 
-    def render_png(self, i: int, follow: bool = False):
-        """Render frame ``i`` through the live session -> (PNG bytes,
-        one-line status).  ``follow`` applies the demo pose track's
-        frame-``i`` camera first (clamping past the end, like
-        ``reproject --follow-poses``)."""
+    def _render_screen(self, i: int, follow: bool) -> np.ndarray:
+        """One frame through the live session (the shared body of
+        render_png and render_gif): apply the pose track's frame-``i``
+        camera when following (clamping past the end, like ``reproject
+        --follow-poses``), expand u32 sources for rubix, render."""
         sess = self.session
         if follow and self.poses is not None:
             p, y, r = (float(v) for v in
                        self.poses[min(i, len(self.poses) - 1)])
             # skip the no-op command: setviewangles always flags a
             # rebuild, and the page polls at 20 Hz even when paused
+            # (str(float) round-trips exactly, so the equality check
+            # stays stable across polls)
             if sess.view_angles != (p, y, r):
-                # str(float) round-trips exactly, so the equality check
-                # above stays stable across polls
                 sess.cmd(f"setviewangles {p} {y} {r}")
         frame = self.frames[i]
         if frame.dtype == np.uint32 and sess.rubix_enabled:
@@ -269,7 +276,13 @@ class Viewer:
             from blinky_tpu.kernels.remap import expand_frames_tinted_rgba
 
             frame = expand_frames_tinted_rgba(frame)
-        screen = np.asarray(sess.render(frame))
+        return np.asarray(sess.render(frame))
+
+    def render_png(self, i: int, follow: bool = False):
+        """Render frame ``i`` through the live session -> (PNG bytes,
+        one-line status)."""
+        sess = self.session
+        screen = self._render_screen(i, follow)
         if screen.dtype == np.uint32:  # packed-RGBA true-color output
             from blinky_tpu.kernels.remap import unpack_rgb
 
@@ -292,20 +305,8 @@ class Viewer:
         (``palette.quantize_rgb``)."""
         n = len(self.frames)
         count = n if count is None else max(1, min(int(count), n))
-        shots = []
-        for k in range(count):
-            i = (start + k) % n
-            if follow and self.poses is not None:
-                p, y, r = (float(v) for v in
-                           self.poses[min(i, len(self.poses) - 1)])
-                if self.session.view_angles != (p, y, r):
-                    self.session.cmd(f"setviewangles {p} {y} {r}")
-            frame = self.frames[i]
-            if frame.dtype == np.uint32 and self.session.rubix_enabled:
-                from blinky_tpu.kernels.remap import expand_frames_tinted_rgba
-
-                frame = expand_frames_tinted_rgba(frame)
-            shots.append(np.asarray(self.session.render(frame)))
+        shots = [self._render_screen((start + k) % n, follow)
+                 for k in range(count)]
         from blinky_tpu.io.gif import encode_gif
 
         if shots[0].dtype == np.uint32:

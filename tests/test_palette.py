@@ -84,3 +84,17 @@ def test_quantize_rgb_lossless_and_median_cut():
 
     with pytest.raises(ValueError, match="RGB"):
         quantize_rgb(np.zeros((4, 4), np.uint8))
+
+
+def test_quantize_rgb_ncolors_validation():
+    from blinky_tpu.palette import quantize_rgb
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    for bad in (0, 257, 512):
+        with pytest.raises(ValueError, match="ncolors"):
+            quantize_rgb(img, ncolors=bad)
+    # reduced-color quantization still works
+    yy, xx = np.mgrid[0:32, 0:32]
+    grad = np.stack([xx * 8, yy * 8, xx * 0], -1).astype(np.uint8)
+    pal, idx = quantize_rgb(grad, ncolors=16)
+    assert len(np.unique(idx)) <= 16

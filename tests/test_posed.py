@@ -197,3 +197,19 @@ def test_session_render_posed_scale(setup):
     assert out.shape == (B, H, W)
     full = np.asarray(sess.render_posed(frames, np.asarray(POSES)))
     assert (out != full).any()  # distinct cache entries, distinct results
+
+
+def test_posed_kernel_input_validation(setup):
+    g, lens, scale, frames, bases = setup
+    # flat background reshapes; wrong-sized one errors at construction
+    flat_bg = np.zeros(H * W, np.uint8)
+    k = PosedRemapKernel(lens, g, W, H, scale, platesize=S,
+                         background=flat_bg)
+    assert np.asarray(k(frames, bases)).shape == (B, H, W)
+    with pytest.raises(ValueError, match="background"):
+        PosedRemapKernel(lens, g, W, H, scale, platesize=S,
+                         background=np.zeros((H, W + 1), np.uint8))
+    # odd build grid breaks the every-k-th-ray identity: rejected
+    with pytest.raises(ValueError, match="odd"):
+        PosedRemapKernel(lens, g, 84, 56, scale, platesize=S,
+                         render_scale=4)  # 84/4 = 21 is odd

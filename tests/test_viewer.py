@@ -26,7 +26,7 @@ def served():
 
 def _get(v, path):
     # state-changing endpoints require the page token (CSRF guard)
-    if path.startswith(("/cmd", "/key")):
+    if path.startswith(("/cmd", "/key", "/record.gif")):
         sep = "&" if "?" in path else "?"
         path += f"{sep}t={v.token}"
     with urlopen(v.address + path, timeout=30) as r:
