@@ -46,11 +46,15 @@ def main() -> None:
             # platform so the virtual-device mesh takes effect
             jax.config.update("jax_platforms", "cpu")
 
-        from blinky_tpu.bench.throughput import run_batch_scaling, run_sharded_scaling
+        from blinky_tpu.bench.throughput import (
+            run_batch_scaling, run_posed_sharded_scaling, run_sharded_scaling,
+        )
 
         if len(jax.devices()) > 1:
             for r in run_sharded_scaling():
                 print(json.dumps({"metric": "sharded_weak_scaling", **r}))
+            for r in run_posed_sharded_scaling():
+                print(json.dumps({"metric": "posed_sharded_weak_scaling", **r}))
         else:
             for r in run_batch_scaling():
                 print(json.dumps({"metric": "batch_scaling_1080p", **{

@@ -347,6 +347,47 @@ def run_sharded_scaling(width=640, height=480, platesize=480,
     return out
 
 
+def run_posed_sharded_scaling(width=320, height=240, platesize=240,
+                              per_device_poses=4, iters=3, reps=3):
+    """Weak-scaling of the fused per-frame-pose pipeline: the pose chunk
+    DP-sharded over the mesh's data axis (posed_remap_sharded) — the
+    batch-axis answer to the per-index gather wall (docs/PERF.md §6).
+    On the virtual CPU mesh the curve validates per-device work stays
+    flat as devices double."""
+    from blinky_tpu.kernels.posed import (
+        PosedRemapKernel, bases_from_pose_track, posed_remap_sharded,
+    )
+    from blinky_tpu.parallel import make_mesh
+
+    g = globes.get("cube")
+    lens = lenses.get("panini", g)
+    scale = calc_scale(Zoom("fov", 180), lens, width, height)
+    n_dev = len(jax.devices())
+    out = []
+    n = 1
+    while n <= n_dev:
+        mesh = make_mesh(n_data=n, n_space=1)
+        B = per_device_poses * n
+        frames = device_source(platesize, B, False, False)
+        poses = np.stack([np.linspace(-20, 20, B), np.linspace(0, 90, B),
+                          np.zeros(B)], axis=1)
+        bases = bases_from_pose_track(poses)
+        kern = PosedRemapKernel(lens, g, width, height, scale,
+                                platesize=platesize)
+        _sync(posed_remap_sharded(kern, frames, bases, mesh))
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                _sync(posed_remap_sharded(kern, frames, bases, mesh))
+            times.append((time.perf_counter() - t0) / iters)
+        dt = min(times)
+        out.append(dict(devices=n, poses=B, fps=B / dt,
+                        fps_per_device=B / dt / n))
+        n *= 2
+    return out
+
+
 def run_per_frame_pose_throughput(
     width=1920, height=1080, platesize=1080, batch=16, reps=3,
     lens_name="panini", globe_name="cube", fov=180,
