@@ -518,9 +518,18 @@ class Interpreter:
     """One interpreter = one script environment (the reference clears
     globals between loads, ``LUA_clear_lens/globe``, ``fisheye.c:1880-1903``)."""
 
+    #: statements per top-level entry (run() or a host->Lua call). The
+    #: real Lua VM would happily hang on `while true do end`; a bounded
+    #: interpreter keeps a bad user script from freezing the session or
+    #: the single-threaded viewer. Load-time script work and a single
+    #: lens_inverse/forward call are thousands of statements at most.
+    FUEL = 5_000_000
+
     def __init__(self, builtins=None):
         self.globals = _Env()
         self.printed = []  # print() output (tetra.lua prints its fov)
+        self._fuel = self.FUEL
+        self._depth = 0
         self._install_stdlib()
         if builtins:
             for k, v in builtins.items():
@@ -613,7 +622,13 @@ class Interpreter:
 
     def run(self, src: str) -> None:
         ast = _Parser(_tokenize(src)).parse_chunk()
-        self.exec_block(ast, self.globals)
+        self._depth += 1
+        if self._depth == 1:
+            self._fuel = self.FUEL
+        try:
+            self.exec_block(ast, self.globals)
+        finally:
+            self._depth -= 1
 
     def get_global(self, name):
         return self.globals.vars.get(name)
@@ -623,10 +638,15 @@ class Interpreter:
             env = _Env(fn.env)
             for i, p in enumerate(fn.params):
                 env.vars[p] = args[i] if i < len(args) else None
+            self._depth += 1
+            if self._depth == 1:
+                self._fuel = self.FUEL
             try:
                 self.exec_block(fn.body, env)
             except _Return as r:
                 return r.vals
+            finally:
+                self._depth -= 1
             return []
         if callable(fn):
             out = fn(*args)
@@ -644,6 +664,9 @@ class Interpreter:
             self.exec_stmt(st, env)
 
     def exec_stmt(self, st, env):
+        self._fuel -= 1
+        if self._fuel < 0:
+            raise LuaError("instruction budget exhausted (runaway loop?)")
         kind = st[0]
         if kind == "assign":
             vals = self.eval_list(st[2], env, want=len(st[1]))
@@ -665,12 +688,20 @@ class Interpreter:
         elif kind == "while":
             try:
                 while _truthy(self.eval(st[1], env)):
+                    self._fuel -= 1  # empty bodies must still burn fuel
+                    if self._fuel < 0:
+                        raise LuaError(
+                            "instruction budget exhausted (runaway loop?)")
                     self.exec_block(st[2], _Env(env))
             except _Break:
                 pass
         elif kind == "repeat":
             try:
                 while True:
+                    self._fuel -= 1
+                    if self._fuel < 0:
+                        raise LuaError(
+                            "instruction budget exhausted (runaway loop?)")
                     scope = _Env(env)  # until sees the body's locals
                     self.exec_block(st[1], scope)
                     if _truthy(self.eval(st[2], scope)):

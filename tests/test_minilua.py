@@ -213,3 +213,26 @@ def test_session_reports_bad_lua_script(tmp_path):
     sess.cmd("f_lens broken")
     assert any("could not load lens" in m for m in sess.console)
     assert not sess.lens_valid or sess.lens_name != "broken"
+
+
+def test_runaway_scripts_are_bounded():
+    """A bad user script must not hang the session (the viewer is
+    single-threaded): the interpreter carries a per-entry instruction
+    budget."""
+    import pytest
+
+    from blinky_tpu.minilua import Interpreter, LuaError
+
+    for src in ("while true do end",
+                "repeat until false",
+                "x = 0\nwhile true do x = x + 1 end",
+                "function f() return f() end\nf()"):
+        it = Interpreter()
+        with pytest.raises((LuaError, RecursionError)):
+            it.run(src)
+    # the budget resets per host call: many small calls never trip it
+    it = Interpreter()
+    it.run("function inc(x) return x + 1 end")
+    fn = it.get_global("inc")
+    for i in range(1000):
+        assert it.call(fn, [i]) == [i + 1]
