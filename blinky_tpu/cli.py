@@ -268,11 +268,13 @@ def cmd_reproject(args) -> int:
         print("error: pcx is palette-indexed; use --format png/ppm/npz "
               "for true-color output (gif quantizes via median cut)")
         return 2
+    from blinky_tpu.kernels.posed import check_render_scale
+
     k = args.pose_scale
-    if k < 1 or args.width % k or args.height % k or (
-            k > 1 and ((args.width // k) % 2 or (args.height // k) % 2)):
-        print(f"error: --pose-scale {k} must divide {args.width}x"
-              f"{args.height} into an even build grid")
+    try:
+        check_render_scale(args.width, args.height, k)
+    except ValueError as e:
+        print(f"error: --pose-scale: {e}")
         return 2
     if k > 1 and poses is None:
         print("--pose-scale applies to --follow-poses only; ignored")
@@ -338,19 +340,12 @@ def cmd_reproject(args) -> int:
                 stack.append(img)
             wrote += 1
     if stack is not None and args.format == "gif":
-        from blinky_tpu.io.gif import encode_gif
+        from blinky_tpu.io.gif import encode_gif, encode_gif_u32
 
         if out_rgba:
             # true-color run: one global median-cut palette over the
-            # whole sequence (palette.quantize_rgb), then the lossless
-            # palettized encoder
-            from blinky_tpu.kernels.remap import unpack_rgb
-            from blinky_tpu.palette import quantize_rgb
-
-            rgb_stack = np.stack([unpack_rgb(s) for s in stack])
-            gpal, gidx = quantize_rgb(rgb_stack)
-            data = encode_gif(np.moveaxis(gidx, 0, -1), gpal,
-                              delay_cs=args.gif_delay)
+            # whole sequence, then the lossless palettized encoder
+            data = encode_gif_u32(stack, delay_cs=args.gif_delay)
         else:
             data = encode_gif(np.stack(stack, axis=-1), sess.palette,
                               delay_cs=args.gif_delay)

@@ -150,12 +150,11 @@ def _lzw_decode(stream: bytes, min_code_size: int, total: int) -> np.ndarray:
 
 def _subblocks(data: bytes) -> bytes:
     """Wrap raw bytes into GIF's <=255-byte sub-block framing."""
-    arr = np.frombuffer(data, dtype=np.uint8)
     out = bytearray()
-    for i in range(0, len(arr), 255):
-        chunk = arr[i:i + 255]
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
         out.append(len(chunk))
-        out += chunk.tobytes()
+        out += chunk
     out.append(0)  # block terminator
     return bytes(out)
 
@@ -206,6 +205,27 @@ def encode_gif(frames, palette: np.ndarray, delay_cs: int = 5,
         out += _subblocks(_lzw_encode(frames[..., b], 8))
     out += b"\x3b"  # trailer
     return bytes(out)
+
+
+def encode_gif_u32(screens, delay_cs: int = 5, loop: int = 0) -> bytes:
+    """Encode packed-RGBA u32 screens as one quantized animated GIF.
+
+    The true-color export bridge used by ``reproject --format gif`` and
+    the viewer's ``/record.gif``: unpacks, builds ONE global median-cut
+    palette over the whole sequence (``palette.quantize_rgb``), then
+    encodes losslessly in palette space.  ``screens``: a list of [H, W]
+    u32 arrays or an [N, H, W] / [H, W, N] u32 array (N inferred from
+    the u32 dtype layout: lists and leading-axis stacks only).
+    """
+    from blinky_tpu.kernels.remap import unpack_rgb
+    from blinky_tpu.palette import quantize_rgb
+
+    if isinstance(screens, (list, tuple)):
+        screens = np.stack([np.asarray(s) for s in screens])
+    screens = np.asarray(screens)
+    pal, idx = quantize_rgb(np.stack([unpack_rgb(s) for s in screens]))
+    return encode_gif(np.moveaxis(idx, 0, -1), pal, delay_cs=delay_cs,
+                      loop=loop)
 
 
 def _read_subblocks(data: bytes, pos: int):

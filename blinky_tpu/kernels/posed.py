@@ -35,6 +35,25 @@ from blinky_tpu.lensmap.builder import TINT_NONE, inverse_grid
 from blinky_tpu.palette import MAX_PLATES
 
 
+def check_render_scale(width_px: int, height_px: int, k: int) -> None:
+    """Validate a render_scale against a screen size (single source of
+    truth for the kernel and the CLI).  Raises ValueError."""
+    if k < 1:
+        raise ValueError("render_scale must be >= 1")
+    if width_px % k or height_px % k:
+        raise ValueError(
+            f"screen {width_px}x{height_px} not divisible by "
+            f"render_scale {k}")
+    if k > 1 and ((width_px // k) % 2 or (height_px // k) % 2):
+        # the every-k-th-ray identity needs k*(W'//2) == W//2, which
+        # fails for odd W'/H' (the builder centers with C int division)
+        # — the k-scaled render would pan ~k/2 px
+        raise ValueError(
+            f"render_scale {k} leaves an odd "
+            f"{width_px // k}x{height_px // k} build grid; "
+            "pick k with even width/k and height/k")
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled_posed_pipeline(lens, globe, width_px, height_px, platesize,
                              expanded, dtype, render_scale=1):
@@ -110,24 +129,7 @@ class PosedRemapKernel:
         self.width_px = int(width_px)
         self.height_px = int(height_px)
         self.render_scale = int(render_scale)
-        if self.render_scale < 1:
-            raise ValueError("render_scale must be >= 1")
-        if (self.width_px % self.render_scale
-                or self.height_px % self.render_scale):
-            raise ValueError(
-                f"screen {self.width_px}x{self.height_px} not divisible by "
-                f"render_scale {self.render_scale}")
-        if self.render_scale > 1 and (
-                (self.width_px // self.render_scale) % 2
-                or (self.height_px // self.render_scale) % 2):
-            # the every-k-th-ray identity needs k*(W'//2) == W//2, which
-            # fails for odd W'/H' (the builder centers with C int
-            # division) — the k-scaled render would pan ~k/2 px
-            raise ValueError(
-                f"render_scale {self.render_scale} leaves an odd "
-                f"{self.width_px // self.render_scale}x"
-                f"{self.height_px // self.render_scale} build grid; "
-                "pick k with even width/k and height/k")
+        check_render_scale(self.width_px, self.height_px, self.render_scale)
         self.platesize = int(platesize) if platesize else min(width_px, height_px)
         self.scale = float(scale)
         self.numcells = float(numcells)

@@ -307,15 +307,10 @@ class Viewer:
         count = n if count is None else max(1, min(int(count), n))
         shots = [self._render_screen((start + k) % n, follow)
                  for k in range(count)]
-        from blinky_tpu.io.gif import encode_gif
+        from blinky_tpu.io.gif import encode_gif, encode_gif_u32
 
         if shots[0].dtype == np.uint32:
-            from blinky_tpu.kernels.remap import unpack_rgb
-            from blinky_tpu.palette import quantize_rgb
-
-            pal, idx = quantize_rgb(np.stack([unpack_rgb(s) for s in shots]))
-            return encode_gif(np.moveaxis(idx, 0, -1), pal,
-                              delay_cs=delay_cs)
+            return encode_gif_u32(shots, delay_cs=delay_cs)
         return encode_gif(np.stack(shots, axis=-1), self.session.palette,
                           delay_cs=delay_cs)
 
