@@ -19,11 +19,14 @@ The builtins reproduce the C<->Lua boundary exactly:
 * lens functions returning nil mean "no pixel"
   (``LUAtoC_lens_inverse/forward``, ``fisheye.c:1545-1628``).
 
-Interpretation is scalar (like the Lua VM); the lens functions are
-vectorized with ``np.vectorize`` for the float64 host builder — the
-``Session`` default static path — so a user's existing ``.lua`` script
-renders end-to-end.  (The jitted f32 pose-playback builder cannot trace
-a scalar interpreter; port hot lenses to a Python module for that.)
+Execution is hybrid: array calls run through the masked vectorized
+evaluator (:mod:`blinky_tpu.lua_vector` — whole-grid math, 25-180x the
+per-pixel walk, bit-equal to the scalar interpreter), falling back to
+the scalar ``np.vectorize`` path for scalar inputs or for the rare
+script construct that needs per-lane control flow (``debug``'s
+numplates tables raise :class:`~blinky_tpu.lua_vector.Unvectorizable`).
+(The jitted f32 pose-playback builder cannot trace the interpreter;
+port hot lenses to a Python module for that.)
 """
 
 from __future__ import annotations
@@ -34,6 +37,8 @@ from pathlib import Path
 import numpy as np
 
 from blinky_tpu import geometry
+from blinky_tpu import xmath as xm
+from blinky_tpu.lua_vector import Unvectorizable, VectorInterpreter
 from blinky_tpu.minilua import Interpreter, LuaError, LuaTable
 
 
@@ -55,15 +60,61 @@ def _scalar_ray_to_latlon(x, y, z):
     return lat, lon
 
 
-def make_lua_builtins(globe=None) -> dict:
-    """The host symbols a script sees (``fisheye.c:254-260,1258-1265``)."""
+def _is_vec(*vs) -> bool:
+    return any(isinstance(v, np.ndarray) and v.ndim > 0 for v in vs)
+
+
+def _f32round(v):
+    """The vec3_t pass-through: double -> float -> double, per element."""
+    return np.asarray(v, np.float64).astype(np.float32).astype(np.float64)
+
+
+def _vector_latlon_to_ray(lat, lon):
+    """Array CtoLUA_latlon_to_ray, elementwise-identical to the scalar
+    one (xmath routes f64 transcendentals through the same glibc libm
+    Python's ``math`` calls)."""
+    if not _is_vec(lat, lon):
+        return _scalar_latlon_to_ray(lat, lon)
+    clat = xm.cos(lat)
+    return (_f32round(xm.sin(lon) * clat), _f32round(xm.sin(lat)),
+            _f32round(xm.cos(lon) * clat))
+
+
+def _vector_ray_to_latlon(x, y, z):
+    if not _is_vec(x, y, z):
+        return _scalar_ray_to_latlon(x, y, z)
+    x32 = np.asarray(x, np.float64).astype(np.float32)
+    y32 = np.asarray(y, np.float64).astype(np.float32)
+    z32 = np.asarray(z, np.float64).astype(np.float32)
+    lon = xm.atan2(x32.astype(np.float64), z32.astype(np.float64))
+    s = x32 * x32 + z32 * z32  # the vec_t (f32) sum of squares
+    lat = xm.atan2(y32.astype(np.float64), xm.sqrt(s.astype(np.float64)))
+    return lat, lon
+
+
+def make_lua_builtins(globe=None, vector=False) -> dict:
+    """The host symbols a script sees (``fisheye.c:254-260,1258-1265``).
+
+    With ``vector=True`` the converters accept arrays (for the
+    vectorized evaluator); scalar calls behave identically either way.
+    """
 
     def plate_to_ray(i, u, v):
         if globe is None:
             return None
-        pi = int(i)
+        if _is_vec(i):
+            raise Unvectorizable("array-valued plate index")
+        pi = int(np.asarray(i)[()] if isinstance(i, np.ndarray) else i)
         if pi < 0 or pi >= globe.numplates:
             return None  # lua_pushnil, fisheye.c:1528-1531
+        if _is_vec(u, v):
+            rx, ry, rz = geometry.plate_uv_to_ray_c(
+                np.asarray(u, np.float64), np.asarray(v, np.float64),
+                globe.forward[pi], globe.right[pi], globe.up[pi],
+                globe.dist[pi], np, np.float32, np.float64,
+            )
+            return (np.asarray(rx, np.float64), np.asarray(ry, np.float64),
+                    np.asarray(rz, np.float64))
         rx, ry, rz = geometry.plate_uv_to_ray_c(
             np.float64(u), np.float64(v),
             globe.forward[pi], globe.right[pi], globe.up[pi],
@@ -72,8 +123,8 @@ def make_lua_builtins(globe=None) -> dict:
         return float(rx), float(ry), float(rz)
 
     out = dict(
-        latlon_to_ray=_scalar_latlon_to_ray,
-        ray_to_latlon=_scalar_ray_to_latlon,
+        latlon_to_ray=_vector_latlon_to_ray if vector else _scalar_latlon_to_ray,
+        ray_to_latlon=_vector_ray_to_latlon if vector else _scalar_ray_to_latlon,
         plate_to_ray=plate_to_ray,
     )
     if globe is not None:
@@ -81,12 +132,34 @@ def make_lua_builtins(globe=None) -> dict:
     return out
 
 
-def _vectorize_inverse(luafn, interp):
+class _ScalarFallback:
+    """Lazily built scalar-interpreter twin of a script (used for
+    scalar inputs and after an :class:`Unvectorizable`)."""
+
+    def __init__(self, path, globe):
+        self.path = Path(path)
+        self.globe = globe
+        self._interp = None
+
+    def get(self, name):
+        if self._interp is None:
+            self._interp = Interpreter(
+                builtins=make_lua_builtins(self.globe))
+            self._interp.run(self.path.read_text())
+        return self._interp.get_global(name)
+
+
+def _vectorize_inverse(luafn, vinterp, fallback):
     """Wrap a Lua ``lens_inverse`` into the array contract
-    ``(x, y) -> (vx, vy, vz, valid)`` with the LUAtoC nil protocol."""
+    ``(x, y) -> (vx, vy, vz, valid)`` with the LUAtoC nil protocol.
+
+    Array inputs go through the masked vectorized evaluator; scalar
+    inputs (and scripts that raise Unvectorizable) use the per-element
+    scalar interpreter."""
+    state = {"vector_ok": True}
 
     def scalar(x, y):
-        out = luafn(float(x), float(y))
+        out = fallback.get("lens_inverse")(float(x), float(y))
         if out is None:
             return 0.0, 0.0, 0.0, False
         if not (isinstance(out, tuple) and len(out) == 3):
@@ -96,15 +169,35 @@ def _vectorize_inverse(luafn, interp):
     vec = np.vectorize(scalar, otypes=[np.float64, np.float64, np.float64, bool])
 
     def inverse(x, y):
-        vx, vy, vz, ok = vec(x, y)
-        return vx, vy, vz, ok
+        X = np.asarray(x, np.float64)
+        Y = np.asarray(y, np.float64)
+        if state["vector_ok"] and (X.ndim or Y.ndim):
+            try:
+                with np.errstate(all="ignore"):
+                    vals, nil = vinterp.vcall(luafn, [X, Y])
+                shape = np.broadcast(X, Y).shape
+                if len(vals) == 0:  # uniformly nil
+                    z = np.zeros(shape)
+                    return z, z, z, np.zeros(shape, bool)
+                if len(vals) != 3:
+                    raise LuaError("lens_inverse must return 3 numbers or nil")
+                ok = (np.ones(shape, bool) if nil is None
+                      else ~np.broadcast_to(nil, shape))
+                return (np.broadcast_to(vals[0], shape),
+                        np.broadcast_to(vals[1], shape),
+                        np.broadcast_to(vals[2], shape), ok)
+            except Unvectorizable:
+                state["vector_ok"] = False  # permanent scalar fallback
+        return vec(x, y)
 
     return inverse
 
 
-def _vectorize_forward(luafn, interp):
+def _vectorize_forward(luafn, vinterp, fallback):
+    state = {"vector_ok": True}
+
     def scalar(x, y, z):
-        out = luafn(float(x), float(y), float(z))
+        out = fallback.get("lens_forward")(float(x), float(y), float(z))
         if out is None:
             return 0.0, 0.0, False
         if not (isinstance(out, tuple) and len(out) == 2):
@@ -114,8 +207,26 @@ def _vectorize_forward(luafn, interp):
     vec = np.vectorize(scalar, otypes=[np.float64, np.float64, bool])
 
     def forward(x, y, z):
-        px, py, ok = vec(x, y, z)
-        return px, py, ok
+        X = np.asarray(x, np.float64)
+        if state["vector_ok"] and X.ndim:
+            try:
+                with np.errstate(all="ignore"):
+                    vals, nil = vinterp.vcall(luafn, [
+                        X, np.asarray(y, np.float64),
+                        np.asarray(z, np.float64)])
+                shape = np.broadcast(X, np.asarray(y), np.asarray(z)).shape
+                if len(vals) == 0:
+                    zz = np.zeros(shape)
+                    return zz, zz, np.zeros(shape, bool)
+                if len(vals) != 2:
+                    raise LuaError("lens_forward must return 2 numbers or nil")
+                ok = (np.ones(shape, bool) if nil is None
+                      else ~np.broadcast_to(nil, shape))
+                return (np.broadcast_to(vals[0], shape),
+                        np.broadcast_to(vals[1], shape), ok)
+            except Unvectorizable:
+                state["vector_ok"] = False
+        return vec(x, y, z)
 
     return forward
 
@@ -125,23 +236,26 @@ def load_lua_lens(path, globe=None):
     from blinky_tpu.lenses import resolve
 
     path = Path(path)
-    interp = Interpreter(builtins=make_lua_builtins(globe))
+    interp = VectorInterpreter(builtins=make_lua_builtins(globe, vector=True))
     interp.run(path.read_text())
+    fallback = _ScalarFallback(path, globe)
 
     spec = {}
     inv = interp.get_global("lens_inverse")
     fwd = interp.get_global("lens_forward")
     if inv is not None:
-        spec["lens_inverse"] = _vectorize_inverse(inv, interp)
+        spec["lens_inverse"] = _vectorize_inverse(inv, interp, fallback)
     if fwd is not None:
-        spec["lens_forward"] = _vectorize_forward(fwd, interp)
-    spec["jittable"] = False  # scalar interpreter: not jax-traceable
+        spec["lens_forward"] = _vectorize_forward(fwd, interp, fallback)
+    spec["jittable"] = False  # the interpreter is not jax-traceable
     for name in ("map", "onload"):
         v = interp.get_global(name)
         if v is not None:
             spec[name] = v
     for name in ("max_fov", "max_vfov", "lens_width", "lens_height"):
         v = interp.get_global(name)
+        if isinstance(v, np.ndarray) and v.ndim == 0:
+            v = float(v)
         if isinstance(v, (int, float)):
             spec[name] = v
     return resolve(path.stem, spec)
@@ -153,7 +267,7 @@ def load_lua_globe(path):
     from blinky_tpu.globes import make_globe
 
     path = Path(path)
-    interp = Interpreter(builtins=make_lua_builtins(None))
+    interp = VectorInterpreter(builtins=make_lua_builtins(None, vector=True))
     interp.run(path.read_text())
 
     plates_t = interp.get_global("plates")
@@ -172,6 +286,8 @@ def load_lua_globe(path):
     resolver = None
     gp = interp.get_global("globe_plate")
     if gp is not None:
+        state = {"vector_ok": True}
+
         def scalar(x, y, z):
             out = gp(float(x), float(y), float(z))
             if out is None or isinstance(out, bool) or not isinstance(out, (int, float)):
@@ -181,7 +297,24 @@ def load_lua_globe(path):
         vec = np.vectorize(scalar, otypes=[np.int32])
 
         def resolver(x, y, z, globe):  # noqa: F811 - the exported resolver
-            return vec(np.asarray(x, np.float64), np.asarray(y, np.float64),
-                       np.asarray(z, np.float64))
+            X = np.asarray(x, np.float64)
+            Y = np.asarray(y, np.float64)
+            Z = np.asarray(z, np.float64)
+            if state["vector_ok"] and (X.ndim or Y.ndim or Z.ndim):
+                try:
+                    with np.errstate(all="ignore"):
+                        vals, nil = interp.vcall(gp, [X, Y, Z])
+                    shape = np.broadcast(X, Y, Z).shape
+                    if len(vals) == 0:
+                        return np.full(shape, -1, np.int32)
+                    v = np.broadcast_to(vals[0], shape)
+                    out = np.trunc(np.where(np.isnan(v), -1, v)).astype(np.int32)
+                    if nil is not None:
+                        out = np.where(np.broadcast_to(nil, shape),
+                                       np.int32(-1), out)
+                    return out
+                except Unvectorizable:
+                    state["vector_ok"] = False
+            return vec(X, Y, Z)
 
     return make_globe(path.stem, plates, plate_resolver=resolver)

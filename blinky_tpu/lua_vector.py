@@ -1,0 +1,673 @@
+"""Vectorized (masked) execution of mini-Lua lens functions.
+
+The scalar interpreter (:mod:`blinky_tpu.minilua`) plays the Lua 5.2
+VM's role faithfully but pays one interpreter walk per pixel — minutes
+for a 1080p exact host build of a ``.lua`` drop-in.  This module runs
+the SAME AST over whole coordinate arrays: straight-line math maps
+elementwise, ``if``/``elseif`` chains with data-dependent conditions
+become masked execution of every arm with ``where``-merged writes, and
+data-dependent loops (``repeat``/``while``/``for``+``break``) become
+dense masked loops that freeze exited lanes — the same
+vectorized-scalar-loop contract the hand-ported lenses use
+(:func:`blinky_tpu.xmath.repeat_until`).
+
+Bit-exactness vs the scalar interpreter: every lane sees the identical
+operation sequence (both branch arms are computed, the untaken one
+discarded by the merge; frozen loop lanes stop updating), float64
+arithmetic is IEEE in both, and transcendentals route through the same
+glibc libm (scalar: Python ``math``; vector: :mod:`blinky_tpu.xmath`'s
+``libm_unary`` routing — NumPy's SIMD float64 kernels drift 1 ulp on a
+few percent of inputs, which is exactly why xmath has that routing).
+The test suite pins vector == scalar over dense grids for every shipped
+script.
+
+Constructs that genuinely need per-lane scalar control (array-valued
+table keys, array loop bounds, array-conditioned table writes — the
+``debug`` lens's numplates tables) raise :class:`Unvectorizable`; the
+bridge then falls back to the scalar ``np.vectorize`` path, so a script
+is never worse off than before.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from blinky_tpu import xmath as xm
+from blinky_tpu.minilua import (
+    Interpreter,
+    LuaError,
+    LuaFunction,
+    LuaTable,
+    _Break,
+    _Env,
+    _Return,
+)
+
+
+class Unvectorizable(Exception):
+    """The script needs per-lane scalar control flow; use the scalar path."""
+
+
+class _AllReturned(Exception):
+    """Every lane of the current call has produced a return value."""
+
+
+class _MaybeNil:
+    """A value that is Lua ``nil`` on some lanes (per-lane nil returns)."""
+
+    __slots__ = ("value", "nil_mask")
+
+    def __init__(self, value, nil_mask):
+        self.value = value
+        self.nil_mask = nil_mask
+
+
+class _Frame:
+    __slots__ = ("done", "nil", "slots", "loops", "entry", "mdepth")
+
+    def __init__(self, entry=None, mdepth=0):
+        self.done = None   # bool array of lanes that returned (None = none)
+        self.nil = None    # bool array of lanes that returned nil
+        self.slots = None  # list of merged return-value arrays
+        self.loops = []
+        self.entry = entry    # caller's mask at call time (the lanes this
+        self.mdepth = mdepth  # call exists for) + mask-stack depth then
+
+
+class _Loop:
+    __slots__ = ("broke",)
+
+    def __init__(self):
+        self.broke = None  # bool array of lanes that hit `break`
+
+
+def _is_arr(v) -> bool:
+    return isinstance(v, np.ndarray) and v.ndim > 0
+
+
+def _truthiness(v):
+    """Lua truthiness -> (uniform: bool, value: bool | bool-array)."""
+    if v is None or v is False:
+        return True, False
+    if v is True:
+        return True, True
+    if isinstance(v, np.ndarray):
+        if v.dtype == bool:
+            if v.ndim == 0:
+                return True, bool(v)
+            return False, v
+        return True, True  # numbers are truthy in Lua, even 0
+    return True, True  # numbers, strings, tables, functions
+
+
+def _as_float(v, what="operand"):
+    if isinstance(v, bool) or v is None or isinstance(v, (str, LuaTable, LuaFunction)):
+        raise LuaError(f"attempt to perform arithmetic on a non-number {what}")
+    if isinstance(v, _MaybeNil):
+        raise Unvectorizable("arithmetic on a maybe-nil value")
+    if isinstance(v, np.ndarray):
+        return v
+    return float(v)
+
+
+def _scalar_key(v):
+    """A table key / loop bound must be lane-independent."""
+    if isinstance(v, np.ndarray):
+        if v.ndim == 0:
+            return float(v)
+        raise Unvectorizable("array-valued table key / bound")
+    return v
+
+
+class VectorInterpreter(Interpreter):
+    """The mini-Lua engine with masked array semantics.
+
+    Scalar inputs behave exactly like the base interpreter (conditions
+    stay concrete, loops run normally); array inputs flow through
+    elementwise with masked control flow.  Use :meth:`vcall` to call a
+    script function on arrays and receive ``(values, nil_mask)``.
+    """
+
+    def __init__(self, builtins=None):
+        super().__init__(builtins=builtins)
+        self._masks: list[np.ndarray] = []
+        self._vframes: list[_Frame] = []
+        self._install_vector_math()
+
+    # ------------------------------------------------------------ stdlib
+    def _install_vector_math(self):
+        """Swap the math table for array-aware versions.  Scalars defer
+        to the ORIGINAL wrappers (bit-identical to the scalar
+        interpreter); arrays go through xmath (libm-routed f64)."""
+        mt = self.globals.vars["math"]
+
+        def lift1(name, xf):
+            orig = mt.get(name)
+
+            def f(x):
+                if _is_arr(x):
+                    with np.errstate(all="ignore"):
+                        return xf(x)
+                return orig(x)
+            return f
+
+        def lift2(name, xf):
+            orig = mt.get(name)
+
+            def f(a, b):
+                if _is_arr(a) or _is_arr(b):
+                    with np.errstate(all="ignore"):
+                        return xf(a, b)
+                return orig(a, b)
+            return f
+
+        def _vlog(x, base=None):
+            if base is not None:
+                raise Unvectorizable("log(x, base) on arrays")
+            with np.errstate(all="ignore"):
+                return xm.log(x)
+
+        def _vmaxmin(red):
+            orig_max, orig_min = mt.get("max"), mt.get("min")
+
+            def f(*a):
+                if any(_is_arr(v) for v in a):
+                    out = a[0]
+                    for v in a[1:]:
+                        out = red(out, v)
+                    return out
+                return (orig_max if red is xm.maximum else orig_min)(*a)
+            return f
+
+        def _vmodf(x):
+            if _is_arr(x):
+                return xm.modf(x)
+            return mt_orig_modf(x)
+
+        mt_orig_modf = mt.get("modf")
+        lifted = {
+            "cos": lift1("cos", xm.cos), "sin": lift1("sin", xm.sin),
+            "tan": lift1("tan", xm.tan), "acos": lift1("acos", xm.acos),
+            "asin": lift1("asin", xm.asin), "atan": lift1("atan", xm.atan),
+            "sinh": lift1("sinh", xm.sinh), "cosh": lift1("cosh", xm.cosh),
+            "tanh": lift1("tanh", xm.tanh), "exp": lift1("exp", xm.exp),
+            "sqrt": lift1("sqrt", xm.sqrt), "abs": lift1("abs", xm.abs),
+            "floor": lift1("floor", xm.floor),
+            "ceil": lift1("ceil", lambda x: np.ceil(x)),
+            "log10": lift1("log10", xm.log10),
+            "atan2": lift2("atan2", xm.atan2),
+            "fmod": lift2("fmod", xm.fmod),
+            "pow": lift2("pow", xm.power),
+            "log": (lambda x, base=None: _vlog(x, base) if _is_arr(x)
+                    else mt_orig_log(x) if base is None else mt_orig_log(x, base)),
+            "max": _vmaxmin(xm.maximum), "min": _vmaxmin(xm.minimum),
+            "modf": _vmodf,
+        }
+        mt_orig_log = mt.get("log")
+        for k, v in lifted.items():
+            mt.set(k, v)
+        # refresh the alias globals (cos = math.cos, ..., init_lua preload)
+        for name in ("cos", "sin", "tan", "asin", "acos", "atan", "atan2",
+                     "sinh", "cosh", "tanh", "log", "log10", "abs", "sqrt",
+                     "exp", "pow"):
+            self.globals.vars[name] = mt.get(name)
+
+    # ------------------------------------------------------------- masks
+    def _eff_mask(self):
+        """The active-lane mask RELATIVE to the current call (None = all).
+
+        A function called under a caller mask executes for its entry
+        lanes only, but its internal uniform-scalar state (ellipj's AGM
+        counters) must not be lane-merged against lanes that don't exist
+        for the call — so only masks pushed SINCE the call entry count,
+        plus this frame's returned/broke lanes.  Writes that escape the
+        call (globals) re-apply the entry mask in :meth:`assign`."""
+        start = self._vframes[-1].mdepth if self._vframes else 0
+        m = None
+        for part in self._masks[start:]:
+            m = part if m is None else (m & part)
+        if self._vframes:
+            fr = self._vframes[-1]
+            if fr.done is not None:
+                nd = ~fr.done
+                m = nd if m is None else (m & nd)
+            for loop in fr.loops:
+                if loop.broke is not None:
+                    nb = ~loop.broke
+                    m = nb if m is None else (m & nb)
+        return m
+
+    @staticmethod
+    def _merge(mask, new, old):
+        """``where(mask, new, old)`` with Lua-value rules."""
+        for v in (new, old):
+            if isinstance(v, (LuaTable, LuaFunction, str, _MaybeNil)):
+                raise Unvectorizable("masked write of a non-numeric value")
+        if old is None:
+            # the variable had no value on the untaken lanes; reads there
+            # only matter under masks that exclude them
+            old = (np.zeros(mask.shape, bool)
+                   if isinstance(new, (bool, np.bool_)) or (
+                       isinstance(new, np.ndarray) and new.dtype == bool)
+                   else np.full(mask.shape, np.nan))
+        return np.where(mask, new, old)
+
+    # -------------------------------------------------------- statements
+    def exec_stmt(self, st, env):
+        self._fuel -= 1
+        if self._fuel < 0:
+            raise LuaError("instruction budget exhausted (runaway loop?)")
+        kind = st[0]
+        if kind == "if":
+            return self._exec_if(st, env)
+        if kind == "while":
+            return self._exec_while(st, env)
+        if kind == "repeat":
+            return self._exec_repeat(st, env)
+        if kind == "fornum":
+            return self._exec_fornum(st, env)
+        if kind == "return":
+            return self._exec_return(st, env)
+        if kind == "break":
+            return self._exec_break()
+        self._fuel += 1  # the base class decrements again
+        return super().exec_stmt(st, env)
+
+    def _exec_if(self, st, env):
+        taken = None
+        for cond, body in st[1]:
+            with np.errstate(all="ignore"):
+                c = self.eval(cond, env)
+            uni, cv = _truthiness(c)
+            if taken is None and uni:
+                if cv:
+                    self.exec_block(body, _Env(env))
+                    return
+                continue
+            # array-masked chain
+            if uni:
+                cm = np.full(taken.shape, bool(cv))
+            else:
+                cm = cv
+            arm = cm if taken is None else (cm & ~taken)
+            taken = cm if taken is None else (taken | cm)
+            if arm.any():
+                self._masks.append(arm)
+                try:
+                    self.exec_block(body, _Env(env))
+                finally:
+                    self._masks.pop()
+        if st[2] is not None:
+            if taken is None:
+                self.exec_block(st[2], _Env(env))
+            else:
+                rest = ~taken
+                if rest.any():
+                    self._masks.append(rest)
+                    try:
+                        self.exec_block(st[2], _Env(env))
+                    finally:
+                        self._masks.pop()
+
+    def _exec_while(self, st, env):
+        fr = self._vframes[-1] if self._vframes else None
+        loop = _Loop()
+        if fr is not None:
+            fr.loops.append(loop)
+        active = None  # extra mask accumulated from array conditions
+        try:
+            while True:
+                self._fuel -= 1
+                if self._fuel < 0:
+                    raise LuaError(
+                        "instruction budget exhausted (runaway loop?)")
+                with np.errstate(all="ignore"):
+                    c = self.eval(st[1], env)
+                uni, cv = _truthiness(c)
+                if uni and active is None:
+                    if not cv:
+                        break
+                    self.exec_block(st[2], _Env(env))
+                    continue
+                cm = np.full(active.shape, bool(cv)) if uni else cv
+                active = cm if active is None else (active & cm)
+                work = active
+                m = self._eff_mask()
+                if m is not None:
+                    work = work & m
+                if not work.any():
+                    break
+                self._masks.append(active)
+                try:
+                    self.exec_block(st[2], _Env(env))
+                finally:
+                    self._masks.pop()
+        except _Break:
+            pass
+        finally:
+            if fr is not None:
+                fr.loops.remove(loop)
+
+    def _exec_repeat(self, st, env):
+        fr = self._vframes[-1] if self._vframes else None
+        loop = _Loop()
+        if fr is not None:
+            fr.loops.append(loop)
+        active = None
+        try:
+            while True:
+                self._fuel -= 1
+                if self._fuel < 0:
+                    raise LuaError(
+                        "instruction budget exhausted (runaway loop?)")
+                scope = _Env(env)  # until sees the body's locals
+                if active is not None:
+                    self._masks.append(active)
+                try:
+                    self.exec_block(st[1], scope)
+                    with np.errstate(all="ignore"):
+                        c = self.eval(st[2], scope)
+                finally:
+                    if active is not None:
+                        self._masks.pop()
+                uni, cv = _truthiness(c)
+                if uni and active is None:
+                    if cv:
+                        break
+                    continue
+                cm = np.full(active.shape, bool(cv)) if uni else cv
+                active = (~cm) if active is None else (active & ~cm)
+                work = active
+                m = self._eff_mask()
+                if m is not None:
+                    work = work & m
+                if not work.any():
+                    break
+        except _Break:
+            pass
+        finally:
+            if fr is not None:
+                fr.loops.remove(loop)
+
+    def _exec_fornum(self, st, env):
+        start = _scalar_key(_as_float(self.eval(st[2], env)))
+        stop = _scalar_key(_as_float(self.eval(st[3], env)))
+        step = (_scalar_key(_as_float(self.eval(st[4], env)))
+                if st[4] is not None else 1.0)
+        if not all(isinstance(v, float) for v in (start, stop, step)):
+            raise Unvectorizable("array-valued for bounds")
+        if step == 0:
+            raise LuaError("'for' step is zero")
+        fr = self._vframes[-1] if self._vframes else None
+        loop = _Loop()
+        if fr is not None:
+            fr.loops.append(loop)
+        v = start
+        try:
+            while (v <= stop) if step > 0 else (v >= stop):
+                scope = _Env(env)
+                scope.vars[st[1]] = v
+                self.exec_block(st[5], scope)
+                m = self._eff_mask()
+                if m is not None and not m.any():
+                    break  # every lane broke or returned
+                v += step
+        except _Break:
+            pass
+        finally:
+            if fr is not None:
+                fr.loops.remove(loop)
+
+    def _exec_break(self):
+        m = self._eff_mask()
+        fr = self._vframes[-1] if self._vframes else None
+        if m is None or fr is None or not fr.loops:
+            raise _Break()
+        loop = fr.loops[-1]
+        loop.broke = m if loop.broke is None else (loop.broke | m)
+
+    def _exec_return(self, st, env):
+        with np.errstate(all="ignore"):
+            vals = self.eval_list(st[1], env, want=None)
+        m = self._eff_mask()
+        fr = self._vframes[-1] if self._vframes else None
+        if fr is None:
+            raise _Return(vals)
+        if fr.done is None and len(self._masks) == fr.mdepth and not any(
+                loop.broke is not None for loop in fr.loops):
+            # no masking introduced INSIDE this call: a plain return of
+            # the whole call's lanes, exactly like the scalar engine
+            raise _Return(vals)
+        # masked (or final) return: merge into the frame
+        if m is not None:
+            shape = m.shape
+        elif fr.done is not None:
+            shape = fr.done.shape
+        else:
+            shape = fr.entry.shape
+        newly = np.ones(shape, bool) if m is None else m.copy()
+        if fr.done is not None:
+            newly &= ~fr.done
+        is_nil = (len(vals) == 0 or (len(vals) == 1 and vals[0] is None))
+        if is_nil:
+            fr.nil = newly if fr.nil is None else (fr.nil | newly)
+        else:
+            incoming_nil = None
+            merged = []
+            for v in vals:
+                if isinstance(v, _MaybeNil):
+                    incoming_nil = v.nil_mask if incoming_nil is None else (
+                        incoming_nil | v.nil_mask)
+                    v = v.value
+                if v is None or isinstance(v, (LuaTable, LuaFunction, str)):
+                    raise Unvectorizable("masked return of a non-number")
+                merged.append(v)
+            val_lanes = newly
+            if incoming_nil is not None:
+                nil_new = newly & incoming_nil
+                if nil_new.any():
+                    fr.nil = nil_new if fr.nil is None else (fr.nil | nil_new)
+                val_lanes = newly & ~incoming_nil
+            if fr.slots is None:
+                fr.slots = [np.where(val_lanes, v, np.nan) for v in merged]
+            else:
+                if len(merged) != len(fr.slots):
+                    raise Unvectorizable("masked returns with mixed arity")
+                fr.slots = [np.where(val_lanes, v, old)
+                            for v, old in zip(merged, fr.slots)]
+        fr.done = newly if fr.done is None else (fr.done | newly)
+        remaining = ~fr.done
+        if fr.entry is not None:
+            remaining = remaining & fr.entry
+        if not remaining.any():
+            raise _AllReturned()
+
+    # -------------------------------------------------------- assignment
+    def assign(self, tgt, val, env):
+        m = self._eff_mask()
+        if m is None:
+            # a GLOBAL write from inside a masked call still escapes the
+            # call: apply the entry mask even with no internal masks
+            if (tgt[0] == "name" and self._vframes
+                    and self._vframes[-1].entry is not None):
+                scope = env.lookup(tgt[1])
+                if scope is None or scope.parent is None:
+                    entry = self._vframes[-1].entry
+                    old = None if scope is None else scope.vars[tgt[1]]
+                    (scope or env.root()).vars[tgt[1]] = self._merge(
+                        entry, val, old)
+                    return
+            return super().assign(tgt, val, env)
+        if tgt[0] == "index":
+            # masked table writes: a lane-uniform value (quincuncial's
+            # scalar AGM tables inside a masked arm) or a fresh slot can
+            # be written plainly — the inactive lanes either see the same
+            # value or never had one; merging a lane-array over an
+            # existing slot value is the only case that needs the mask
+            t = self.eval(tgt[1], env)
+            if not isinstance(t, LuaTable):
+                raise LuaError("attempt to index a non-table value")
+            key = _scalar_key(self.eval(tgt[2], env))
+            old = t.get(key)
+            if not _is_arr(val) or old is None:
+                t.set(key, val)
+            else:
+                t.set(key, self._merge(m, val, old))
+            return
+        if tgt[0] != "name":
+            raise Unvectorizable(f"masked write to {tgt[0]}")
+        scope = env.lookup(tgt[1])
+        if scope is None:
+            scope = env.root()
+            old = None
+        else:
+            old = scope.vars[tgt[1]]
+        if scope.parent is None and self._vframes:
+            # a GLOBAL write escapes the call: lanes outside the call's
+            # entry mask must keep their old value
+            entry = self._vframes[-1].entry
+            if entry is not None:
+                m = m & entry
+        scope.vars[tgt[1]] = self._merge(m, val, old)
+
+    # -------------------------------------------------------- call/frames
+    def call(self, fn, args):
+        if not isinstance(fn, LuaFunction):
+            return super().call(fn, args)
+        fr = _Frame(entry=self._eff_mask(), mdepth=len(self._masks))
+        self._vframes.append(fr)
+        env = _Env(fn.env)
+        for i, p in enumerate(fn.params):
+            env.vars[p] = args[i] if i < len(args) else None
+        self._depth += 1
+        if self._depth == 1:
+            self._fuel = self.FUEL
+        try:
+            self.exec_block(fn.body, env)
+        except _Return as r:
+            return r.vals
+        except _AllReturned:
+            pass
+        finally:
+            self._depth -= 1
+            self._vframes.pop()
+        if fr.done is None:
+            return []  # fell off the end: no values
+        never = ~fr.done
+        nil = never if fr.nil is None else (fr.nil | never)
+        if fr.entry is not None:
+            # lanes outside the call's entry mask don't exist for this
+            # call; the caller's masked merge discards them anyway
+            nil = nil & fr.entry
+        if fr.slots is None:
+            return [None]  # only nil returns
+        if not nil.any():
+            return list(fr.slots)
+        return [_MaybeNil(v, nil) for v in fr.slots]
+
+    def vcall(self, fn, args):
+        """Call a script function on array arguments.
+
+        Returns ``(values, nil_mask)``: the merged return-value arrays and
+        a bool array marking lanes that returned nil (None if no lane
+        did)."""
+        vals = self.call(fn, list(args))
+        if len(vals) == 1 and vals[0] is None:
+            return [], np.ones(np.broadcast(*[np.asarray(a) for a in args]).shape, bool) \
+                if args else ([], None)
+        nil = None
+        out = []
+        for v in vals:
+            if isinstance(v, _MaybeNil):
+                nil = v.nil_mask if nil is None else (nil | v.nil_mask)
+                out.append(v.value)
+            else:
+                out.append(v)
+        return out, nil
+
+    # -------------------------------------------------------- expressions
+    def eval(self, e, env):
+        kind = e[0]
+        if kind == "index":
+            t = self.eval(e[1], env)
+            if not isinstance(t, LuaTable):
+                raise LuaError(f"attempt to index a non-table value ({e[1]})")
+            return t.get(_scalar_key(self.eval(e[2], env)))
+        if kind == "unop":
+            if e[1] == "not":
+                uni, cv = _truthiness(self.eval(e[2], env))
+                return (not cv) if uni else ~cv
+            if e[1] == "-":
+                v = _as_float(self.eval(e[2], env))
+                with np.errstate(all="ignore"):
+                    return -v
+        if kind == "binop":
+            op = e[1]
+            if op in ("and", "or"):
+                left = self.eval(e[2], env)
+                uni, lv = _truthiness(left)
+                if uni:
+                    if op == "and":
+                        return self.eval(e[3], env) if lv else left
+                    return left if lv else self.eval(e[3], env)
+                with np.errstate(all="ignore"):
+                    right = self.eval(e[3], env)
+                # left is a bool array: select per lane (both sides were
+                # evaluated; any untaken-lane domain error is a NaN the
+                # selection discards, same as a masked-if arm)
+                for v in (left, right):
+                    if v is None or isinstance(v, (str, LuaTable,
+                                                   LuaFunction, _MaybeNil)):
+                        raise Unvectorizable(
+                            "and/or selecting a non-numeric lane value")
+                if op == "and":
+                    return np.where(lv, right, left)
+                return np.where(lv, left, right)
+            if op in ("==", "~=", "<", ">", "<=", ">=", "+", "-", "*", "/",
+                      "%", "^", ".."):
+                with np.errstate(all="ignore"):
+                    a = self.eval(e[2], env)
+                    b = self.eval(e[3], env)
+                    return self._binop(op, a, b)
+        return super().eval(e, env)
+
+    def _binop(self, op, a, b):
+        arr = _is_arr(a) or _is_arr(b)
+        if not arr:
+            # scalar fast path: identical to the base interpreter
+            return super().eval(("binop", op, ("const", a), ("const", b)),
+                                self.globals)
+        if op == "==" or op == "~=":
+            if a is None or b is None or isinstance(a, bool) or isinstance(b, bool):
+                eq = a is b if (isinstance(a, bool) or isinstance(b, bool)) \
+                    else (a is None and b is None)
+                return eq if op == "==" else not eq
+            eq = _as_float(a) == _as_float(b)
+            return eq if op == "==" else ~eq
+        if op == "..":
+            raise Unvectorizable("string concat on arrays")
+        a = _as_float(a)
+        b = _as_float(b)
+        if op == "<":
+            return a < b
+        if op == ">":
+            return a > b
+        if op == "<=":
+            return a <= b
+        if op == ">=":
+            return a >= b
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            return a / b  # IEEE inf/nan, matching the scalar branch
+        if op == "%":
+            return a - np.floor(a / b) * b  # Lua %, same formula as scalar
+        if op == "^":
+            return xm.power(a, b)  # glibc pow (C domain errors -> nan)
+        raise LuaError(f"cannot evaluate binop {op}")

@@ -1,0 +1,177 @@
+"""The vectorized masked Lua evaluator (`blinky_tpu/lua_vector.py`)
+vs the scalar interpreter: bit-equality over dense grids for every
+shipped script, plus the masked-control-flow machinery in isolation."""
+
+import numpy as np
+import pytest
+
+from blinky_tpu.lua_bridge import make_lua_builtins
+from blinky_tpu.lua_vector import Unvectorizable, VectorInterpreter
+from blinky_tpu.minilua import Interpreter
+
+LENS_DIR = "/root/reference/game/lua-scripts/lenses"
+GLOBE_DIR = "/root/reference/game/lua-scripts/globes"
+
+INVERSE_LENSES = [
+    "panini", "stereographic", "rectilinear", "fisheye1", "fisheye2",
+    "equirect", "mercator", "miller", "cylinder", "hammer", "gumby",
+    "fahey", "gallstereo", "cube", "cubestereo", "mollweide", "eckert4",
+    "winkeltripel", "vandergrinten", "quincuncial",
+]
+
+
+def _load(name, vector):
+    src = open(f"{LENS_DIR}/{name}.lua").read()
+    if vector:
+        it = VectorInterpreter(builtins=make_lua_builtins(None, vector=True))
+    else:
+        it = Interpreter(builtins=make_lua_builtins(None))
+    it.run(src)
+    return it
+
+
+@pytest.mark.parametrize("name", INVERSE_LENSES)
+def test_vector_inverse_bitequal_scalar(name):
+    """vcall over a grid == one scalar interpreter walk per point,
+    bit-for-bit (same op sequence per lane; same glibc libm)."""
+    vi = _load(name, vector=True)
+    si = _load(name, vector=False)
+    inv_v = vi.get_global("lens_inverse")
+    inv_s = si.get_global("lens_inverse")
+    w = float(np.asarray(vi.get_global("lens_width") or 6.0))
+    h = float(np.asarray(vi.get_global("lens_height") or 6.0))
+    rng = np.random.default_rng(hash(name) % 2**32)
+    N = 400
+    X = rng.uniform(-0.7 * w, 0.7 * w, N)  # beyond bounds: nil lanes too
+    Y = rng.uniform(-0.7 * h, 0.7 * h, N)
+    with np.errstate(all="ignore"):
+        vals, nil = vi.vcall(inv_v, [X, Y])
+    for i in range(N):
+        sv = si.call(inv_s, [float(X[i]), float(Y[i])])
+        s_nil = len(sv) == 0 or sv[0] is None
+        v_nil = bool(nil[i]) if nil is not None else len(vals) == 0
+        assert s_nil == v_nil, (name, i, X[i], Y[i])
+        if not s_nil:
+            for j, s in enumerate(sv):
+                a, b = float(s), float(vals[j][i])
+                assert a == b or (np.isnan(a) and np.isnan(b)), \
+                    (name, i, j, a, b)
+
+
+def test_vector_globe_resolver_bitequal():
+    """fast.lua's globe_plate (per-lane nil + masked ifs) vectorizes."""
+    src = open(f"{GLOBE_DIR}/fast.lua").read()
+    vi = VectorInterpreter(builtins=make_lua_builtins(None, vector=True))
+    vi.run(src)
+    si = Interpreter(builtins=make_lua_builtins(None))
+    si.run(src)
+    gp_v, gp_s = vi.get_global("globe_plate"), si.get_global("globe_plate")
+    rng = np.random.default_rng(5)
+    X, Y, Z = (rng.uniform(-1, 1, 500) for _ in range(3))
+    vals, nil = vi.vcall(gp_v, [X, Y, Z])
+    for i in range(500):
+        sv = si.call(gp_s, [float(X[i]), float(Y[i]), float(Z[i])])
+        s_nil = len(sv) == 0 or sv[0] is None
+        v_nil = bool(nil[i]) if nil is not None else len(vals) == 0
+        assert s_nil == v_nil
+        if not s_nil:
+            assert float(sv[0]) == float(vals[0][i])
+
+
+def test_masked_control_flow_primitives():
+    """The machinery in isolation: masked if/elseif, masked loop with
+    break, per-lane nil, nested calls under masks."""
+    src = """
+function f(x)
+  if x > 2 then
+    return 100 + x
+  elseif x > 0 then
+    local acc = x
+    for i = 1, 10 do
+      acc = acc + 1
+      if acc > 4 then break end
+    end
+    return acc
+  elseif x > -2 then
+    return nil
+  end
+  return helper(x)
+end
+function helper(v)
+  local t = v
+  repeat
+    t = t + 1
+  until t >= 0
+  return t * 10
+end
+"""
+    vi = VectorInterpreter()
+    vi.run(src)
+    si = Interpreter()
+    si.run(src)
+    f_v, f_s = vi.get_global("f"), si.get_global("f")
+    X = np.linspace(-5.5, 5.5, 111)
+    vals, nil = vi.vcall(f_v, [X])
+    for i, x in enumerate(X):
+        sv = si.call(f_s, [float(x)])
+        s_nil = len(sv) == 0 or sv[0] is None
+        assert s_nil == bool(nil[i] if nil is not None else False), x
+        if not s_nil:
+            assert float(sv[0]) == float(vals[0][i]), (x, sv, vals[0][i])
+
+
+def test_unvectorizable_constructs_raise():
+    vi = VectorInterpreter()
+    vi.run("""
+t = {1, 2, 3}
+function g(x)
+  return t[x]      -- array-valued table key
+end
+""")
+    with pytest.raises(Unvectorizable):
+        vi.vcall(vi.get_global("g"), [np.array([1.0, 2.0])])
+
+
+def test_bridge_falls_back_to_scalar(tmp_path):
+    """A lens whose body is unvectorizable still loads and renders via
+    the scalar path (the `debug` lens pattern)."""
+    p = tmp_path / "tricky.lua"
+    p.write_text("""
+lut = {2, 4, 8}
+lens_width = 2
+lens_height = 2
+onload = "f_contain"
+function lens_inverse(x, y)
+  local k
+  if x < -0.3 then k = 1 elseif x < 0.3 then k = 2 else k = 3 end
+  local s = lut[k]      -- k is lane-varying: unvectorizable
+  return x * s, y * s, 1.0
+end
+""")
+    from blinky_tpu.lua_bridge import load_lua_lens
+
+    lens = load_lua_lens(p)
+    X = np.linspace(-0.9, 0.9, 64)
+    Y = np.zeros(64)
+    vx, vy, vz, ok = lens.inverse(X, Y)
+    assert ok.all()
+    expect = np.where(X < -0.3, 2.0, np.where(X < 0.3, 4.0, 8.0))
+    np.testing.assert_array_equal(np.asarray(vx), X * expect)
+
+
+def test_vector_path_is_actually_used():
+    """The bridge's array calls go through the vectorized evaluator, not
+    2 M scalar walks: a grid call must be far faster than per-pixel."""
+    import time
+
+    from blinky_tpu.lua_bridge import load_lua_lens
+
+    lens = load_lua_lens(f"{LENS_DIR}/winkeltripel.lua")
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-2, 2, 20000)
+    Y = rng.uniform(-1.4, 1.4, 20000)
+    t0 = time.time()
+    vx, vy, vz, ok = lens.inverse(X, Y)
+    dt = time.time() - t0
+    assert dt < 2.0, f"vectorized path not taken ({dt:.1f}s for 20k points)"
+    assert np.asarray(ok).any()
