@@ -134,10 +134,13 @@ def make_lua_builtins(globe=None, vector=False) -> dict:
 
 class _ScalarFallback:
     """Lazily built scalar-interpreter twin of a script (used for
-    scalar inputs and after an :class:`Unvectorizable`)."""
+    scalar inputs and after an :class:`Unvectorizable`).  Captures the
+    SOURCE at load time: the file may be edited or deleted before the
+    fallback first engages, and a fresh interpreter guarantees globals
+    half-mutated by an aborted vectorized run never leak in."""
 
-    def __init__(self, path, globe):
-        self.path = Path(path)
+    def __init__(self, src, globe):
+        self.src = src
         self.globe = globe
         self._interp = None
 
@@ -145,7 +148,7 @@ class _ScalarFallback:
         if self._interp is None:
             self._interp = Interpreter(
                 builtins=make_lua_builtins(self.globe))
-            self._interp.run(self.path.read_text())
+            self._interp.run(self.src)
         return self._interp.get_global(name)
 
 
@@ -186,7 +189,9 @@ def _vectorize_inverse(luafn, vinterp, fallback):
                 return (np.broadcast_to(vals[0], shape),
                         np.broadcast_to(vals[1], shape),
                         np.broadcast_to(vals[2], shape), ok)
-            except Unvectorizable:
+            except (Unvectorizable, TypeError):
+                # TypeError: an array reached a scalar-only builtin —
+                # same verdict as Unvectorizable, use the scalar walk
                 state["vector_ok"] = False  # permanent scalar fallback
         return vec(x, y)
 
@@ -208,7 +213,8 @@ def _vectorize_forward(luafn, vinterp, fallback):
 
     def forward(x, y, z):
         X = np.asarray(x, np.float64)
-        if state["vector_ok"] and X.ndim:
+        if state["vector_ok"] and (X.ndim or np.asarray(y).ndim
+                                   or np.asarray(z).ndim):
             try:
                 with np.errstate(all="ignore"):
                     vals, nil = vinterp.vcall(luafn, [
@@ -224,7 +230,7 @@ def _vectorize_forward(luafn, vinterp, fallback):
                       else ~np.broadcast_to(nil, shape))
                 return (np.broadcast_to(vals[0], shape),
                         np.broadcast_to(vals[1], shape), ok)
-            except Unvectorizable:
+            except (Unvectorizable, TypeError):
                 state["vector_ok"] = False
         return vec(x, y, z)
 
@@ -236,9 +242,10 @@ def load_lua_lens(path, globe=None):
     from blinky_tpu.lenses import resolve
 
     path = Path(path)
+    src = path.read_text()
     interp = VectorInterpreter(builtins=make_lua_builtins(globe, vector=True))
-    interp.run(path.read_text())
-    fallback = _ScalarFallback(path, globe)
+    interp.run(src)
+    fallback = _ScalarFallback(src, globe)
 
     spec = {}
     inv = interp.get_global("lens_inverse")
@@ -267,8 +274,9 @@ def load_lua_globe(path):
     from blinky_tpu.globes import make_globe
 
     path = Path(path)
+    src = path.read_text()
     interp = VectorInterpreter(builtins=make_lua_builtins(None, vector=True))
-    interp.run(path.read_text())
+    interp.run(src)
 
     plates_t = interp.get_global("plates")
     if not isinstance(plates_t, LuaTable):
@@ -287,9 +295,11 @@ def load_lua_globe(path):
     gp = interp.get_global("globe_plate")
     if gp is not None:
         state = {"vector_ok": True}
+        fallback = _ScalarFallback(src, None)  # fresh interpreter: an
+        # aborted vectorized run must not leak half-merged globals
 
         def scalar(x, y, z):
-            out = gp(float(x), float(y), float(z))
+            out = fallback.get("globe_plate")(float(x), float(y), float(z))
             if out is None or isinstance(out, bool) or not isinstance(out, (int, float)):
                 return -1  # non-number -> no plate (fisheye.c:1645-1649)
             return int(out)
@@ -313,7 +323,7 @@ def load_lua_globe(path):
                         out = np.where(np.broadcast_to(nil, shape),
                                        np.int32(-1), out)
                     return out
-                except Unvectorizable:
+                except (Unvectorizable, TypeError):
                     state["vector_ok"] = False
             return vec(X, Y, Z)
 

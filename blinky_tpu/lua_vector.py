@@ -55,13 +55,27 @@ class _AllReturned(Exception):
 
 
 class _MaybeNil:
-    """A value that is Lua ``nil`` on some lanes (per-lane nil returns)."""
+    """A value that is Lua ``nil`` on some lanes.
+
+    Two sources, one representation: a helper's per-lane nil RETURNS,
+    and a variable assigned only in SOME masked arms (its unassigned
+    lanes are nil, exactly as in Lua).  Arithmetic propagates the nil
+    lanes when they are outside the active mask (their garbage is
+    discarded by later merges) and raises :class:`Unvectorizable` when
+    an active lane would actually touch nil — the scalar path then
+    reproduces Lua's real behavior (error or nil handling)."""
 
     __slots__ = ("value", "nil_mask")
 
     def __init__(self, value, nil_mask):
         self.value = value
         self.nil_mask = nil_mask
+
+    @staticmethod
+    def wrap(value, nil_mask):
+        if nil_mask is None or not nil_mask.any():
+            return value
+        return _MaybeNil(value, nil_mask)
 
 
 class _Frame:
@@ -114,6 +128,8 @@ def _as_float(v, what="operand"):
 
 def _scalar_key(v):
     """A table key / loop bound must be lane-independent."""
+    if isinstance(v, _MaybeNil):
+        raise Unvectorizable("maybe-nil table key / bound")
     if isinstance(v, np.ndarray):
         if v.ndim == 0:
             return float(v)
@@ -169,16 +185,20 @@ class VectorInterpreter(Interpreter):
             with np.errstate(all="ignore"):
                 return xm.log(x)
 
-        def _vmaxmin(red):
+        def _vmaxmin(greater):
             orig_max, orig_min = mt.get("max"), mt.get("min")
 
             def f(*a):
                 if any(_is_arr(v) for v in a):
-                    out = a[0]
+                    # Python's max/min keep the incumbent unless the
+                    # challenger compares strictly (NaN comparisons are
+                    # False) — fold the same way, don't propagate NaN
+                    out = np.asarray(a[0], np.float64)
                     for v in a[1:]:
-                        out = red(out, v)
+                        out = np.where(np.greater(v, out) if greater
+                                       else np.less(v, out), v, out)
                     return out
-                return (orig_max if red is xm.maximum else orig_min)(*a)
+                return (orig_max if greater else orig_min)(*a)
             return f
 
         def _vmodf(x):
@@ -202,7 +222,9 @@ class VectorInterpreter(Interpreter):
             "pow": lift2("pow", xm.power),
             "log": (lambda x, base=None: _vlog(x, base) if _is_arr(x)
                     else mt_orig_log(x) if base is None else mt_orig_log(x, base)),
-            "max": _vmaxmin(xm.maximum), "min": _vmaxmin(xm.minimum),
+            "max": _vmaxmin(True), "min": _vmaxmin(False),
+            "rad": lift1("rad", np.radians),
+            "deg": lift1("deg", np.degrees),
             "modf": _vmodf,
         }
         mt_orig_log = mt.get("log")
@@ -241,18 +263,33 @@ class VectorInterpreter(Interpreter):
 
     @staticmethod
     def _merge(mask, new, old):
-        """``where(mask, new, old)`` with Lua-value rules."""
+        """``where(mask, new, old)`` with Lua-value rules, tracking
+        per-lane nil (unassigned lanes) through :class:`_MaybeNil`."""
+        new_nil = None
+        if isinstance(new, _MaybeNil):
+            new_nil = new.nil_mask
+            new = new.value
+        old_nil = None
+        if isinstance(old, _MaybeNil):
+            old_nil = old.nil_mask
+            old = old.value
         for v in (new, old):
-            if isinstance(v, (LuaTable, LuaFunction, str, _MaybeNil)):
+            if isinstance(v, (LuaTable, LuaFunction, str)):
                 raise Unvectorizable("masked write of a non-numeric value")
         if old is None:
-            # the variable had no value on the untaken lanes; reads there
-            # only matter under masks that exclude them
+            # the variable had no value on the untaken lanes: those lanes
+            # are nil, exactly as in Lua
+            old_nil = np.ones(mask.shape, bool)
             old = (np.zeros(mask.shape, bool)
                    if isinstance(new, (bool, np.bool_)) or (
                        isinstance(new, np.ndarray) and new.dtype == bool)
                    else np.full(mask.shape, np.nan))
-        return np.where(mask, new, old)
+        nil = None
+        if new_nil is not None or old_nil is not None:
+            nn = new_nil if new_nil is not None else np.zeros(mask.shape, bool)
+            on = old_nil if old_nil is not None else np.zeros(mask.shape, bool)
+            nil = np.where(mask, nn, on)
+        return _MaybeNil.wrap(np.where(mask, new, old), nil)
 
     # -------------------------------------------------------- statements
     def exec_stmt(self, st, env):
@@ -280,7 +317,7 @@ class VectorInterpreter(Interpreter):
         for cond, body in st[1]:
             with np.errstate(all="ignore"):
                 c = self.eval(cond, env)
-            uni, cv = _truthiness(c)
+            uni, cv = self._truthy_ctx(c)
             if taken is None and uni:
                 if cv:
                     self.exec_block(body, _Env(env))
@@ -325,7 +362,7 @@ class VectorInterpreter(Interpreter):
                         "instruction budget exhausted (runaway loop?)")
                 with np.errstate(all="ignore"):
                     c = self.eval(st[1], env)
-                uni, cv = _truthiness(c)
+                uni, cv = self._truthy_ctx(c)
                 if uni and active is None:
                     if not cv:
                         break
@@ -372,7 +409,7 @@ class VectorInterpreter(Interpreter):
                 finally:
                     if active is not None:
                         self._masks.pop()
-                uni, cv = _truthiness(c)
+                uni, cv = self._truthy_ctx(c)
                 if uni and active is None:
                     if cv:
                         break
@@ -510,11 +547,10 @@ class VectorInterpreter(Interpreter):
             if not isinstance(t, LuaTable):
                 raise LuaError("attempt to index a non-table value")
             key = _scalar_key(self.eval(tgt[2], env))
-            old = t.get(key)
-            if not _is_arr(val) or old is None:
-                t.set(key, val)
-            else:
-                t.set(key, self._merge(m, val, old))
+            # merge with the old slot value; a fresh slot tracks the
+            # out-of-mask lanes as per-lane nil (read later -> handled
+            # or Unvectorizable, never silently wrong)
+            t.set(key, self._merge(m, val, t.get(key)))
             return
         if tgt[0] != "name":
             raise Unvectorizable(f"masked write to {tgt[0]}")
@@ -535,8 +571,25 @@ class VectorInterpreter(Interpreter):
     # -------------------------------------------------------- call/frames
     def call(self, fn, args):
         if not isinstance(fn, LuaFunction):
+            if any(isinstance(a, _MaybeNil) for a in args):
+                # host builtins take plain values: unwrap (active lanes
+                # must be non-nil) and re-attach the nil lanes to the
+                # numeric results
+                nil = None
+                plain = []
+                for a in args:
+                    v, n = self._unwrap_arith(a) if isinstance(
+                        a, _MaybeNil) else (a, None)
+                    if n is not None:
+                        nil = n if nil is None else (nil | n)
+                    plain.append(v)
+                out = super().call(fn, plain)
+                return [_MaybeNil.wrap(v, nil)
+                        if isinstance(v, (np.ndarray, float, int))
+                        and not isinstance(v, bool) else v
+                        for v in out]
             return super().call(fn, args)
-        fr = _Frame(entry=self._eff_mask(), mdepth=len(self._masks))
+        fr = _Frame(entry=self._active_lanes(), mdepth=len(self._masks))
         self._vframes.append(fr)
         env = _Env(fn.env)
         for i, p in enumerate(fn.params):
@@ -575,8 +628,10 @@ class VectorInterpreter(Interpreter):
         did)."""
         vals = self.call(fn, list(args))
         if len(vals) == 1 and vals[0] is None:
-            return [], np.ones(np.broadcast(*[np.asarray(a) for a in args]).shape, bool) \
-                if args else ([], None)
+            if not args:
+                return [], None
+            shape = np.broadcast(*[np.asarray(a) for a in args]).shape
+            return [], np.ones(shape, bool)
         nil = None
         out = []
         for v in vals:
@@ -588,6 +643,39 @@ class VectorInterpreter(Interpreter):
         return out, nil
 
     # -------------------------------------------------------- expressions
+    def _active_lanes(self):
+        """The lanes actually executing right now: the relative eff mask
+        intersected with the current call's entry mask (a callee runs
+        only for its caller's lanes)."""
+        m = self._eff_mask()
+        if self._vframes and self._vframes[-1].entry is not None:
+            entry = self._vframes[-1].entry
+            m = entry if m is None else (m & entry)
+        return m
+
+    def _truthy_ctx(self, v):
+        """Truthiness that accounts for per-lane nil: legal only when no
+        ACTIVE lane is nil (inactive nil lanes are merged away later)."""
+        if isinstance(v, _MaybeNil):
+            m = self._active_lanes()
+            active_nil = v.nil_mask if m is None else (v.nil_mask & m)
+            if active_nil.any():
+                raise Unvectorizable("truthiness of nil lanes")
+            v = v.value
+        return _truthiness(v)
+
+    def _unwrap_arith(self, v):
+        """-> (value, nil_mask-or-None); Unvectorizable if an active lane
+        would do arithmetic on nil (the scalar path then reproduces
+        Lua's real error/handling for it)."""
+        if isinstance(v, _MaybeNil):
+            m = self._active_lanes()
+            active_nil = v.nil_mask if m is None else (v.nil_mask & m)
+            if active_nil.any():
+                raise Unvectorizable("arithmetic on nil lanes")
+            return v.value, v.nil_mask
+        return v, None
+
     def eval(self, e, env):
         kind = e[0]
         if kind == "index":
@@ -597,17 +685,17 @@ class VectorInterpreter(Interpreter):
             return t.get(_scalar_key(self.eval(e[2], env)))
         if kind == "unop":
             if e[1] == "not":
-                uni, cv = _truthiness(self.eval(e[2], env))
+                uni, cv = self._truthy_ctx(self.eval(e[2], env))
                 return (not cv) if uni else ~cv
             if e[1] == "-":
-                v = _as_float(self.eval(e[2], env))
+                v, vnil = self._unwrap_arith(self.eval(e[2], env))
                 with np.errstate(all="ignore"):
-                    return -v
+                    return _MaybeNil.wrap(-_as_float(v), vnil)
         if kind == "binop":
             op = e[1]
             if op in ("and", "or"):
                 left = self.eval(e[2], env)
-                uni, lv = _truthiness(left)
+                uni, lv = self._truthy_ctx(left)
                 if uni:
                     if op == "and":
                         return self.eval(e[3], env) if lv else left
@@ -617,19 +705,37 @@ class VectorInterpreter(Interpreter):
                 # left is a bool array: select per lane (both sides were
                 # evaluated; any untaken-lane domain error is a NaN the
                 # selection discards, same as a masked-if arm)
-                for v in (left, right):
+                lval, lnil = self._unwrap_arith(left) if isinstance(
+                    left, _MaybeNil) else (left, None)
+                rval, rnil = self._unwrap_arith(right) if isinstance(
+                    right, _MaybeNil) else (right, None)
+                for v in (lval, rval):
                     if v is None or isinstance(v, (str, LuaTable,
-                                                   LuaFunction, _MaybeNil)):
+                                                   LuaFunction)):
                         raise Unvectorizable(
                             "and/or selecting a non-numeric lane value")
+                nil = (lnil if rnil is None else
+                       rnil if lnil is None else (lnil | rnil))
                 if op == "and":
-                    return np.where(lv, right, left)
-                return np.where(lv, left, right)
+                    return _MaybeNil.wrap(np.where(lv, rval, lval), nil)
+                return _MaybeNil.wrap(np.where(lv, lval, rval), nil)
             if op in ("==", "~=", "<", ">", "<=", ">=", "+", "-", "*", "/",
                       "%", "^", ".."):
                 with np.errstate(all="ignore"):
                     a = self.eval(e[2], env)
                     b = self.eval(e[3], env)
+                    if isinstance(a, _MaybeNil) or isinstance(b, _MaybeNil):
+                        if op in ("==", "~=") and (a is None or b is None):
+                            # comparing a maybe-nil against nil queries
+                            # exactly its per-lane definedness
+                            mn = a if b is None else b
+                            return (mn.nil_mask if op == "=="
+                                    else ~mn.nil_mask)
+                        av, anil = self._unwrap_arith(a)
+                        bv, bnil = self._unwrap_arith(b)
+                        nil = (anil if bnil is None else
+                               bnil if anil is None else (anil | bnil))
+                        return _MaybeNil.wrap(self._binop(op, av, bv), nil)
                     return self._binop(op, a, b)
         return super().eval(e, env)
 
@@ -665,9 +771,24 @@ class VectorInterpreter(Interpreter):
         if op == "*":
             return a * b
         if op == "/":
-            return a / b  # IEEE inf/nan, matching the scalar branch
+            # the scalar branch special-cases b == 0 by the SIGN OF A
+            # (so 1/-0.0 is +inf there, where IEEE gives -inf); match it
+            q = a / b
+            bz = np.asarray(b) == 0
+            if np.any(bz):
+                q = np.where(bz, np.where(np.asarray(a) > 0, np.inf,
+                                          np.where(np.asarray(a) < 0,
+                                                   -np.inf, np.nan)), q)
+            return q
         if op == "%":
             return a - np.floor(a / b) * b  # Lua %, same formula as scalar
         if op == "^":
-            return xm.power(a, b)  # glibc pow (C domain errors -> nan)
+            # scalar branch: Python a**b with ZeroDivisionError -> nan
+            # (0^negative), complex -> nan; glibc pow gives +inf for
+            # 0^negative, so patch that case to match
+            v = xm.power(a, b)
+            zneg = (np.asarray(a) == 0) & (np.asarray(b) < 0)
+            if np.any(zneg):
+                v = np.where(zneg, np.nan, v)
+            return v
         raise LuaError(f"cannot evaluate binop {op}")

@@ -40,7 +40,9 @@ def test_vector_inverse_bitequal_scalar(name):
     inv_s = si.get_global("lens_inverse")
     w = float(np.asarray(vi.get_global("lens_width") or 6.0))
     h = float(np.asarray(vi.get_global("lens_height") or 6.0))
-    rng = np.random.default_rng(hash(name) % 2**32)
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
     N = 400
     X = rng.uniform(-0.7 * w, 0.7 * w, N)  # beyond bounds: nil lanes too
     Y = rng.uniform(-0.7 * h, 0.7 * h, N)
@@ -175,3 +177,138 @@ def test_vector_path_is_actually_used():
     dt = time.time() - t0
     assert dt < 2.0, f"vectorized path not taken ({dt:.1f}s for 20k points)"
     assert np.asarray(ok).any()
+
+
+def _compare(src, fname, X, builtins=None):
+    """vector vcall vs scalar per-point for one function over X."""
+    vi = VectorInterpreter(builtins=dict(builtins or {}))
+    vi.run(src)
+    si = Interpreter(builtins=dict(builtins or {}))
+    si.run(src)
+    with np.errstate(all="ignore"):
+        vals, nil = vi.vcall(vi.get_global(fname), [np.asarray(X, np.float64)])
+    out = []
+    for i, x in enumerate(X):
+        sv = si.call(si.get_global(fname), [float(x)])
+        s_nil = len(sv) == 0 or sv[0] is None
+        v_nil = bool(nil[i]) if nil is not None else len(vals) == 0
+        assert s_nil == v_nil, (x, sv)
+        if not s_nil:
+            a, b = float(sv[0]), float(vals[0][i])
+            assert a == b or (np.isnan(a) and np.isnan(b)), (x, a, b)
+            out.append(a)
+    return out
+
+
+def test_maybe_nil_comparison_and_reuse():
+    """A helper's per-lane nil result tested with == nil and then used
+    arithmetically (review finding: used to silently misbranch/crash)."""
+    src = """
+function helper(x)
+  if x > 0 then return x end
+  return nil
+end
+function f(x)
+  local v = helper(x)
+  if v == nil then return -99 end
+  return v * 2
+end
+"""
+    _compare(src, "f", np.array([-1.0, 3.0, 0.0, 7.5]))
+
+
+def test_partially_assigned_flag_falls_back():
+    """A variable assigned in only one masked arm then tested for
+    truthiness: must NOT silently take one branch for all lanes (review
+    finding) — either correct per-lane or Unvectorizable."""
+    src = """
+function f(x)
+  local v
+  if x > 0 then v = 1 end
+  if v then return 10 else return 20 end
+end
+"""
+    vi = VectorInterpreter()
+    vi.run(src)
+    X = np.array([-1.0, 1.0])
+    with pytest.raises(Unvectorizable):
+        vi.vcall(vi.get_global("f"), [X])
+    # and through the bridge contract: correct values via the fallback
+    import tempfile
+    from pathlib import Path
+
+    from blinky_tpu.lua_bridge import load_lua_lens
+
+    d = Path(tempfile.mkdtemp())
+    (d / "flag.lua").write_text("""
+lens_width = 2
+lens_height = 2
+function lens_inverse(x, y)
+  local v
+  if x > 0 then v = 1 end
+  if v then return x, y, 10 else return x, y, 20 end
+end
+""")
+    lens = load_lua_lens(d / "flag.lua")
+    vx, vy, vz, ok = lens.inverse(np.array([-0.5, 0.5]), np.zeros(2))
+    np.testing.assert_array_equal(np.asarray(vz), [20.0, 10.0])
+
+
+def test_masked_table_write_of_uniform_value():
+    """Masked writes of lane-uniform values over an existing slot must
+    not clobber the other arm's value (review finding)."""
+    src = """
+s = {}
+function f(x)
+  if x > 0 then s.k = 1 else s.k = 2 end
+  return s.k
+end
+"""
+    _compare(src, "f", np.array([1.0, -1.0, 2.0]))
+
+
+def test_scalar_semantics_preserving_div_pow_maxmin():
+    """/ by -0.0, 0^negative and max/min with NaN follow the SCALAR
+    interpreter's (Lua/C) semantics, not raw numpy (review finding)."""
+    src = """
+function fdiv(x)
+  return 1 / (x * 0)     -- x*0 of a negative x is -0.0
+end
+function fpow(x)
+  return (x - x) ^ -1    -- 0 ^ negative
+end
+function fmax(x)
+  return math.max(1.0, math.sqrt(x))  -- sqrt(neg) = nan
+end
+"""
+    _compare(src, "fdiv", np.array([2.0, -2.0, 0.0]))
+    _compare(src, "fpow", np.array([3.0, -4.0]))
+    _compare(src, "fmax", np.array([4.0, -1.0]))
+
+
+def test_rad_deg_lifted():
+    src = """
+function f(x)
+  return math.deg(math.rad(x)) + math.rad(x)
+end
+"""
+    _compare(src, "f", np.array([0.0, 45.0, -90.0, 123.456]))
+
+
+def test_fallback_survives_deleted_script(tmp_path):
+    """The scalar fallback captures the source at load time (review
+    finding: the file may be gone when the fallback first engages)."""
+    from blinky_tpu.lua_bridge import load_lua_lens
+
+    p = tmp_path / "gone.lua"
+    p.write_text("""
+lens_width = 2
+lens_height = 2
+function lens_inverse(x, y)
+  return x, y, 1.0
+end
+""")
+    lens = load_lua_lens(p)
+    p.unlink()
+    vx, vy, vz, ok = lens.inverse(0.25, -0.5)  # scalar call -> fallback
+    assert float(vx) == 0.25 and bool(ok)
