@@ -334,6 +334,12 @@ class VectorInterpreter(Interpreter):
                 self._masks.append(arm)
                 try:
                     self.exec_block(body, _Env(env))
+                except (LuaError, TypeError) as e:
+                    # an error inside a masked arm may involve state the
+                    # scalar path would never touch for these lanes —
+                    # refuse and let the scalar fallback reproduce the
+                    # exact per-lane behavior (including real errors)
+                    raise Unvectorizable(f"error under mask: {e}") from e
                 finally:
                     self._masks.pop()
         if st[2] is not None:
@@ -345,6 +351,9 @@ class VectorInterpreter(Interpreter):
                     self._masks.append(rest)
                     try:
                         self.exec_block(st[2], _Env(env))
+                    except (LuaError, TypeError) as e:
+                        raise Unvectorizable(
+                            f"error under mask: {e}") from e
                     finally:
                         self._masks.pop()
 
@@ -379,6 +388,8 @@ class VectorInterpreter(Interpreter):
                 self._masks.append(active)
                 try:
                     self.exec_block(st[2], _Env(env))
+                except (LuaError, TypeError) as e:
+                    raise Unvectorizable(f"error under mask: {e}") from e
                 finally:
                     self._masks.pop()
         except _Break:
@@ -406,6 +417,11 @@ class VectorInterpreter(Interpreter):
                     self.exec_block(st[1], scope)
                     with np.errstate(all="ignore"):
                         c = self.eval(st[2], scope)
+                except (LuaError, TypeError) as e:
+                    if active is not None:
+                        raise Unvectorizable(
+                            f"error under mask: {e}") from e
+                    raise
                 finally:
                     if active is not None:
                         self._masks.pop()

@@ -555,6 +555,12 @@ class Interpreter:
                     return on_overflow
                 except ZeroDivisionError:
                     return math.nan
+                except TypeError:
+                    # Lua: "bad argument (number expected, got nil)" is a
+                    # script error, not a raw Python TypeError
+                    raise LuaError(
+                        f"bad argument to {getattr(f, '__name__', 'math fn')}"
+                        " (number expected)") from None
             return g_
 
         def _log(x, base=None):
@@ -576,8 +582,9 @@ class Interpreter:
             "sinh": _safe(math.sinh), "cosh": _safe(math.cosh),
             "tanh": _safe(math.tanh), "log": _safe(_log), "log10": _safe(_log10),
             "exp": _safe(math.exp), "sqrt": _safe(math.sqrt), "abs": abs,
-            "floor": lambda x: float(math.floor(x)),
-            "ceil": lambda x: float(math.ceil(x)),
+            # C floor/ceil pass nan/inf through; Python's raise instead
+            "floor": lambda x: float(math.floor(x)) if math.isfinite(x) else float(x),
+            "ceil": lambda x: float(math.ceil(x)) if math.isfinite(x) else float(x),
             "fmod": _safe(math.fmod), "pow": _safe(_pow),
             "max": lambda *a: max(a), "min": lambda *a: min(a),
             "modf": lambda x: tuple(float(v) for v in reversed(math.modf(x))),
@@ -858,8 +865,14 @@ class Interpreter:
                 return a / b if b != 0 else (
                     math.inf if a > 0 else -math.inf if a < 0 else math.nan)
             if op == "%":
-                # Lua %: a - floor(a/b)*b
-                return a - math.floor(a / b) * b if b != 0 else math.nan
+                # Lua %: a - floor(a/b)*b, where floor is C floor
+                # (floor(nan) = nan, floor(±inf) = ±inf — Python's
+                # math.floor raises instead)
+                if b == 0:
+                    return math.nan
+                q = a / b
+                fq = math.floor(q) if math.isfinite(q) else q
+                return a - fq * b
             if op == "^":
                 try:
                     v = float(a) ** float(b)

@@ -1,0 +1,173 @@
+"""Property fuzz for the vectorized Lua evaluator: randomly generated
+programs exercising the masked-control-flow machinery must be
+lane-for-lane bit-equal to the scalar interpreter, or cleanly raise
+``Unvectorizable`` (never silently diverge, never crash with anything
+else).  This is the repo's contract for `.lua` drop-ins
+(`blinky_tpu/lua_vector.py`; CLAUDE.md "bit-equality vs the SCALAR
+interpreter is the contract")."""
+
+import numpy as np
+import pytest
+
+from blinky_tpu.lua_vector import Unvectorizable, VectorInterpreter
+from blinky_tpu.minilua import Interpreter, LuaError
+
+
+class _Gen:
+    """A tiny random-program generator over the numeric mini-Lua subset
+    the lens scripts use: arithmetic, math builtins, comparisons,
+    if/elseif chains with returns (incl. nil), bounded loops with
+    data-dependent breaks, helper calls, partial assignment + nil
+    checks."""
+
+    UNARY = ["math.sin", "math.cos", "math.sqrt", "math.abs", "math.exp",
+             "math.atan", "math.floor", "math.tanh"]
+    BINARY = ["+", "-", "*", "/", "%", "^"]
+    CMP = ["<", ">", "<=", ">=", "==", "~="]
+
+    def __init__(self, rng):
+        self.r = rng
+
+    def const(self):
+        return f"{self.r.uniform(-3, 3):.4f}"
+
+    def expr(self, vars_, depth=0):
+        roll = self.r.random()
+        if depth > 2 or roll < 0.25:
+            return self.r.choice(vars_) if self.r.random() < 0.7 else self.const()
+        if roll < 0.5:
+            return (f"{self.r.choice(self.UNARY)}"
+                    f"({self.expr(vars_, depth + 1)})")
+        if roll < 0.6:
+            return (f"math.{self.r.choice(['max', 'min'])}"
+                    f"({self.expr(vars_, depth + 1)}, {self.expr(vars_, depth + 1)})")
+        op = self.r.choice(self.BINARY)
+        return f"({self.expr(vars_, depth + 1)} {op} {self.expr(vars_, depth + 1)})"
+
+    def cond(self, vars_):
+        c = (f"{self.expr(vars_)} {self.r.choice(self.CMP)} "
+             f"{self.expr(vars_)}")
+        if self.r.random() < 0.3:
+            c2 = (f"{self.expr(vars_)} {self.r.choice(self.CMP)} "
+                  f"{self.expr(vars_)}")
+            c = f"({c}) {self.r.choice(['and', 'or'])} ({c2})"
+        return c
+
+    def block(self, vars_, indent, depth, allow_return=True):
+        lines = []
+        n = self.r.integers(1, 4)
+        local_vars = list(vars_)
+        for _ in range(n):
+            roll = self.r.random()
+            pad = "  " * indent
+            if roll < 0.35:
+                name = f"v{self.r.integers(0, 6)}"
+                lines.append(f"{pad}local {name} = {self.expr(local_vars)}")
+                if name not in local_vars:
+                    local_vars.append(name)
+            elif roll < 0.55 and depth < 2:
+                arms = [f"{pad}if {self.cond(local_vars)} then"]
+                arms.append(self.block(local_vars, indent + 1, depth + 1))
+                if self.r.random() < 0.5:
+                    arms.append(f"{pad}elseif {self.cond(local_vars)} then")
+                    arms.append(self.block(local_vars, indent + 1, depth + 1))
+                if self.r.random() < 0.6:
+                    arms.append(f"{pad}else")
+                    arms.append(self.block(local_vars, indent + 1, depth + 1))
+                arms.append(f"{pad}end")
+                lines.append("\n".join(arms))
+            elif roll < 0.7 and depth < 2:
+                # bounded loop, optionally with a data-dependent break
+                name = f"v{self.r.integers(0, 6)}"
+                body = [f"{pad}local {name} = {self.expr(local_vars)}",
+                        f"{pad}for i{depth} = 1, {self.r.integers(2, 5)} do",
+                        f"{pad}  {name} = {name} * 0.5 + "
+                        f"{self.expr(local_vars, 2)}"]
+                if self.r.random() < 0.5:
+                    body.append(f"{pad}  if {self.cond([name])} then break end")
+                body.append(f"{pad}end")
+                lines.append("\n".join(body))
+                if name not in local_vars:
+                    local_vars.append(name)
+            elif roll < 0.85 and allow_return:
+                if self.r.random() < 0.25:
+                    lines.append(f"{pad}return nil")
+                else:
+                    lines.append(f"{pad}return {self.expr(local_vars)}, "
+                                 f"{self.expr(local_vars)}")
+                break  # statements after return don't parse in a block
+            else:
+                # partial assignment + nil check (the _MaybeNil machinery)
+                name = f"g{self.r.integers(0, 3)}"
+                lines.append(
+                    f"{pad}local {name}\n"
+                    f"{pad}if {self.cond(local_vars)} then {name} = "
+                    f"{self.expr(local_vars)} end\n"
+                    f"{pad}if {name} == nil then {name} = {self.const()} end")
+                if name not in local_vars:
+                    local_vars.append(name)
+        return "\n".join(lines)
+
+    def program(self):
+        helper = (f"function h(a, b)\n"
+                  f"{self.block(['a', 'b'], 1, 1, allow_return=False)}\n"
+                  f"  return (a + b) * 0.5\nend\n")
+        use_helper = self.r.random() < 0.5
+        vars_ = ["x", "y"]
+        # a guarded top-level nil return (inside an if: the body's own
+        # trailing return must stay the block's last statement)
+        guard = (f"  if {self.cond(vars_)} then return nil end\n"
+                 if self.r.random() < 0.6 else "")
+        body = self.block(vars_, 1, 0, allow_return=False)
+        call = "  local hh = h(x, y)\n" if use_helper else ""
+        tail_vars = vars_ + (["hh"] if use_helper else [])
+        return (helper +
+                f"function f(x, y)\n{call}{guard}{body}\n"
+                f"  return {self.expr(tail_vars)}, {self.expr(tail_vars)}\nend\n")
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_random_programs_bitequal_or_unvectorizable(seed):
+    rng = np.random.default_rng(1000 + seed)
+    src = _Gen(rng).program()
+    si = Interpreter()
+    try:
+        si.run(src)
+    except LuaError:
+        pytest.skip("generator produced an invalid program")
+    f_s = si.get_global("f")
+
+    N = 48
+    X = rng.uniform(-2.5, 2.5, N)
+    Y = rng.uniform(-2.5, 2.5, N)
+    # scalar ground truth (skip programs that error on some input —
+    # the vector path is allowed to refuse those via Unvectorizable)
+    truth = []
+    for i in range(N):
+        try:
+            truth.append(si.call(f_s, [float(X[i]), float(Y[i])]))
+        except LuaError:
+            pytest.skip("program errors on the scalar path")
+
+    vi = VectorInterpreter()
+    vi.run(src)
+    try:
+        with np.errstate(all="ignore"):
+            vals, nil = vi.vcall(vi.get_global("f"), [X, Y])
+    except Unvectorizable:
+        return  # clean refusal is allowed; silent divergence is not
+    # a program may ignore its array inputs entirely: uniform scalar
+    # returns apply to every lane
+    vals = [np.broadcast_to(np.asarray(v, np.float64), (N,)) for v in vals]
+    if nil is not None:
+        nil = np.broadcast_to(nil, (N,))
+    for i in range(N):
+        sv = truth[i]
+        s_nil = len(sv) == 0 or sv[0] is None
+        v_nil = bool(nil[i]) if nil is not None else len(vals) == 0
+        assert s_nil == v_nil, (seed, i, X[i], Y[i], src)
+        if not s_nil:
+            for j, s in enumerate(sv):
+                a, b = float(s), float(vals[j][i])
+                assert a == b or (np.isnan(a) and np.isnan(b)), \
+                    (seed, i, j, a, b, src)
