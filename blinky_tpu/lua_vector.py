@@ -507,12 +507,25 @@ class VectorInterpreter(Interpreter):
         if is_nil:
             fr.nil = newly if fr.nil is None else (fr.nil | newly)
         else:
+            # per-lane nil is modeled per RETURN, not per slot: a
+            # multi-value return may only carry _MaybeNil slots that all
+            # share ONE mask (e.g. the three ray components of a nested
+            # helper's nil-protocol result); Lua's `return maybe_nil, v`
+            # with mixed slots needs the scalar path
+            slot_nils = [v.nil_mask if isinstance(v, _MaybeNil) else None
+                         for v in vals]
             incoming_nil = None
+            if any(n is not None for n in slot_nils):
+                if (len(vals) > 1
+                        and not all(n is not None
+                                    and np.array_equal(n, slot_nils[0])
+                                    for n in slot_nils)):
+                    raise Unvectorizable(
+                        "mixed per-slot nil in a multi-value return")
+                incoming_nil = next(n for n in slot_nils if n is not None)
             merged = []
             for v in vals:
                 if isinstance(v, _MaybeNil):
-                    incoming_nil = v.nil_mask if incoming_nil is None else (
-                        incoming_nil | v.nil_mask)
                     v = v.value
                 if v is None or isinstance(v, (LuaTable, LuaFunction, str)):
                     raise Unvectorizable("masked return of a non-number")
@@ -648,14 +661,18 @@ class VectorInterpreter(Interpreter):
                 return [], None
             shape = np.broadcast(*[np.asarray(a) for a in args]).shape
             return [], np.ones(shape, bool)
+        slot_nils = [v.nil_mask if isinstance(v, _MaybeNil) else None
+                     for v in vals]
         nil = None
-        out = []
-        for v in vals:
-            if isinstance(v, _MaybeNil):
-                nil = v.nil_mask if nil is None else (nil | v.nil_mask)
-                out.append(v.value)
-            else:
-                out.append(v)
+        if any(n is not None for n in slot_nils):
+            if (len(vals) > 1
+                    and not all(n is not None
+                                and np.array_equal(n, slot_nils[0])
+                                for n in slot_nils)):
+                raise Unvectorizable(
+                    "mixed per-slot nil in a multi-value return")
+            nil = next(n for n in slot_nils if n is not None)
+        out = [v.value if isinstance(v, _MaybeNil) else v for v in vals]
         return out, nil
 
     # -------------------------------------------------------- expressions
@@ -787,24 +804,9 @@ class VectorInterpreter(Interpreter):
         if op == "*":
             return a * b
         if op == "/":
-            # the scalar branch special-cases b == 0 by the SIGN OF A
-            # (so 1/-0.0 is +inf there, where IEEE gives -inf); match it
-            q = a / b
-            bz = np.asarray(b) == 0
-            if np.any(bz):
-                q = np.where(bz, np.where(np.asarray(a) > 0, np.inf,
-                                          np.where(np.asarray(a) < 0,
-                                                   -np.inf, np.nan)), q)
-            return q
+            return a / b  # IEEE, matching the scalar engine (C division)
         if op == "%":
             return a - np.floor(a / b) * b  # Lua %, same formula as scalar
         if op == "^":
-            # scalar branch: Python a**b with ZeroDivisionError -> nan
-            # (0^negative), complex -> nan; glibc pow gives +inf for
-            # 0^negative, so patch that case to match
-            v = xm.power(a, b)
-            zneg = (np.asarray(a) == 0) & (np.asarray(b) < 0)
-            if np.any(zneg):
-                v = np.where(zneg, np.nan, v)
-            return v
+            return xm.power(a, b)  # glibc pow == C99 == the scalar engine
         raise LuaError(f"cannot evaluate binop {op}")

@@ -563,6 +563,16 @@ class Interpreter:
                         " (number expected)") from None
             return g_
 
+        def _badarg(f, name):
+            def g_(*a):
+                try:
+                    return f(*a)
+                except (TypeError, ValueError):
+                    raise LuaError(
+                        f"bad argument to '{name}' (number expected)"
+                    ) from None
+            return g_
+
         def _log(x, base=None):
             if x == 0:
                 return -math.inf  # C log(0)
@@ -581,12 +591,16 @@ class Interpreter:
             "atan": _safe(math.atan), "atan2": _safe(math.atan2),
             "sinh": _safe(math.sinh), "cosh": _safe(math.cosh),
             "tanh": _safe(math.tanh), "log": _safe(_log), "log10": _safe(_log10),
-            "exp": _safe(math.exp), "sqrt": _safe(math.sqrt), "abs": abs,
+            "exp": _safe(math.exp), "sqrt": _safe(math.sqrt),
+            "abs": _badarg(abs, "abs"),
             # C floor/ceil pass nan/inf through; Python's raise instead
             "floor": lambda x: float(math.floor(x)) if math.isfinite(x) else float(x),
             "ceil": lambda x: float(math.ceil(x)) if math.isfinite(x) else float(x),
             "fmod": _safe(math.fmod), "pow": _safe(_pow),
-            "max": lambda *a: max(a), "min": lambda *a: min(a),
+            # nil/missing args are Lua script errors, not nan (and not a
+            # raw Python TypeError)
+            "max": _badarg(lambda *a: max(a), "max"),
+            "min": _badarg(lambda *a: min(a), "min"),
             "modf": lambda x: tuple(float(v) for v in reversed(math.modf(x))),
             "rad": math.radians, "deg": math.degrees,
         }
@@ -862,8 +876,15 @@ class Interpreter:
             if op == "*":
                 return a * b
             if op == "/":
-                return a / b if b != 0 else (
-                    math.inf if a > 0 else -math.inf if a < 0 else math.nan)
+                # IEEE division, as the Lua VM's C double division:
+                # the sign of a zero denominator matters (1/-0.0 = -inf)
+                if b == 0:
+                    if a == 0 or math.isnan(a):
+                        return math.nan
+                    return (math.inf
+                            if math.copysign(1.0, a) == math.copysign(1.0, b)
+                            else -math.inf)
+                return a / b
             if op == "%":
                 # Lua %: a - floor(a/b)*b, where floor is C floor
                 # (floor(nan) = nan, floor(±inf) = ±inf — Python's
@@ -874,14 +895,25 @@ class Interpreter:
                 fq = math.floor(q) if math.isfinite(q) else q
                 return a - fq * b
             if op == "^":
+                # Lua ^ is C pow exactly.  Python's ** diverges on the
+                # edges (OverflowError for huge |result| even when C pow
+                # would return nan for neg^non-integer; complex for
+                # neg**frac; ZeroDivisionError for 0^neg where C gives
+                # +-inf) — map them all to the C99 results.
+                if a == 0 and b < 0:
+                    # C pow(+-0, y<0): +-inf for odd-integer y, +inf else
+                    odd = (b == int(b) and int(b) % 2 != 0)
+                    neg_zero = math.copysign(1.0, a) < 0
+                    return -math.inf if (odd and neg_zero) else math.inf
                 try:
-                    v = float(a) ** float(b)
-                    # Python returns complex for neg**frac; C pow gives NaN
-                    return math.nan if isinstance(v, complex) else v
+                    return math.pow(a, b)
+                except ValueError:
+                    return math.nan  # domain error: neg ^ non-integer
                 except OverflowError:
-                    return math.inf
-                except (ValueError, ZeroDivisionError):
-                    return math.nan  # C pow domain error
+                    # range error: C pow returns +-HUGE_VAL with the
+                    # sign of the (finite) true result
+                    odd = (b == int(b) and int(b) % 2 != 0)
+                    return -math.inf if (a < 0 and odd) else math.inf
         raise LuaError(f"cannot evaluate {kind}")
 
     @staticmethod

@@ -157,17 +157,27 @@ def test_random_programs_bitequal_or_unvectorizable(seed):
     except Unvectorizable:
         return  # clean refusal is allowed; silent divergence is not
     # a program may ignore its array inputs entirely: uniform scalar
-    # returns apply to every lane
-    vals = [np.broadcast_to(np.asarray(v, np.float64), (N,)) for v in vals]
+    # returns apply to every lane; a uniformly-nil slot stays None
+    vals = [None if v is None
+            else np.broadcast_to(np.asarray(v, np.float64), (N,))
+            for v in vals]
     if nil is not None:
         nil = np.broadcast_to(nil, (N,))
     for i in range(N):
         sv = truth[i]
-        s_nil = len(sv) == 0 or sv[0] is None
-        v_nil = bool(nil[i]) if nil is not None else len(vals) == 0
-        assert s_nil == v_nil, (seed, i, X[i], Y[i], src)
-        if not s_nil:
-            for j, s in enumerate(sv):
-                a, b = float(s), float(vals[j][i])
-                assert a == b or (np.isnan(a) and np.isnan(b)), \
+        if nil is not None and nil[i]:
+            # vector says: this lane returned nil (whole return)
+            assert len(sv) == 0 or all(v is None for v in sv), \
+                (seed, i, X[i], Y[i], src)
+            continue
+        assert len(sv) == len(vals) or (len(sv) == 0 and len(vals) == 0), \
+            (seed, i, sv, len(vals), src)
+        for j, s in enumerate(sv):
+            v = None if vals[j] is None else float(vals[j][i])
+            if s is None:
+                assert v is None, (seed, i, j, v, src)
+            else:
+                a, b = float(s), v
+                assert b is not None and (
+                    a == b or (np.isnan(a) and np.isnan(b))), \
                     (seed, i, j, a, b, src)
