@@ -126,7 +126,7 @@ class _Gen:
                 f"  return {self.expr(tail_vars)}, {self.expr(tail_vars)}\nend\n")
 
 
-@pytest.mark.parametrize("seed", range(60))
+@pytest.mark.parametrize("seed", range(100))
 def test_random_programs_bitequal_or_unvectorizable(seed):
     rng = np.random.default_rng(1000 + seed)
     src = _Gen(rng).program()
