@@ -902,7 +902,8 @@ class Interpreter:
                 # +-inf) — map them all to the C99 results.
                 if a == 0 and b < 0:
                     # C pow(+-0, y<0): +-inf for odd-integer y, +inf else
-                    odd = (b == int(b) and int(b) % 2 != 0)
+                    odd = (math.isfinite(b) and b == int(b)
+                           and int(b) % 2 != 0)
                     neg_zero = math.copysign(1.0, a) < 0
                     return -math.inf if (odd and neg_zero) else math.inf
                 try:
@@ -912,7 +913,8 @@ class Interpreter:
                 except OverflowError:
                     # range error: C pow returns +-HUGE_VAL with the
                     # sign of the (finite) true result
-                    odd = (b == int(b) and int(b) % 2 != 0)
+                    odd = (math.isfinite(b) and b == int(b)
+                           and int(b) % 2 != 0)
                     return -math.inf if (a < 0 and odd) else math.inf
         raise LuaError(f"cannot evaluate {kind}")
 
