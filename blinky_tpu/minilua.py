@@ -594,15 +594,19 @@ class Interpreter:
             "exp": _safe(math.exp), "sqrt": _safe(math.sqrt),
             "abs": _badarg(abs, "abs"),
             # C floor/ceil pass nan/inf through; Python's raise instead
-            "floor": lambda x: float(math.floor(x)) if math.isfinite(x) else float(x),
-            "ceil": lambda x: float(math.ceil(x)) if math.isfinite(x) else float(x),
+            "floor": _badarg(lambda x: float(math.floor(x))
+                             if math.isfinite(x) else float(x), "floor"),
+            "ceil": _badarg(lambda x: float(math.ceil(x))
+                            if math.isfinite(x) else float(x), "ceil"),
             "fmod": _safe(math.fmod), "pow": _safe(_pow),
             # nil/missing args are Lua script errors, not nan (and not a
             # raw Python TypeError)
             "max": _badarg(lambda *a: max(a), "max"),
             "min": _badarg(lambda *a: min(a), "min"),
-            "modf": lambda x: tuple(float(v) for v in reversed(math.modf(x))),
-            "rad": math.radians, "deg": math.degrees,
+            "modf": _badarg(lambda x: tuple(
+                float(v) for v in reversed(math.modf(x))), "modf"),
+            "rad": _badarg(math.radians, "rad"),
+            "deg": _badarg(math.degrees, "deg"),
         }
         for k, v in mathfns.items():
             mt.set(k, v)
