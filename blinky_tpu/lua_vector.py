@@ -315,8 +315,16 @@ class VectorInterpreter(Interpreter):
     def _exec_if(self, st, env):
         taken = None
         for cond, body in st[1]:
-            with np.errstate(all="ignore"):
-                c = self.eval(cond, env)
+            try:
+                with np.errstate(all="ignore"):
+                    c = self.eval(cond, env)
+            except (LuaError, TypeError) as err:
+                if taken is None:
+                    raise  # same context as the scalar path: real error
+                # a LATER condition in an array-masked chain: the scalar
+                # path only evaluates it for not-yet-taken lanes
+                raise Unvectorizable(
+                    f"error in masked elseif condition: {err}") from err
             uni, cv = self._truthy_ctx(c)
             if taken is None and uni:
                 if cv:
@@ -733,8 +741,15 @@ class VectorInterpreter(Interpreter):
                     if op == "and":
                         return self.eval(e[3], env) if lv else left
                     return left if lv else self.eval(e[3], env)
-                with np.errstate(all="ignore"):
-                    right = self.eval(e[3], env)
+                try:
+                    with np.errstate(all="ignore"):
+                        right = self.eval(e[3], env)
+                except (LuaError, TypeError) as err:
+                    # the scalar path short-circuits: lanes where the
+                    # left side decides may never evaluate the right —
+                    # an error here may not exist per-lane, so refuse
+                    raise Unvectorizable(
+                        f"error in and/or right side: {err}") from err
                 # left is a bool array: select per lane (both sides were
                 # evaluated; any untaken-lane domain error is a NaN the
                 # selection discards, same as a masked-if arm)
