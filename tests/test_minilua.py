@@ -236,3 +236,38 @@ def test_runaway_scripts_are_bounded():
     fn = it.get_global("inc")
     for i in range(1000):
         assert it.call(fn, [i]) == [i + 1]
+
+
+def test_pow_and_division_match_c99():
+    """Lua's ^ and / are C pow and IEEE double division; pin the edge
+    cases directly against glibc (the fuzz suite found Python's ** and
+    ZeroDivisionError mappings diverging)."""
+    import ctypes
+    import math
+
+    from blinky_tpu.minilua import Interpreter
+
+    libm = ctypes.CDLL("libm.so.6")
+    libm.pow.restype = ctypes.c_double
+    libm.pow.argtypes = [ctypes.c_double, ctypes.c_double]
+
+    it = Interpreter()
+    it.run("function p(a, b) return a ^ b end\n"
+           "function d(a, b) return a / b end")
+    p, d = it.get_global("p"), it.get_global("d")
+
+    cases = [(0.0, -1.0), (0.0, -2.0), (-0.0, -3.0), (0.0, -math.inf),
+             (-0.04, -803.6), (-2.0, 1001.0), (2.0, 1e308), (-2.0, 0.5),
+             (1.0, math.nan), (math.nan, 0.0), (-1.0, math.inf)]
+    for a, b in cases:
+        want = libm.pow(a, b)
+        got = it.call(p, [a, b])[0]
+        assert got == want or (math.isnan(got) and math.isnan(want)), \
+            (a, b, got, want)
+
+    for a, b, want in [(1.0, -0.0, -math.inf), (1.0, 0.0, math.inf),
+                       (-1.0, -0.0, math.inf), (0.0, 0.0, math.nan),
+                       (math.nan, 0.0, math.nan)]:
+        got = it.call(d, [a, b])[0]
+        assert got == want or (math.isnan(got) and math.isnan(want)), \
+            (a, b, got, want)
