@@ -30,7 +30,6 @@ is never worse off than before.
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 
