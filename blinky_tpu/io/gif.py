@@ -196,13 +196,36 @@ def encode_gif(frames, palette: np.ndarray, delay_cs: int = 5,
     if nframes > 1:
         out += b"\x21\xff\x0bNETSCAPE2.0"
         out += bytes([3, 1]) + struct.pack("<H", int(loop)) + b"\x00"
+    prev = None
     for b in range(nframes):
+        cur = frames[..., b]
+        # delta-rect optimization: encode only the bounding box of the
+        # pixels that changed since the previous frame (the decoder's
+        # disposal-0 compositing reproduces the full frame exactly) —
+        # a large win for mostly-static scenes like viewer captures
+        fx = fy = 0
+        fw, fh = w, h
+        rect = cur
+        if prev is not None:
+            diff = cur != prev
+            if not diff.any():
+                fy = fx = 0
+                fw = fh = 1
+                rect = cur[:1, :1]
+            else:
+                rows = np.flatnonzero(diff.any(axis=1))
+                cols = np.flatnonzero(diff.any(axis=0))
+                fy, fx = int(rows[0]), int(cols[0])
+                fh = int(rows[-1]) - fy + 1
+                fw = int(cols[-1]) - fx + 1
+                rect = cur[fy:fy + fh, fx:fx + fw]
+        prev = cur
         # graphic control extension (delay; no transparency)
         out += b"\x21\xf9" + bytes([4, 0]) + struct.pack(
             "<H", int(delay_cs)) + bytes([0, 0])
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += b"\x2c" + struct.pack("<HHHHB", fx, fy, fw, fh, 0)
         out += bytes([8])  # LZW min code size
-        out += _subblocks(_lzw_encode(frames[..., b], 8))
+        out += _subblocks(_lzw_encode(np.ascontiguousarray(rect), 8))
     out += b"\x3b"  # trailer
     return bytes(out)
 

@@ -235,3 +235,33 @@ def test_cli_reproject_true_color_gif(tmp_path):
     truth = decode_png((pngdir / "frame000000.png").read_bytes())
     err = np.abs(pal[frames[..., 0]].astype(int) - truth.astype(int))
     assert err.mean() < 8
+
+
+def test_delta_rect_encoding_roundtrips_and_shrinks():
+    """Frames encode only their changed bounding box; decode reproduces
+    the full frames exactly, and a mostly-static sequence shrinks."""
+    pal = default_palette()
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, (60, 80), np.uint8)
+    frames = np.repeat(base[..., None], 8, axis=-1).copy()
+    for b in range(1, 8):  # a small moving sprite
+        frames[10 + b:14 + b, 20 + b:26 + b, b] = b
+    gif = encode_gif(frames, pal, delay_cs=4)
+    out, out_pal, delays = decode_gif(gif)
+    np.testing.assert_array_equal(out, frames)
+    assert delays == [4] * 8
+    # vs naive full-frame encoding: stack identical frames apart
+    full = encode_gif(np.repeat(base[..., None], 8, axis=-1), pal)
+    assert len(full) < len(encode_gif(frames[..., :1], pal)) * 3, \
+        "static frames should cost almost nothing"
+    # an unchanged frame costs ~a 1x1 rect
+    two = encode_gif(np.stack([base, base], -1), pal)
+    one = encode_gif(base, pal)
+    assert len(two) - len(one) < 80
+
+    im = PIL.open(io.BytesIO(gif))
+    assert im.n_frames == 8
+    for i in range(8):
+        im.seek(i)
+        np.testing.assert_array_equal(
+            np.asarray(im.convert("RGB")), pal[frames[..., i]])
