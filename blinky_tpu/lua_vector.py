@@ -173,6 +173,10 @@ class VectorInterpreter(Interpreter):
 
             def f(a, b):
                 if _is_arr(a) or _is_arr(b):
+                    for v in (a, b):
+                        if v is None or isinstance(v, (bool, str)):
+                            raise LuaError(
+                                f"bad argument to '{name}' (number expected)")
                     with np.errstate(all="ignore"):
                         return xf(a, b)
                 return orig(a, b)
@@ -189,6 +193,10 @@ class VectorInterpreter(Interpreter):
 
             def f(*a):
                 if any(_is_arr(v) for v in a):
+                    for v in a:
+                        if v is None or isinstance(v, (bool, str)):
+                            raise LuaError(
+                                "bad argument to 'max/min' (number expected)")
                     # Python's max/min keep the incumbent unless the
                     # challenger compares strictly (NaN comparisons are
                     # False) — fold the same way, don't propagate NaN
@@ -272,6 +280,12 @@ class VectorInterpreter(Interpreter):
         if isinstance(old, _MaybeNil):
             old_nil = old.nil_mask
             old = old.value
+        if new is None:
+            # assigning nil under a mask: those lanes become nil, the
+            # rest keep the old value (exactly Lua's `x = nil`)
+            new_nil = np.ones(mask.shape, bool)
+            new = (old if old is not None
+                   else np.full(mask.shape, np.nan))
         for v in (new, old):
             if isinstance(v, (LuaTable, LuaFunction, str)):
                 raise Unvectorizable("masked write of a non-numeric value")
@@ -318,12 +332,17 @@ class VectorInterpreter(Interpreter):
                 with np.errstate(all="ignore"):
                     c = self.eval(cond, env)
             except (LuaError, TypeError) as err:
-                if taken is None:
+                fr = self._vframes[-1] if self._vframes else None
+                partial = (fr is not None and (fr.done is not None
+                                               or fr.entry is not None))
+                if taken is None and not partial and not self._masks:
                     raise  # same context as the scalar path: real error
-                # a LATER condition in an array-masked chain: the scalar
-                # path only evaluates it for not-yet-taken lanes
+                # the scalar path evaluates this condition only for the
+                # lanes that actually reach it (not-yet-taken lanes, and
+                # lanes that haven't returned); the error may not exist
+                # for any of those — refuse and let the fallback decide
                 raise Unvectorizable(
-                    f"error in masked elseif condition: {err}") from err
+                    f"error in masked condition: {err}") from err
             uni, cv = self._truthy_ctx(c)
             if taken is None and uni:
                 if cv:
