@@ -140,6 +140,8 @@ class Session:
         self._plain_cache = None  # (key, kernel) for the fisheye-0 view
         self.shortcutkeys_enabled = False
         self.bindings: dict = {}
+        self.aliases: dict = {}  # name -> command string (common/cmd.c:373)
+        self._alias_depth = 0  # bounds self-referential alias expansion
         self.lens_name = ""
         self.lens = None
         self.lens_valid = False
@@ -178,6 +180,12 @@ class Session:
             "bind": self._cmd_bind,
             "unbind": self._cmd_unbind,
             "exec": self._cmd_exec,
+            "alias": self._cmd_alias,
+            "echo": self._cmd_echo,
+            # Cmd_Wait_f defers the rest of the buffer to the next frame
+            # (common/cmd.c:119-130); with no frame loop here every
+            # command runs to completion, so wait is a no-op
+            "wait": lambda argv: None,
         }
         if defaults:
             # F_Init defaults, fisheye.c:668-672.
@@ -200,9 +208,23 @@ class Session:
     def cmd(self, line: str) -> None:
         """Execute one console command line (``Cmd_ExecuteString`` analog).
 
-        Semicolons separate commands as in the Quake console buffer.
+        Semicolons separate commands as in the Quake console buffer —
+        but only OUTSIDE double quotes: ``Cbuf_Execute`` counts quotes
+        and ignores ``;`` while the count is odd (``common/cmd.c:
+        190-200``), which is what lets an alias body carry a
+        multi-command string.
         """
-        for part in line.split(";"):
+        parts, cur, quotes = [], [], 0
+        for ch in line:
+            if ch == '"':
+                quotes += 1
+            if ch == ";" and not (quotes & 1):
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        for part in parts:
             part = part.strip()
             if not part:
                 continue
@@ -220,6 +242,23 @@ class Session:
                 continue
             handler = self._commands.get(argv[0])
             if handler is None:
+                # aliases expand only after real commands miss
+                # (Cmd_ExecuteString order, common/cmd.c:758-775)
+                value = self.aliases.get(argv[0])
+                if value is not None:
+                    # Cbuf_InsertText(a->value): the alias body replaces
+                    # the whole line; args after the alias name drop.
+                    # The reference's Cbuf would spin forever on a
+                    # self-referential alias — bound the depth instead.
+                    if self._alias_depth >= 16:
+                        self._print(f'alias loop through "{argv[0]}"')
+                        continue
+                    self._alias_depth += 1
+                    try:
+                        self.cmd(value)
+                    finally:
+                        self._alias_depth -= 1
+                    continue
                 self._print(f'Unknown command "{argv[0]}"')
                 continue
             handler(argv)
@@ -390,6 +429,26 @@ class Session:
                 # the C path execs raw bytes, so undecodable files must
                 # not crash the session either.
                 self._print(f"couldn't exec {argv[1]}")
+
+    def _cmd_alias(self, argv):
+        """``Cmd_Alias_f`` (``common/cmd.c:373-432``): no args lists the
+        aliases; else ``alias <name> <value...>`` stores argv[2:] joined
+        with single spaces (the usual form quotes the body as one arg:
+        ``alias zoomin "f_fov 90"``)."""
+        if len(argv) == 1:
+            self._print("Current alias commands:")
+            for name, value in self.aliases.items():
+                self._print(f"{name} : {value}")
+            return
+        name = argv[1]
+        if len(name) >= 32:  # MAX_ALIAS_NAME, common/cmd.c:42
+            self._print("Alias name is too long")
+            return
+        self.aliases[name] = " ".join(argv[2:])
+
+    def _cmd_echo(self, argv):
+        """``Cmd_Echo_f`` (``common/cmd.c:343-350``)."""
+        self._print(" ".join(argv[1:]))
 
     def press_key(self, key: str) -> None:
         """Run the command bound to *key* (the shortcut-key surface)."""
@@ -759,8 +818,13 @@ class Session:
 
     # ------------------------------------------------------------- config
     def config_str(self) -> str:
-        """``F_WriteConfig`` (``fisheye.c:683-696``)."""
-        lines = [
+        """``Host_WriteConfiguration`` (``NQ/host.c:272-291``): key binds
+        (``Key_WriteBindings``) then cvars then the fisheye state block
+        (``F_WriteConfig``, ``fisheye.c:683-696``).  Aliases are written
+        too — an extension (the reference loses them on restart)."""
+        lines = [f'bind "{k}" "{v}"' for k, v in self.bindings.items()]
+        lines += [f'alias "{n}" "{v}"' for n, v in self.aliases.items()]
+        lines += [
             f"fov {self.fov:g}",
             f"fisheye {int(self.fisheye_enabled)}",
             f'f_lens "{self.lens_name}"',

@@ -237,8 +237,10 @@ def encode_gif_u32(screens, delay_cs: int = 5, loop: int = 0) -> bytes:
     the viewer's ``/record.gif``: unpacks, builds ONE global median-cut
     palette over the whole sequence (``palette.quantize_rgb``), then
     encodes losslessly in palette space.  ``screens``: a list of [H, W]
-    u32 arrays or an [N, H, W] / [H, W, N] u32 array (N inferred from
-    the u32 dtype layout: lists and leading-axis stacks only).
+    u32 arrays or an [N, H, W] u32 array — the batch axis must LEAD.
+    A batch-innermost [H, W, N] screen stack (Session.render's layout)
+    must be ``moveaxis(-1, 0)``'d by the caller; it cannot be told apart
+    from [N, H, W] here, and encoding it as-is would transpose frames.
     """
     from blinky_tpu.kernels.remap import unpack_rgb
     from blinky_tpu.palette import quantize_rgb

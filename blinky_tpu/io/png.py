@@ -118,6 +118,8 @@ def decode_png(data: bytes) -> np.ndarray:
         if crc != zlib.crc32(tag + body) & 0xFFFFFFFF:
             raise ValueError(f"bad CRC in {tag!r} chunk")
         if tag == b"IHDR":
+            if length != 13:  # crafted length with a valid CRC would
+                raise ValueError("bad IHDR length")  # hit struct.error
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"IDAT":
             idat += body

@@ -502,8 +502,14 @@ class VectorInterpreter(Interpreter):
     def _exec_break(self):
         m = self._eff_mask()
         fr = self._vframes[-1] if self._vframes else None
-        if m is None or fr is None or not fr.loops:
+        if m is None:
             raise _Break()
+        if fr is None or not fr.loops:
+            # a lane mask is active but no frame/loop registry can record
+            # per-lane breaks (array-valued top-level code): a uniform
+            # _Break would exit the loop for ALL lanes — defer to the
+            # scalar fallback, which replays exact per-lane behavior
+            raise Unvectorizable("masked break outside a tracked call frame")
         loop = fr.loops[-1]
         loop.broke = m if loop.broke is None else (loop.broke | m)
 

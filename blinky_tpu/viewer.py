@@ -73,7 +73,8 @@ async function refresh() {
   if (busy) return;           // never queue device work
   busy = true;
   const i = playing ? Math.floor(base + (Date.now()-t0)/1000*fps) % n : base % n;
-  const fl = document.getElementById('follow').checked ? '&follow=1' : '';
+  const fl = document.getElementById('follow').checked
+    ? '&follow=1&t=%TOKEN%' : '';
   document.getElementById('rec').href =
     '/record.gif?t=%TOKEN%&d=' + Math.max(2, Math.round(100/fps)) + fl;
   try {
@@ -206,6 +207,11 @@ class Viewer:
                     elif url.path == "/frame.png":
                         i = int(q.get("i", ["0"])[0]) % len(viewer.frames)
                         follow = q.get("follow", ["0"])[0] == "1"
+                        # follow=1 mutates session state (setviewangles in
+                        # _render_screen) — token-gated like /cmd and /key
+                        if follow and q.get("t", [""])[0] != viewer.token:
+                            self._send(403, b"bad token", "text/plain")
+                            return
                         png, status = viewer.render_png(i, follow=follow)
                         self._send(200, png, "image/png",
                                    extra=[("X-Status", status)])

@@ -312,3 +312,26 @@ end
     p.unlink()
     vx, vy, vz, ok = lens.inverse(0.25, -0.5)  # scalar call -> fallback
     assert float(vx) == 0.25 and bool(ok)
+
+
+def test_masked_toplevel_break_is_unvectorizable():
+    """A masked `break` with no tracked call frame (array-valued
+    TOP-LEVEL code) must raise Unvectorizable rather than exiting the
+    loop uniformly for all lanes — ADVICE r2: a uniform _Break here
+    silently diverges from scalar per-lane semantics, so the scalar
+    fallback must take over."""
+    it = VectorInterpreter()
+    it.globals.vars["xs"] = np.array([1.0, -1.0, 2.0])
+    with pytest.raises(Unvectorizable, match="masked break"):
+        it.run("""
+n = 0
+while true do
+  n = n + 1
+  if xs > 0 then break end
+  if n > 3 then break end
+end
+""")
+    # an UNmasked top-level break still exits normally
+    it2 = VectorInterpreter()
+    it2.run("m = 0\nwhile true do m = m + 1; if m > 2 then break end end")
+    assert float(np.asarray(it2.get_global("m"))) == 3.0

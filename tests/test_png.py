@@ -38,6 +38,19 @@ def test_bad_inputs():
     whole = encode_png(np.zeros((4, 4, 3), np.uint8))
     with pytest.raises(ValueError, match="truncated"):
         decode_png(whole[:-14])
+    # a crafted IHDR whose length != 13 but whose CRC is VALID must be a
+    # ValueError too, not a struct.error (the byte-flip fuzz can't reach
+    # this because the CRC check fires first on flipped bytes)
+    import struct
+    import zlib
+    sig = whole[:8]
+    body = whole[16:16 + 13] + b"\x00"  # 14-byte IHDR body
+    crc = zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF
+    rest = whole[8 + 4 + 4 + 13 + 4:]  # chunks after the original IHDR
+    crafted = (sig + struct.pack(">I", 14) + b"IHDR" + body
+               + struct.pack(">I", crc) + rest)
+    with pytest.raises(ValueError, match="IHDR length"):
+        decode_png(crafted)
 
 
 def _png_with_filter(img, f):

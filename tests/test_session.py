@@ -314,3 +314,71 @@ def test_auto_backend_switches_for_pose_playback():
     assert isinstance(lm.plate, jax.Array)  # device build for pose tracking
     s.cmd("setviewangles")  # reset -> exact path again
     assert s._resolved_backend() == "numpy"
+
+
+def test_alias_define_expand_list(sess):
+    """``alias`` (Cmd_Alias_f, common/cmd.c:373-432): define, expand
+    through the console, list, and redefine."""
+    sess.cmd('alias zoomin "f_fov 90"')
+    sess.cmd("zoomin")
+    assert sess.zoom.command() == "f_fov 90"
+    # args after the alias name are dropped (Cbuf_InsertText inserts
+    # only the stored value)
+    sess.cmd("zoomin 45")
+    assert sess.zoom.command() == "f_fov 90"
+    # bodies may be multi-command, separated by semicolons
+    sess.cmd('alias combo "f_lens hammer; f_vfov 120"')
+    sess.cmd("combo")
+    assert sess.lens_name == "hammer" and sess.zoom.command() == "f_vfov 120"
+    # redefinition replaces
+    sess.cmd('alias zoomin "f_fov 45"')
+    sess.cmd("zoomin")
+    assert sess.zoom.command() == "f_fov 45"
+    # listing prints name : value pairs
+    n0 = len(sess.console)
+    sess.cmd("alias")
+    lines = sess.console[n0:]
+    assert "Current alias commands:" in lines[0]
+    assert any("zoomin : f_fov 45" in ln for ln in lines)
+    # unquoted bodies join argv[2:] with single spaces
+    sess.cmd("alias z2 f_fov 100")
+    sess.cmd("z2")
+    assert sess.zoom.command() == "f_fov 100"
+
+
+def test_alias_cannot_shadow_commands_and_loops_are_bounded(sess):
+    # real commands win (Cmd_ExecuteString checks functions first,
+    # common/cmd.c:758-775)
+    sess.cmd('alias f_fov "f_vfov 77"')
+    sess.cmd("f_fov 120")
+    assert sess.zoom.command() == "f_fov 120"
+    # a self-referential alias must not hang the session
+    sess.cmd('alias a "b"; alias b "a"')
+    sess.cmd("a")
+    assert any("alias loop" in ln for ln in sess.console)
+    # an overlong name is rejected with the reference's message
+    sess.cmd(f'alias {"x" * 32} "f_fov 90"')
+    assert any("Alias name is too long" in ln for ln in sess.console)
+
+
+def test_alias_config_roundtrip(tmp_path, sess):
+    """VERDICT r2 task 7: alias round-trips through write_config /
+    exec_config (persistence is an extension over the reference, which
+    loses aliases on restart)."""
+    sess.cmd('alias zoomin "f_fov 90"')
+    sess.cmd('bind 3 "zoomin"')
+    p = tmp_path / "config.cfg"
+    sess.write_config(p)
+    s2 = Session(64, 48, backend="numpy", defaults=False)
+    s2.exec_config(p)
+    assert s2.aliases["zoomin"] == "f_fov 90"
+    s2.cmd("fisheye 1; f_globe cube; f_lens panini")
+    s2.press_key("3")
+    assert s2.zoom.command() == "f_fov 90"
+
+
+def test_echo(sess):
+    n0 = len(sess.console)
+    sess.cmd("echo hello fisheye world")
+    assert sess.console[n0:] == ["hello fisheye world"]
+    sess.cmd("wait")  # no frame loop here: accepted as a no-op

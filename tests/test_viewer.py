@@ -25,8 +25,9 @@ def served():
 
 
 def _get(v, path):
-    # state-changing endpoints require the page token (CSRF guard)
-    if path.startswith(("/cmd", "/key", "/record.gif")):
+    # state-changing endpoints require the page token (CSRF guard);
+    # frame.png?follow=1 mutates view angles, so it is gated too
+    if path.startswith(("/cmd", "/key", "/record.gif")) or "follow=1" in path:
         sep = "&" if "?" in path else "?"
         path += f"{sep}t={v.token}"
     with urlopen(v.address + path, timeout=30) as r:
@@ -124,6 +125,10 @@ def test_state_changing_endpoints_require_token(served):
     v, sess = served
     assert urlopen_status(v, "/cmd?c=f_lens%20hammer") == 403
     assert urlopen_status(v, "/key?k=3&t=wrong") == 403
+    # follow=1 mutates view angles via setviewangles — gated like /cmd;
+    # plain frame fetches stay open (read-only render)
+    assert urlopen_status(v, "/frame.png?i=0&follow=1") == 403
+    assert urlopen_status(v, "/frame.png?i=0") == 200
     assert sess.lens_name == "panini"
     # the served page embeds the real token
     _, _, page = _get(v, "/")
