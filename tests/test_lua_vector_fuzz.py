@@ -4,13 +4,27 @@ lane-for-lane bit-equal to the scalar interpreter, or cleanly raise
 ``Unvectorizable`` (never silently diverge, never crash with anything
 else).  This is the repo's contract for `.lua` drop-ins
 (`blinky_tpu/lua_vector.py`; CLAUDE.md "bit-equality vs the SCALAR
-interpreter is the contract")."""
+interpreter is the contract").
+
+Tiers (VERDICT r2 task 4):
+- default: 100 generated seeds + the committed regression corpus in
+  ``tests/lua_fuzz_corpus/`` (one file per program class that found an
+  evaluator bug in round 2);
+- deep soak: ``BLINKY_LUA_FUZZ_SEEDS=5000 pytest tests/test_lua_vector_fuzz.py``
+  (or any count) reproduces the 20k-program/0-divergence claim from
+  BASELINE.md at full scale."""
+
+import os
+from pathlib import Path
 
 import numpy as np
 import pytest
 
 from blinky_tpu.lua_vector import Unvectorizable, VectorInterpreter
 from blinky_tpu.minilua import Interpreter, LuaError
+
+FUZZ_SEEDS = int(os.environ.get("BLINKY_LUA_FUZZ_SEEDS", "100"))
+CORPUS_DIR = Path(__file__).parent / "lua_fuzz_corpus"
 
 
 class _Gen:
@@ -126,28 +140,25 @@ class _Gen:
                 f"  return {self.expr(tail_vars)}, {self.expr(tail_vars)}\nend\n")
 
 
-@pytest.mark.parametrize("seed", range(100))
-def test_random_programs_bitequal_or_unvectorizable(seed):
-    rng = np.random.default_rng(1000 + seed)
-    src = _Gen(rng).program()
+def _check_bitequal_or_refusal(src, X, Y, label):
+    """The fuzz contract on one program: the vector path is bit-equal to
+    the scalar path lane-for-lane, or raises Unvectorizable cleanly.
+    Returns False when the scalar path itself is unusable (invalid
+    program / errors on some input — the caller decides whether that's
+    a skip or a corpus failure)."""
+    N = len(X)
     si = Interpreter()
     try:
         si.run(src)
     except LuaError:
-        pytest.skip("generator produced an invalid program")
+        return False
     f_s = si.get_global("f")
-
-    N = 48
-    X = rng.uniform(-2.5, 2.5, N)
-    Y = rng.uniform(-2.5, 2.5, N)
-    # scalar ground truth (skip programs that error on some input —
-    # the vector path is allowed to refuse those via Unvectorizable)
     truth = []
     for i in range(N):
         try:
             truth.append(si.call(f_s, [float(X[i]), float(Y[i])]))
         except LuaError:
-            pytest.skip("program errors on the scalar path")
+            return False
 
     vi = VectorInterpreter()
     vi.run(src)
@@ -155,7 +166,7 @@ def test_random_programs_bitequal_or_unvectorizable(seed):
         with np.errstate(all="ignore"):
             vals, nil = vi.vcall(vi.get_global("f"), [X, Y])
     except Unvectorizable:
-        return  # clean refusal is allowed; silent divergence is not
+        return True  # clean refusal is allowed; silent divergence is not
     # a program may ignore its array inputs entirely: uniform scalar
     # returns apply to every lane; a uniformly-nil slot stays None
     vals = [None if v is None
@@ -168,16 +179,46 @@ def test_random_programs_bitequal_or_unvectorizable(seed):
         if nil is not None and nil[i]:
             # vector says: this lane returned nil (whole return)
             assert len(sv) == 0 or all(v is None for v in sv), \
-                (seed, i, X[i], Y[i], src)
+                (label, i, X[i], Y[i], src)
             continue
         assert len(sv) == len(vals) or (len(sv) == 0 and len(vals) == 0), \
-            (seed, i, sv, len(vals), src)
+            (label, i, sv, len(vals), src)
         for j, s in enumerate(sv):
             v = None if vals[j] is None else float(vals[j][i])
             if s is None:
-                assert v is None, (seed, i, j, v, src)
+                assert v is None, (label, i, j, v, src)
             else:
                 a, b = float(s), v
                 assert b is not None and (
                     a == b or (np.isnan(a) and np.isnan(b))), \
-                    (seed, i, j, a, b, src)
+                    (label, i, j, a, b, src)
+    return True
+
+
+@pytest.mark.parametrize("seed", range(FUZZ_SEEDS))
+def test_random_programs_bitequal_or_unvectorizable(seed):
+    rng = np.random.default_rng(1000 + seed)
+    src = _Gen(rng).program()
+    N = 48
+    X = rng.uniform(-2.5, 2.5, N)
+    Y = rng.uniform(-2.5, 2.5, N)
+    if not _check_bitequal_or_refusal(src, X, Y, label=seed):
+        pytest.skip("program invalid or errors on the scalar path")
+
+
+@pytest.mark.parametrize(
+    "path", sorted(CORPUS_DIR.glob("*.lua")), ids=lambda p: p.stem)
+def test_regression_corpus(path):
+    """Replay the committed corpus: one program per class that found an
+    evaluator bug in round 2 (masked-nil assignment, eager and/or,
+    masked elseif chains, pow/inf edge, mixed-slot nil, masked-call
+    global writes, per-lane loop freezing).  Unlike the generated seeds
+    these must be VALID scalar programs — a False here means the corpus
+    itself regressed."""
+    src = path.read_text()
+    rng = np.random.default_rng(int.from_bytes(path.stem.encode()[:4], "big"))
+    N = 96  # denser lanes than the generator: corner cases need hits
+    X = np.concatenate([rng.uniform(-2.5, 2.5, N - 2), [0.0, 1.0]])
+    Y = np.concatenate([rng.uniform(-2.5, 2.5, N - 2), [0.0, -1.0]])
+    assert _check_bitequal_or_refusal(src, X, Y, label=path.stem), \
+        f"{path.stem}: scalar path unusable (corpus program regressed)"
