@@ -302,8 +302,9 @@ class Session:
         if self.backend == "auto":
             if self.view_angles is not None and getattr(self.lens, "jittable", True):
                 return "jax"
-            # non-jittable lenses (.lua drop-ins) always take the host
-            # builder, which supports view_basis too — just slower
+            # the rare non-jittable lens (a .lua script that fails the
+            # trace probe, e.g. debug.lua) takes the host builder, which
+            # supports view_basis too — just slower
             return "numpy"
         return self.backend
 
@@ -457,15 +458,38 @@ class Session:
 
     # ------------------------------------------------------ lens/globe load
     def _load_lens(self) -> bool:
+        """Load/reload the active lens (``LUA_load_lens`` semantics).
+
+        The reference re-executes the script on EVERY rebuild trigger
+        (``fisheye.c:734-737``) because lens globals may depend on
+        ``numplates``; a reload is only *observable* when the globe or
+        the script file actually changed, so the loaded ``LensDef`` is
+        cached on (name, globe identity, script mtime).  Reusing the
+        same object also keeps the jitted builder's compile cache warm —
+        a zoom/pose change must not retrace the lens (and a ``.lua``
+        drop-in's traced re-run is seconds, not ms)."""
         try:
+            key = None
             if self.lens_name in lenses_mod.BUILTIN_LENSES:
+                key = (self.lens_name, id(self.globe), None)
+                cached = getattr(self, "_lens_cache", None)
+                if cached is not None and cached[0] == key:
+                    self.lens = cached[1]
+                    return True
                 self.lens = lenses_mod.get(self.lens_name, self.globe)
+                self._lens_cache = (key, self.lens)
                 return True
             for d in self.lens_dirs:
                 for ext in (".py", ".lua"):  # .lua = reference drop-ins
                     p = d / f"{self.lens_name}{ext}"
                     if p.exists():
+                        key = (str(p), id(self.globe), p.stat().st_mtime_ns)
+                        cached = getattr(self, "_lens_cache", None)
+                        if cached is not None and cached[0] == key:
+                            self.lens = cached[1]
+                            return True
                         self.lens = lenses_mod.load_lens_module(p, self.globe)
+                        self._lens_cache = (key, self.lens)
                         return True
         except Exception as e:  # loader diagnostics, fisheye.c:1671-1677
             self._print(f"could not load lens: {e}")
@@ -639,9 +663,13 @@ class Session:
         bases = poses if poses.ndim == 3 else bases_from_pose_track(poses)
         scale = calc_scale(self.zoom, self.lens, self.width_px, self.height_px)
         if not getattr(self.lens, "jittable", True):
+            # .lua drop-ins trace through the Lua->JAX evaluator and are
+            # jittable like the ports; only scripts that genuinely need
+            # per-lane control (debug.lua's numplates tables) land here
             raise ValueError(
-                "render_posed needs a jittable lens (a Python make(ctx) "
-                "module); .lua drop-ins run on the host builder only"
+                f"render_posed needs a jittable lens: '{self.lens_name}' "
+                "failed the trace probe (per-lane control flow) and runs "
+                "on the exact host builder only"
             )
         is_rgba = frames.dtype == np.uint32
         # keyed on a background GENERATION, not id(): a freed array's id

@@ -56,28 +56,36 @@ def calc_scale(zoom: Zoom, lens: LensDef, width_px: int, height_px: int) -> floa
             )
         fovr = zoom.fov * math.pi / 180
         # The probe ray passes through a vec3_t (float32) before the Lua
-        # forward call (calc_zoom, fisheye.c:1316-1339) — truncate to match.
+        # forward call (calc_zoom, fisheye.c:1316-1339) — truncate to
+        # match.  Components are handed over as 0-d float64 ARRAYS, not
+        # Python floats: the C forward math is IEEE (division by zero ->
+        # inf, discarded by a where/validity pick), and the ports' eager
+        # where-branches rely on that — a Python-float probe would raise
+        # ZeroDivisionError on e.g. the cube lens's face chain at lat=0.
+        import numpy as np
+
         def _f32ray(lat, lon):
             from blinky_tpu.geometry import latlon_to_ray_f32
 
-            return tuple(float(c) for c in latlon_to_ray_f32(lat, lon))
+            return tuple(np.float64(c) for c in latlon_to_ray_f32(lat, lon))
 
-        if zoom.type == "fov":
-            ray = _f32ray(0.0, fovr * 0.5)
-            x, _, ok = lens.forward(*ray)
-            if not bool(ok):
-                raise ZoomError(
-                    "ray_to_xy did not return a valid r value for determining FOV scale"
-                )
-            scale = float(x) / (width_px * 0.5)
-        else:
-            ray = _f32ray(fovr * 0.5, 0.0)
-            _, y, ok = lens.forward(*ray)
-            if not bool(ok):
-                raise ZoomError(
-                    "ray_to_xy did not return a valid r value for determining FOV scale"
-                )
-            scale = float(y) / (height_px * 0.5)
+        with np.errstate(all="ignore"):
+            if zoom.type == "fov":
+                ray = _f32ray(0.0, fovr * 0.5)
+                x, _, ok = lens.forward(*ray)
+                if not bool(ok):
+                    raise ZoomError(
+                        "ray_to_xy did not return a valid r value for determining FOV scale"
+                    )
+                scale = float(x) / (width_px * 0.5)
+            else:
+                ray = _f32ray(fovr * 0.5, 0.0)
+                _, y, ok = lens.forward(*ray)
+                if not bool(ok):
+                    raise ZoomError(
+                        "ray_to_xy did not return a valid r value for determining FOV scale"
+                    )
+                scale = float(y) / (height_px * 0.5)
     elif zoom.type in ("cover", "contain"):
         fit_width_scale = lens.width / width_px
         fit_height_scale = lens.height / height_px

@@ -25,8 +25,14 @@ per-pixel walk, bit-equal to the scalar interpreter), falling back to
 the scalar ``np.vectorize`` path for scalar inputs or for the rare
 script construct that needs per-lane control flow (``debug``'s
 numplates tables raise :class:`~blinky_tpu.lua_vector.Unvectorizable`).
-(The jitted f32 pose-playback builder cannot trace the interpreter;
-port hot lenses to a Python module for that.)
+
+Round 3 — Lua->JAX: jax inputs (the jitted f32 device builder,
+``render_posed``, sharded builds) trace through the same evaluator in
+its traced mode (:class:`_TracedLua`), so ``.lua`` drop-ins are
+first-class on device like every Python lens — the reference's
+one-builder-for-every-lens contract (``fisheye.c:1659-1750``).
+``LensDef.jittable`` is decided by an abstract probe at load time;
+scripts that genuinely need per-lane control keep the host-only path.
 """
 
 from __future__ import annotations
@@ -69,10 +75,17 @@ def _f32round(v):
     return np.asarray(v, np.float64).astype(np.float32).astype(np.float64)
 
 
+def _is_traced(*vs) -> bool:
+    return any(xm._is_jax(v) for v in vs)
+
+
 def _vector_latlon_to_ray(lat, lon):
     """Array CtoLUA_latlon_to_ray, elementwise-identical to the scalar
     one (xmath routes f64 transcendentals through the same glibc libm
-    Python's ``math`` calls)."""
+    Python's ``math`` calls).  Traced (jax) inputs take the device f32
+    path — the vec3_t truncation is a no-op there, same as the ports."""
+    if _is_traced(lat, lon):
+        return geometry.latlon_to_ray_f32(lat, lon)
     if not _is_vec(lat, lon):
         return _scalar_latlon_to_ray(lat, lon)
     clat = xm.cos(lat)
@@ -81,6 +94,8 @@ def _vector_latlon_to_ray(lat, lon):
 
 
 def _vector_ray_to_latlon(x, y, z):
+    if _is_traced(x, y, z):
+        return geometry.ray_to_latlon(x, y, z)  # f32 production path
     if not _is_vec(x, y, z):
         return _scalar_ray_to_latlon(x, y, z)
     x32 = np.asarray(x, np.float64).astype(np.float32)
@@ -102,11 +117,20 @@ def make_lua_builtins(globe=None, vector=False) -> dict:
     def plate_to_ray(i, u, v):
         if globe is None:
             return None
-        if _is_vec(i):
+        if _is_vec(i) or _is_traced(i):
             raise Unvectorizable("array-valued plate index")
         pi = int(np.asarray(i)[()] if isinstance(i, np.ndarray) else i)
         if pi < 0 or pi >= globe.numplates:
             return None  # lua_pushnil, fisheye.c:1528-1531
+        if _is_traced(u, v):
+            # device f32 path: same boundary the jitted builder applies
+            # (builder.py keys sqrt precision on the trace dtype)
+            import jax.numpy as jnp
+
+            return geometry.plate_uv_to_ray_c(
+                u, v, globe.forward[pi], globe.right[pi], globe.up[pi],
+                globe.dist[pi], jnp, jnp.float32, jnp.float32,
+            )
         if _is_vec(u, v):
             rx, ry, rz = geometry.plate_uv_to_ray_c(
                 np.asarray(u, np.float64), np.asarray(v, np.float64),
@@ -132,6 +156,61 @@ def make_lua_builtins(globe=None, vector=False) -> dict:
     return out
 
 
+class _TracedLua:
+    """Trace a script function with jax values (the Lua->JAX emission
+    path, VERDICT r2 task 1).
+
+    A FRESH interpreter runs the script per trace: jit caches traces, so
+    this happens once per (shape, dtype) — and it guarantees no tracer
+    from an earlier trace leaks through mutated globals (eckert4's
+    memoized row, quincuncial's AGM tables).  Top-level code runs with
+    concrete scalars exactly as at load time; only the lens-function
+    arguments are traced, so the evaluator's type-driven traced
+    semantics engage just for the lane math."""
+
+    def __init__(self, src, globe):
+        self.src = src
+        self.globe = globe
+
+    def call(self, name, args, nout):
+        """-> tuple of ``nout`` jnp arrays + a validity array."""
+        import jax.numpy as jnp
+
+        it = VectorInterpreter(
+            builtins=make_lua_builtins(self.globe, vector=True))
+        it.run(self.src)
+        fn = it.get_global(name)
+        if fn is None:
+            raise Unvectorizable(f"{name} not defined")
+        with np.errstate(all="ignore"):
+            vals, nil = it.vcall(fn, list(args))
+        shape = np.broadcast_shapes(*[np.shape(a) for a in args])
+        if len(vals) == 0:  # uniformly nil
+            z = jnp.zeros(shape, jnp.float32)
+            return (z,) * nout + (jnp.zeros(shape, bool),)
+        if len(vals) != nout:
+            raise LuaError(f"{name} must return {nout} numbers or nil")
+        ok = (jnp.ones(shape, bool) if nil is None
+              else ~jnp.broadcast_to(jnp.asarray(nil), shape))
+        return tuple(jnp.broadcast_to(jnp.asarray(v), shape)
+                     for v in vals) + (ok,)
+
+    def probe(self, name, nargs, nout) -> bool:
+        """Can *name* be traced?  Abstract evaluation on a tiny grid —
+        no compilation, a few ms; decides ``LensDef.jittable`` at load
+        so the device builder / render_posed / sharded builds accept the
+        script, falling back to host-only exactly when the script truly
+        needs per-lane control (Unvectorizable)."""
+        import jax
+
+        try:
+            args = [jax.ShapeDtypeStruct((3, 4), np.float32)] * nargs
+            jax.eval_shape(lambda *a: self.call(name, a, nout), *args)
+            return True
+        except Exception:
+            return False
+
+
 class _ScalarFallback:
     """Lazily built scalar-interpreter twin of a script (used for
     scalar inputs and after an :class:`Unvectorizable`).  Captures the
@@ -152,13 +231,14 @@ class _ScalarFallback:
         return self._interp.get_global(name)
 
 
-def _vectorize_inverse(luafn, vinterp, fallback):
+def _vectorize_inverse(luafn, vinterp, fallback, traced=None):
     """Wrap a Lua ``lens_inverse`` into the array contract
     ``(x, y) -> (vx, vy, vz, valid)`` with the LUAtoC nil protocol.
 
-    Array inputs go through the masked vectorized evaluator; scalar
-    inputs (and scripts that raise Unvectorizable) use the per-element
-    scalar interpreter."""
+    jax inputs (the jitted device builder / render_posed tracing the
+    lens) run through a fresh traced evaluator; NumPy array inputs go
+    through the masked vectorized evaluator; scalar inputs (and scripts
+    that raise Unvectorizable) use the per-element scalar interpreter."""
     state = {"vector_ok": True}
 
     def scalar(x, y):
@@ -172,6 +252,8 @@ def _vectorize_inverse(luafn, vinterp, fallback):
     vec = np.vectorize(scalar, otypes=[np.float64, np.float64, np.float64, bool])
 
     def inverse(x, y):
+        if _is_traced(x, y):
+            return traced.call("lens_inverse", (x, y), 3)
         X = np.asarray(x, np.float64)
         Y = np.asarray(y, np.float64)
         if state["vector_ok"] and (X.ndim or Y.ndim):
@@ -198,7 +280,7 @@ def _vectorize_inverse(luafn, vinterp, fallback):
     return inverse
 
 
-def _vectorize_forward(luafn, vinterp, fallback):
+def _vectorize_forward(luafn, vinterp, fallback, traced=None):
     state = {"vector_ok": True}
 
     def scalar(x, y, z):
@@ -212,6 +294,8 @@ def _vectorize_forward(luafn, vinterp, fallback):
     vec = np.vectorize(scalar, otypes=[np.float64, np.float64, bool])
 
     def forward(x, y, z):
+        if _is_traced(x, y, z):
+            return traced.call("lens_forward", (x, y, z), 2)
         X = np.asarray(x, np.float64)
         if state["vector_ok"] and (X.ndim or np.asarray(y).ndim
                                    or np.asarray(z).ndim):
@@ -246,15 +330,22 @@ def load_lua_lens(path, globe=None):
     interp = VectorInterpreter(builtins=make_lua_builtins(globe, vector=True))
     interp.run(src)
     fallback = _ScalarFallback(src, globe)
+    traced = _TracedLua(src, globe)
 
     spec = {}
     inv = interp.get_global("lens_inverse")
     fwd = interp.get_global("lens_forward")
     if inv is not None:
-        spec["lens_inverse"] = _vectorize_inverse(inv, interp, fallback)
+        spec["lens_inverse"] = _vectorize_inverse(inv, interp, fallback,
+                                                  traced)
     if fwd is not None:
-        spec["lens_forward"] = _vectorize_forward(fwd, interp, fallback)
-    spec["jittable"] = False  # the interpreter is not jax-traceable
+        spec["lens_forward"] = _vectorize_forward(fwd, interp, fallback,
+                                                  traced)
+    # Lua->JAX: jittable iff the map driving the builder traces cleanly
+    # (abstract probe, no compilation).  Forward-only lenses rasterize on
+    # the host either way, so only the inverse map gates device builds.
+    spec["jittable"] = (inv is None
+                        or traced.probe("lens_inverse", 2, 3))
     for name in ("map", "onload"):
         v = interp.get_global(name)
         if v is not None:
@@ -307,6 +398,27 @@ def load_lua_globe(path):
         vec = np.vectorize(scalar, otypes=[np.int32])
 
         def resolver(x, y, z, globe):  # noqa: F811 - the exported resolver
+            if _is_traced(x, y, z):
+                # jitted builder path (LUAtoC_globe_plate under trace):
+                # nil / NaN -> -1 like the concrete branch below
+                import jax.numpy as jnp
+
+                it = VectorInterpreter(
+                    builtins=make_lua_builtins(None, vector=True))
+                it.run(src)
+                with np.errstate(all="ignore"):
+                    vals, nil = it.vcall(it.get_global("globe_plate"),
+                                         [x, y, z])
+                shape = np.broadcast_shapes(*map(np.shape, (x, y, z)))
+                if len(vals) == 0:
+                    return jnp.full(shape, -1, jnp.int32)
+                v = jnp.broadcast_to(jnp.asarray(vals[0]), shape)
+                out = jnp.trunc(jnp.where(jnp.isnan(v), -1, v)).astype(
+                    jnp.int32)
+                if nil is not None:
+                    out = jnp.where(jnp.broadcast_to(nil, shape),
+                                    jnp.int32(-1), out)
+                return out
             X = np.asarray(x, np.float64)
             Y = np.asarray(y, np.float64)
             Z = np.asarray(z, np.float64)

@@ -209,3 +209,28 @@ def test_sweep_gif(tmp_path):
 
     # an invalid lens errors out instead of writing junk
     assert main(["sweep", "--lens", "nosuch", "--out", str(out)]) == 2
+
+
+def test_sweep_gif_lua_lens(tmp_path):
+    """Round 3 (Lua->JAX): `sweep` drives a .lua drop-in through the
+    jitted zoom-rebuild path, identically to the Python port."""
+    import shutil
+
+    from blinky_tpu.cli import main
+    from blinky_tpu.io.gif import decode_gif
+
+    shutil.copy("/root/reference/game/lua-scripts/lenses/stereographic.lua",
+                tmp_path / "mystereo.lua")
+    out_lua = tmp_path / "lua.gif"
+    rc = main(["sweep", "--lens", "mystereo", "--lens-dir", str(tmp_path),
+               "--width", "64", "--height", "48", "--steps", "3",
+               "--start", "120", "--stop", "300", "--out", str(out_lua)])
+    assert rc == 0
+    out_py = tmp_path / "py.gif"
+    rc = main(["sweep", "--lens", "stereographic",
+               "--width", "64", "--height", "48", "--steps", "3",
+               "--start", "120", "--stop", "300", "--out", str(out_py)])
+    assert rc == 0
+    fl, _, _ = decode_gif(out_lua.read_bytes())
+    fp, _, _ = decode_gif(out_py.read_bytes())
+    np.testing.assert_array_equal(fl, fp)

@@ -166,10 +166,11 @@ def test_lua_forward_only_lens_in_session(tmp_path, cube):
     np.testing.assert_array_equal(out_lua, np.asarray(ref.render(frames)))
 
 
-def test_lua_lens_with_view_rotation_stays_on_host_builder(tmp_path):
-    """A .lua lens is not jax-traceable; setviewangles must keep the
-    session on the f64 host builder (which supports view_basis) instead
-    of crashing in the jitted builder."""
+def test_lua_lens_view_rotation_takes_device_builder(tmp_path):
+    """Round 3 (Lua->JAX): a traceable .lua lens is jittable, so
+    setviewangles routes to the f32 DEVICE builder exactly like a
+    Python port — the reference's one-builder-for-every-lens contract
+    (fisheye.c:1659-1750)."""
     import shutil
 
     from blinky_tpu.api import Session
@@ -178,11 +179,74 @@ def test_lua_lens_with_view_rotation_stays_on_host_builder(tmp_path):
     shutil.copy(LUA_DIR / "lenses" / "hammer.lua", tmp_path / "h.lua")
     sess = Session(48, 36, lens_dirs=[tmp_path])
     sess.cmd("f_lens h")
+    assert sess.lens.jittable
+    sess.cmd("setviewangles 10 20 0")
+    assert sess._resolved_backend() == "jax"
+    frames = synthetic_cubemap(sess.platesize)
+    out = np.asarray(sess.render(frames))
+    assert out.shape == (36, 48)
+    # the rotated .lua build matches the rotated Python-port build
+    ref = Session(48, 36)
+    ref.cmd("f_lens hammer; setviewangles 10 20 0")
+    np.testing.assert_array_equal(out, np.asarray(ref.render(frames)))
+    # render_posed accepts the .lua lens now (api.py raise is gone for
+    # traceable scripts)
+    posed = np.asarray(sess.render_posed(frames[..., None],
+                                         np.zeros((1, 3))))
+    assert posed.shape == (1, 36, 48)
+
+
+def test_untraceable_lua_lens_stays_on_host_builder(tmp_path):
+    """debug.lua genuinely needs per-lane table layout (numplates
+    tables): it must stay on the exact f64 host builder, and
+    render_posed must refuse it with a clear diagnostic."""
+    import shutil
+
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.cubemap import synthetic_cubemap
+
+    shutil.copy(LUA_DIR / "lenses" / "debug.lua", tmp_path / "dbg.lua")
+    sess = Session(48, 36, lens_dirs=[tmp_path])
+    sess.cmd("f_lens dbg")
     assert not sess.lens.jittable
     sess.cmd("setviewangles 10 20 0")
     assert sess._resolved_backend() == "numpy"
     frames = synthetic_cubemap(sess.platesize)
-    out = np.asarray(sess.render(frames))
-    assert out.shape == (36, 48)
+    assert np.asarray(sess.render(frames)).shape == (36, 48)
     with pytest.raises(ValueError, match="jittable"):
         sess.render_posed(frames[..., None], np.zeros((1, 3)))
+
+
+@pytest.mark.parametrize("name", [
+    "panini", "stereographic", "fisheye2", "cube", "mollweide",
+    "eckert4", "winkeltripel", "vandergrinten", "quincuncial",
+])
+def test_lua_device_build_matches_port_device_build(name, cube):
+    """VERDICT r2 task 1 pin: the .lua f32 DEVICE lensmap equals the
+    Python-port f32 device lensmap on small grids (same jitted builder,
+    same f32 math, same masked-loop semantics).  quincuncial tolerates
+    f32 noise: the port bakes static AGM tables at load while the
+    script's tables go through the evaluator."""
+    from blinky_tpu import lenses
+    from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+
+    lua = load_lua_lens(LUA_DIR / "lenses" / f"{name}.lua", cube)
+    port = lenses.get(name, cube)
+    assert lua.jittable
+    zoom = (Zoom("fov", min(140, lua.max_fov)) if lua.max_fov > 0
+            else Zoom("contain"))  # quincuncial declares bounds only
+    scale = calc_scale(zoom, port, 64, 48)
+    lm_lua = build_lensmap(lua, cube, scale, 64, 48, 32, backend="jax")
+    lm_port = build_lensmap(port, cube, scale, 64, 48, 32, backend="jax")
+    a, b = np.asarray(lm_lua.valid), np.asarray(lm_port.valid)
+    if name == "quincuncial":
+        assert (a == b).mean() > 0.99
+        m = a & b
+        assert (np.asarray(lm_lua.flat_idx)[m]
+                == np.asarray(lm_port.flat_idx)[m]).mean() > 0.99
+        return
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(np.asarray(lm_lua.flat_idx),
+                                  np.asarray(lm_port.flat_idx))
+    np.testing.assert_array_equal(np.asarray(lm_lua.tint),
+                                  np.asarray(lm_port.tint))

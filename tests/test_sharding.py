@@ -197,3 +197,31 @@ def test_equirect_ingest_sharded():
     np.testing.assert_array_equal(np.asarray(shard), ref)
     # output is actually distributed over the data axis
     assert len(shard.sharding.device_set) > 1
+
+
+def test_sharded_builder_accepts_lua_lens():
+    """Round 3 (Lua->JAX): a .lua drop-in goes through the row-sharded
+    device builder and bit-equals its own single-device f32 build AND
+    the Python port's sharded build."""
+    from blinky_tpu.lua_bridge import load_lua_lens
+    from blinky_tpu.parallel import build_lensmap_sharded
+
+    W, H, S = 64, 48, 32
+    g = globes.get("cube")
+    lua = load_lua_lens(
+        "/root/reference/game/lua-scripts/lenses/stereographic.lua", g)
+    assert lua.jittable
+    port = lenses.get("stereographic", g)
+    scale = calc_scale(Zoom("fov", 300), port, W, H)
+    mesh = make_mesh(n_data=4, n_space=2)
+    lm_sh = build_lensmap_sharded(lua, g, scale, W, H, mesh, platesize=S)
+    lm_single = build_lensmap(lua, g, scale, W, H, S, backend="jax")
+    lm_port = build_lensmap_sharded(port, g, scale, W, H, mesh, platesize=S)
+    for f in ("plate", "px", "py", "valid", "tint", "flat_idx"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(lm_sh, f)), np.asarray(getattr(lm_single, f)),
+            err_msg=f"{f} vs single")
+        np.testing.assert_array_equal(
+            np.asarray(getattr(lm_sh, f)), np.asarray(getattr(lm_port, f)),
+            err_msg=f"{f} vs port")
+    assert len(lm_sh.flat_idx.sharding.device_set) == 8
