@@ -114,6 +114,7 @@ class Session:
         backend: str = "auto",
         echo: bool = False,
         defaults: bool = True,
+        build_budget_s: Optional[float] = None,
     ):
         # backend policy ("auto", the default): static builds (no view
         # rotation) use the exact float64 host builder — Session.lensmap
@@ -159,6 +160,11 @@ class Session:
         self._lensmap = None
         self._kernel = None
         self._background = None
+        # Time-sliced exact builds (fisheye.c:306-322 analog): seconds of
+        # exact-build work per render() call; None = block until exact.
+        # Interactive hosts (the viewer) set ~1/60 like the reference.
+        self.build_budget_s = build_budget_s
+        self._pending_build = None
 
         self._commands = {
             "fov": self._cmd_plainfov,
@@ -514,9 +520,18 @@ class Session:
     def _rebuild(self) -> None:
         """Change-driven lensmap rebuild (``F_RenderView``,
         ``fisheye.c:730-746``): reload the lens (its metadata may depend on
-        the globe), re-solve the zoom, rebuild the gather table."""
+        the globe), re-solve the zoom, rebuild the gather table.
+
+        With :attr:`build_budget_s` set and a seconds-scale exact host
+        build ahead, the build becomes TIME-SLICED (the reference's
+        resumable builder, ``fisheye.c:306-322``): an instant preview
+        lensmap is installed now — the f32 device build when the lens
+        traces, else the growing partial table (pixels appear) — and
+        each :meth:`render` advances the exact build by the budget until
+        it swaps in (bit-identical to the blocking build)."""
         self._lensmap = None
         self._kernel = None
+        self._pending_build = None
         if not (self.lens_valid and self.globe_valid):
             self._changed = False
             return
@@ -533,6 +548,35 @@ class Session:
             self._print(str(e))
             self._changed = False
             return
+        backend = self._resolved_backend()
+        if (self.build_budget_s is not None and backend == "numpy"
+                and self.lens.map_type == "inverse"):
+            from blinky_tpu.lensmap.progressive import ProgressiveHostBuild
+
+            pb = ProgressiveHostBuild(
+                self.lens, self.globe, scale, self.width_px, self.height_px,
+                self.platesize, numcells=self.rubix_numcells,
+                cell_size=self.rubix_cell_size, pad_size=self.rubix_pad_size,
+                view_basis=self._view_basis(),
+            )
+            self._pending_build = pb
+            if getattr(self.lens, "jittable", True):
+                # instant f32 device preview (ms; drift docs/PERF.md §5)
+                self._lensmap = build_lensmap(
+                    self.lens, self.globe, scale, self.width_px,
+                    self.height_px, self.platesize,
+                    numcells=self.rubix_numcells,
+                    cell_size=self.rubix_cell_size,
+                    pad_size=self.rubix_pad_size, backend="jax",
+                    view_basis=self._view_basis(),
+                )
+            else:
+                pb.step(self.build_budget_s)  # first slice right away
+                self._lensmap = pb.partial()
+            self._kernel = RemapKernel(self._lensmap, self.palette,
+                                       self._background)
+            self._changed = False
+            return
         self._lensmap = build_lensmap(
             self.lens,
             self.globe,
@@ -543,16 +587,45 @@ class Session:
             numcells=self.rubix_numcells,
             cell_size=self.rubix_cell_size,
             pad_size=self.rubix_pad_size,
-            backend=self._resolved_backend(),
+            backend=backend,
             view_basis=self._view_basis(),
         )
         self._kernel = RemapKernel(self._lensmap, self.palette, self._background)
         self._changed = False
 
+    def _advance_build(self, budget_s=None):
+        """One time slice of a pending exact build (``resume_lensmap``,
+        ``fisheye.c:744-746,2074``); swaps the exact table in when it
+        lands.  ``budget_s=None`` finishes the build (blocking)."""
+        pb = self._pending_build
+        if pb is None:
+            return
+        pb.step(float("inf") if budget_s is None else budget_s)
+        if pb.done:
+            self._lensmap = pb.result()
+            self._kernel = RemapKernel(self._lensmap, self.palette,
+                                       self._background)
+            self._pending_build = None
+        elif not getattr(self.lens, "jittable", True):
+            # pixels-appearing preview: refresh the partial table
+            self._lensmap = pb.partial()
+            self._kernel = RemapKernel(self._lensmap, self.palette,
+                                       self._background)
+
+    @property
+    def build_progress(self):
+        """Exact-build progress 0..1 while a time-sliced build is
+        pending, else None."""
+        pb = self._pending_build
+        return None if pb is None else pb.progress
+
     @property
     def lensmap(self):
         if self._changed or self._lensmap is None:
             self._rebuild()
+        # direct lensmap access demands the EXACT table (parity
+        # consumers, saveglobe): finish any pending sliced build now
+        self._advance_build(budget_s=None)
         return self._lensmap
 
     @property
@@ -616,7 +689,13 @@ class Session:
             if kernel is not None:
                 return kernel(frames, rubix=False, decode_rgb=decode_rgb)
             return self._background_screen(frames)
-        lm = self.lensmap
+        if self._changed or self._lensmap is None:
+            self._rebuild()
+        # advance any pending time-sliced exact build by one budget slice
+        # (resume_lensmap, fisheye.c:744-746) — renders use the preview
+        # until the exact table swaps in
+        self._advance_build(budget_s=self.build_budget_s)
+        lm = self._lensmap
         if self.save_request is not None:
             name, with_margins = self.save_request
             self.save_request = None

@@ -108,8 +108,16 @@ def inverse_grid(
     xp,
     dtype,
     view_basis=None,
+    row_range=None,
 ):
     """The full inverse-path lensmap computation over the pixel grid.
+
+    ``row_range=(r0, r1)`` computes only screen rows ``r0..r1`` (the
+    resumable-build cursor, ``fisheye.c:306-322``): every per-pixel
+    quantity is elementwise in the pixel's absolute coordinates, so a
+    row block is bit-identical to the same rows of a full build
+    (``plates_used`` then covers just the block — callers OR blocks
+    together).
 
     Per pixel (``resume_lensmap_inverse``, ``fisheye.c:2084-2124``):
     screen -> lens plane (note the C integer division ``width_px/2``),
@@ -129,11 +137,12 @@ def inverse_grid(
     half_h = height_px // 2  # fisheye.c:2100
     scale = xp.asarray(scale, dtype=dtype)
 
+    r0, r1 = (0, height_px) if row_range is None else row_range
     lx = xp.arange(width_px, dtype=xp.int32)
-    ly = xp.arange(height_px, dtype=xp.int32)
+    ly = xp.arange(r0, r1, dtype=xp.int32)
     x = ((lx - half_w).astype(dtype) * scale)[None, :]
     y = (-(ly - half_h).astype(dtype) * scale)[:, None]
-    shape = (height_px, width_px)
+    shape = (r1 - r0, width_px)
     X = xp.broadcast_to(x, shape)
     Y = xp.broadcast_to(y, shape)
 

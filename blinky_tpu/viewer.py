@@ -167,6 +167,11 @@ class Viewer:
         if len(frames) == 0:
             raise ValueError("Viewer needs at least one frame")
         self.session = session
+        if session.build_budget_s is None:
+            # interactive host: never block the page on a seconds-scale
+            # exact build — time-slice it like the reference's frame
+            # loop (1/60 s, fisheye.c:645) and paint the preview
+            session.build_budget_s = 1 / 60
         self.frames = frames
         # optional demo pose track: /frame.png?follow=1 applies pose i
         # before rendering (the demo-playback camera, cl_demo.c)
@@ -299,6 +304,9 @@ class Viewer:
                   f"{sess.width_px}x{sess.height_px}  "
                   f"f_lens {sess.lens_name}  f_globe {sess.globe_name}  "
                   f"{sess.zoom.command() or ''}")
+        prog = sess.build_progress
+        if prog is not None:  # exact build still landing behind the preview
+            status += f"  [exact build {prog * 100:.0f}%]"
         return png, status
 
     def render_gif(self, start: int = 0, count=None, follow: bool = False,
@@ -311,6 +319,9 @@ class Viewer:
         (``palette.quantize_rgb``)."""
         n = len(self.frames)
         count = n if count is None else max(1, min(int(count), n))
+        _ = self.session.lensmap  # captures are exact: finish any
+        # pending time-sliced build before recording (blocks, as any
+        # capture does on this single-threaded server)
         shots = [self._render_screen((start + k) % n, follow)
                  for k in range(count)]
         from blinky_tpu.io.gif import encode_gif, encode_gif_u32

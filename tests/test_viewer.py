@@ -209,3 +209,35 @@ def test_record_gif_true_color_quantizes():
         assert err.mean() < 8
     finally:
         v.stop()
+
+
+def test_viewer_lens_switch_time_sliced():
+    """VERDICT r2 task 3: a lens switch must not freeze the page for the
+    full exact build — the viewer enables the session's time-sliced
+    builder (1/60 s like the reference, fisheye.c:645), paints the f32
+    preview immediately, reports progress in the HUD, and converges to
+    the exact table."""
+    sess = Session(96, 72, platesize=48)
+    assert sess.build_budget_s is None
+    frames = synthetic_cubemap(48)[None]
+    v = Viewer(sess, frames)
+    assert sess.build_budget_s == pytest.approx(1 / 60)
+    v.start()
+    try:
+        _get(v, "/cmd?c=f_lens%20winkeltripel")
+        # first frame: preview while the exact build is pending
+        _, headers, _ = _get(v, "/frame.png?i=0")
+        assert sess.build_progress is not None
+        assert "[exact build" in headers["X-Status"]
+        for _ in range(400):
+            _, headers, body = _get(v, "/frame.png?i=0")
+            if sess.build_progress is None:
+                break
+        assert sess.build_progress is None
+        assert "[exact build" not in headers["X-Status"]
+    finally:
+        v.stop()
+    ref = Session(96, 72, platesize=48, backend="numpy")
+    ref.cmd("f_lens winkeltripel")
+    np.testing.assert_array_equal(
+        np.asarray(sess.render(frames[0])), np.asarray(ref.render(frames[0])))
