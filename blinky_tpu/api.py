@@ -876,12 +876,9 @@ class Session:
                                   bilinear=bilinear)
             self._equirect_cache = (key, kern)
         faces = self._equirect_cache[1](panos)  # device [P, S, S, B] u32
-        if self.rubix_enabled:
-            # rubix on a u32 source needs the expanded raw||tinted layout;
-            # the expansion is elementwise integer math, done on-device
-            from blinky_tpu.kernels.remap import expand_frames_tinted_rgba
-
-            faces = expand_frames_tinted_rgba(faces)
+        # rubix on the u32 faces: the remap kernel tints AFTER the gather
+        # (post-gather path) — no on-device source expansion, so the
+        # face batch needs half the HBM it used to
         out = self.render(faces)
         if out.dtype != np.uint32:
             # disabled/invalid-lens fallback returns the u8 palette

@@ -137,6 +137,13 @@ def config4_batched_demo(quick=False):
                                    rubix=False, rgba=True, compact=True)
     both_c = run_gather_throughput(batch=b_both_c, iters=iters,
                                    rubix=True, rgba=True, compact=True)
+    # the post-gather true-color tint variant (VERDICT r2 task 2): raw
+    # 5-plane source + elementwise tint on the gathered screen — measured
+    # so the expanded-source-wins conclusion (docs/PERF.md §7) stays
+    # regression-checked
+    both_post = run_gather_throughput(batch=48 if quick else 384,
+                                      iters=iters, rubix=True, rgba=True,
+                                      compact=True, tint_post=True)
     return dict(
         config=4,
         name="batched 1080p demo reprojection",
@@ -146,6 +153,7 @@ def config4_batched_demo(quick=False):
         rubix_compact_fps=round(rubix_c["fps"], 1),
         rgba_compact_fps=round(rgba_c["fps"], 1),
         rubix_rgba_compact_fps=round(both_c["fps"], 1),
+        rubix_rgba_postgather_fps=round(both_post["fps"], 1),
         build_ms=round(plain["build_ms"], 1),
         rebuild_ms=round(plain["rebuild_ms"], 1),
     )

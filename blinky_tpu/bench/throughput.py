@@ -85,6 +85,23 @@ def make_gather_bench_step(iters: int):
     return step
 
 
+def make_gather_tint_bench_step(iters: int):
+    """Bench step for the post-gather true-color tint path (raw RGBA
+    source + elementwise tint on the gathered screen)."""
+    from blinky_tpu.kernels.remap import remap_gather_tint_impl
+
+    @jax.jit
+    def step(frames, flat_idx, valid, background, tint_rgb, tint_mask):
+        def body(i, acc):
+            fi = flat_idx.at[0, 0].set(i % (flat_idx.shape[0] * flat_idx.shape[1]))
+            out = remap_gather_tint_impl(frames, fi, valid, background,
+                                         tint_rgb, tint_mask)
+            return acc + out.reshape(-1)[0].astype(jnp.int32)
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    return step
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def device_source(platesize, batch, expanded, rgba, plane_ids=None):
     """On-device synthetic source in any of the remap's source layouts.
@@ -134,11 +151,16 @@ def run_gather_throughput(
     rubix=True,
     rgba=False,
     compact=False,
+    tint_post=False,
 ):
     """Throughput of the expanded-source paths: rubix (raw||tinted u8),
     RGBA (u32), or both; *compact* drops unused source planes to afford a
     larger batch.  See kernels/remap.py for why tint/decode live in the
-    source.  Returns a dict like :func:`run_throughput`."""
+    source.  ``tint_post`` measures the post-gather true-color tint
+    variant instead (raw RGBA source, tint applied to the gathered
+    screen — kernels.remap.remap_gather_tint_impl): half the source
+    planes of the expanded layout, so ~2x the feasible batch.  Returns a
+    dict like :func:`run_throughput`."""
     from blinky_tpu.kernels.remap import RemapKernel
 
     g = globes.get(globe_name)
@@ -146,6 +168,37 @@ def run_gather_throughput(
     scale = calc_scale(zoom, lens, width, height)
     lm = build_lensmap(lens, g, scale, width, height, platesize)
     kernel = RemapKernel(lm, default_palette())
+
+    if tint_post:
+        if not rgba:
+            raise ValueError("tint_post is the true-color (rgba) variant")
+        tr, tm = kernel.tint_rgb_mask
+        if compact:
+            from blinky_tpu.kernels.remap import compact_planes
+
+            plane_ids, cidx = compact_planes(lm.to_numpy(), rubix=False)
+            idx = jnp.asarray(cidx)
+            frames = device_source(platesize, batch, False, True, plane_ids)
+            nplanes = len(plane_ids)
+        else:
+            frames = device_source(platesize, batch, False, True)
+            idx = kernel.flat_idx
+            nplanes = int(frames.shape[0])
+        _sync(frames)
+        bg = kernel.background_rgba
+        step = make_gather_tint_bench_step(iters)
+        args = (frames, idx, kernel.valid, bg, tr, tm)
+        _sync(step(*args))
+        t0 = time.perf_counter()
+        _sync(step(*args))
+        dt = time.perf_counter() - t0
+        return dict(
+            config=f"{lens_name}+{globe_name} {width}x{height} S={platesize}"
+            f" B={batch} rubix-post rgba"
+            + (f" compact({nplanes}pl)" if compact else ""),
+            fps=batch * iters / dt,
+            ms_per_batch=dt / iters * 1000,
+        )
 
     if compact:
         # drop unused source planes (kernels.remap.compact_planes): the

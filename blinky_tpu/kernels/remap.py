@@ -103,6 +103,48 @@ def remap_gather_impl(frames, flat_idx, valid, background):
 
 _remap_gather = jax.jit(remap_gather_impl)
 
+
+def remap_gather_tint_impl(frames, flat_idx, valid, background, tint_rgb,
+                           tint_mask):
+    """Post-gather rubix tint for TRUE-COLOR (packed RGBA u32) sources.
+
+    True-color tinting is pure elementwise integer math with no palette
+    snap (``create_palmap``'s pull-toward-tint, ``fisheye.c:884-901``,
+    minus the nearest-palette search) — so instead of doubling the
+    source to the raw||tinted layout (10 u32 planes, which halves the
+    feasible batch, ``docs/PERF.md`` §7), gather the RAW 4-6-plane
+    source and apply ``c += percent*(t-c) >> 8`` per channel to the
+    gathered screen under the static per-pixel tint mask: ~12 VPU
+    int-ops/element against a 2x cut in HBM bytes.  Bit-identical to
+    the expanded-source result (same integer arithmetic on the same
+    texel; grid-line/invalid pixels keep the raw value).
+
+    ``tint_rgb``: [H, W] u32 packed tint color per pixel;
+    ``tint_mask``: [H, W] bool — tinted and valid.
+    """
+    NP, S, _, B = frames.shape
+    H, W = flat_idx.shape
+    src = frames.reshape(NP * S * S, B)
+    g = jnp.take(src, flat_idx.reshape(H * W), axis=0, mode="clip")
+    percent = 256 // MAX_PLATES
+    tm = tint_mask.reshape(H * W, 1)
+    tr = tint_rgb.reshape(H * W, 1)
+    a = (g >> 24) & jnp.uint32(0xFF)
+    a = jnp.where(tm, jnp.uint32(0xFF), a)  # tinted texels: alpha 0xFF,
+    res = a << 24  # exactly like expand_frames_tinted_rgba
+    for shift in (0, 8, 16):
+        c = ((g >> shift) & 0xFF).astype(jnp.int32)
+        t = ((tr >> shift) & 0xFF).astype(jnp.int32)
+        c2 = jnp.clip(c + ((percent * (t - c)) >> 8), 0, 255)
+        c = jnp.where(tm, c2, c)
+        res = res | (c.astype(jnp.uint32) << shift)
+    out = jnp.where(valid.reshape(H * W, 1), res,
+                    background.reshape(H * W, 1))
+    return out.reshape(H, W, B)
+
+
+_remap_gather_tint = jax.jit(remap_gather_tint_impl)
+
 _DUMMY_LUT = np.zeros((1,), np.uint8)
 
 
@@ -323,6 +365,26 @@ class RemapKernel:
         return self._flat_idx_rubix
 
     @property
+    def tint_rgb_mask(self):
+        """(tint_rgb [H, W] u32, tint_mask [H, W] bool) for the
+        post-gather true-color tint path.  Stays on the lensmap arrays'
+        backend (device lensmaps never round-trip to the host)."""
+        if getattr(self, "_tint_rgb_mask", None) is None:
+            from blinky_tpu.lensmap.builder import TINT_NONE
+            from blinky_tpu.palette import PLATE_TINTS
+
+            lut = pack_rgba(np.concatenate(
+                [PLATE_TINTS.astype(np.uint8),
+                 np.zeros((1, 3), np.uint8)]))  # row TINT_NONE: masked
+            xp = jnp if isinstance(self.lensmap.tint, jax.Array) else np
+            tint = xp.asarray(self.lensmap.tint).astype(xp.int32)
+            valid = xp.asarray(self.lensmap.valid)
+            tr = xp.asarray(lut)[tint]
+            tm = (tint != TINT_NONE) & valid
+            self._tint_rgb_mask = (jnp.asarray(tr), jnp.asarray(tm))
+        return self._tint_rgb_mask
+
+    @property
     def background_rgba(self):
         if self._background_rgba is None:
             if self.palette is None:
@@ -348,15 +410,20 @@ class RemapKernel:
 
         if expanded or is_rgba:
             idx = self.flat_idx_rubix if (rubix and expanded) else self.flat_idx
-            if rubix and not expanded:
-                raise ValueError(
-                    "rubix on an RGBA source needs the expanded (raw||tinted) "
-                    "layout: expand_frames_tinted before frames_to_rgba for "
-                    "palette sources, or expand_frames_tinted_rgba for "
-                    "true-color sources"
-                )
             bg = self.background_rgba if is_rgba else self.background
-            out = _remap_gather(frames, idx, self.valid, bg)
+            if rubix and not expanded:
+                # reachable only for u32 (u8 non-expanded rubix takes the
+                # general LUT path below): true-color tint AFTER the
+                # gather — raw 4-6-plane source, no expansion needed.
+                # Batched pipelines should still pre-expand (the
+                # elementwise tint on [H,W,B] goes HBM-bound ~2x slower,
+                # docs/PERF.md §7); this path is for interactive
+                # single-frame / equirect use where it removes the
+                # per-frame source expansion entirely.
+                tr, tm = self.tint_rgb_mask
+                out = _remap_gather_tint(frames, idx, self.valid, bg, tr, tm)
+            else:
+                out = _remap_gather(frames, idx, self.valid, bg)
             if decode_rgb and not is_rgba:
                 if self.rgb_lut is None:
                     raise ValueError("RemapKernel needs a palette for RGB decode")

@@ -281,13 +281,10 @@ class Viewer:
             # stays stable across polls)
             if sess.view_angles != (p, y, r):
                 sess.cmd(f"setviewangles {p} {y} {r}")
-        frame = self.frames[i]
-        if frame.dtype == np.uint32 and sess.rubix_enabled:
-            # rubix on a u32 source needs the expanded raw||tinted layout
-            from blinky_tpu.kernels.remap import expand_frames_tinted_rgba
-
-            frame = expand_frames_tinted_rgba(frame)
-        return np.asarray(sess.render(frame))
+        # rubix on a u32 source: the kernel tints AFTER the gather
+        # (kernels.remap.remap_gather_tint_impl) — no per-frame host
+        # expansion needed
+        return np.asarray(sess.render(self.frames[i]))
 
     def render_png(self, i: int, follow: bool = False):
         """Render frame ``i`` through the live session -> (PNG bytes,

@@ -14,6 +14,7 @@ from blinky_tpu.io.cubemap import synthetic_cubemap, synthetic_cubemap_batch
 from blinky_tpu.kernels.remap import (
     RemapKernel,
     expand_frames_tinted,
+    expand_frames_tinted_rgba,
     expanded_flat_idx,
     frames_to_rgba,
 )
@@ -82,10 +83,16 @@ def test_rgba_background_on_invalid(setup):
     np.testing.assert_array_equal(out[invalid], np.broadcast_to(exp, out[invalid].shape))
 
 
-def test_rubix_on_plain_rgba_raises(setup):
+def test_rubix_on_plain_rgba_takes_post_gather_path(setup):
+    """Round 3: a raw (non-expanded) u32 source with rubix no longer
+    raises — the kernel tints after the gather, matching the expanded
+    layout bit-exactly (see test_post_gather_tint_equals_expanded_source
+    for the full pin)."""
     lm, pal, bg, kernel, frames = setup
-    with pytest.raises(ValueError):
-        kernel(frames_to_rgba(frames, pal), rubix=True)
+    rgba = frames_to_rgba(frames, pal)
+    out = np.asarray(kernel(rgba, rubix=True))
+    ref = np.asarray(kernel(expand_frames_tinted_rgba(rgba), rubix=True))
+    np.testing.assert_array_equal(out, ref)
 
 
 def test_expanded_flat_idx_offsets(setup):
@@ -159,3 +166,31 @@ def test_compact_planes_matches_full_source():
         jnp.asarray(rgba[np.asarray(ids_r)]), jnp.asarray(cidx_r),
         k.valid, bg_rgba))
     np.testing.assert_array_equal(comp_rgba, full_rgba)
+
+
+def test_post_gather_tint_equals_expanded_source():
+    """Round 3 (VERDICT task 2): for TRUE-COLOR sources the kernel tints
+    AFTER the gather when handed a raw (non-expanded) u32 source with
+    rubix on — bit-identical to the expanded raw||tinted layout (same
+    integer pull-toward-tint on the same texel, fisheye.c:884-901),
+    including pass-through of a non-0xFF source alpha on untinted
+    pixels."""
+    from blinky_tpu import globes, lenses
+    from blinky_tpu.io.cubemap import synthetic_cubemap
+    from blinky_tpu.kernels.remap import (
+        RemapKernel, expand_frames_tinted_rgba, frames_to_rgba)
+    from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+    from blinky_tpu.palette import default_palette
+
+    g = globes.get("cube")
+    lens = lenses.get("panini", g)
+    scale = calc_scale(Zoom("fov", 180), lens, 96, 72)
+    lm = build_lensmap(lens, g, scale, 96, 72, 48, backend="numpy")
+    pal = default_palette()
+    u8 = synthetic_cubemap(48)[..., None].repeat(2, -1)
+    rgba = frames_to_rgba(u8, pal)
+    rgba[3] = (rgba[3] & 0x00FFFFFF) | (0x55 << 24)  # odd source alpha
+    k = RemapKernel(lm, pal)
+    post = np.asarray(k(rgba, rubix=True))
+    expanded = np.asarray(k(expand_frames_tinted_rgba(rgba), rubix=True))
+    np.testing.assert_array_equal(post, expanded)
