@@ -65,6 +65,17 @@ def main() -> None:
         batch, iters = 128, 3
     from blinky_tpu.bench.throughput import run_gather_throughput, run_throughput
 
+    if "--config4k-plain" in sys.argv or "--config4k-rubix" in sys.argv:
+        # (internal) one 4K measurement per process: big-HBM configs
+        # cascade-fail after an OOM in a shared process (CLAUDE.md)
+        q = "--quick" in sys.argv
+        rubix = "--config4k-rubix" in sys.argv
+        r = run_gather_throughput(
+            width=3840, height=2160, platesize=2160,
+            batch=(32 if q else 256) if rubix else (64 if q else 512),
+            iters=2 if q else 4, rubix=rubix, rgba=False, compact=True)
+        print(json.dumps({"fps": r["fps"], "config": r["config"]}))
+        return
     if "--headline-compact" in sys.argv:
         # (internal) the compact attempt, run in its own process
         r = run_gather_throughput(batch=2048, iters=iters,

@@ -182,6 +182,55 @@ def config5_pose_playback(quick=False):
     )
 
 
+def config6_4k(quick=False):
+    """4K (3840x2160) batched reprojection, plain + rubix — promoted
+    from BASELINE.md prose to a regression-checked config (VERDICT r2
+    task 5).  Each measurement runs in its OWN process: after a device
+    OOM, later allocations in the same process cascade-fail
+    (CLAUDE.md), and a crash must not take the rest of the suite."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    bench = str(_Path(__file__).resolve().parents[2] / "bench.py")
+    out = dict(config=6, name="4K batched reprojection")
+    for key, flag in (("plain_fps", "--config4k-plain"),
+                      ("rubix_fps", "--config4k-rubix")):
+        try:
+            args = [_sys.executable, bench, flag] + (
+                ["--quick"] if quick else [])
+            r = subprocess.run(args, capture_output=True, text=True,
+                              timeout=1200, check=True)
+            parsed = _json.loads(r.stdout.strip().splitlines()[-1])
+            out[key] = round(parsed["fps"], 1)
+            out[key.replace("_fps", "_config")] = parsed["config"]
+        except Exception as e:
+            out[key] = None
+            out[key.replace("_fps", "_error")] = type(e).__name__
+    return out
+
+
+def config7_equirect(quick=False):
+    """360-video end-to-end: pano batch -> ingest gather -> remap, one
+    fused device chain (Session.render_equirect's pipeline), bilinear
+    plain + rubix (post-gather tint, no face expansion)."""
+    from blinky_tpu.bench.throughput import run_equirect_throughput
+
+    kw = dict(batch=4, iters=2) if quick else dict(batch=16, iters=4)
+    plain = run_equirect_throughput(bilinear=True, rubix=False, **kw)
+    rubix = run_equirect_throughput(bilinear=True, rubix=True, **kw)
+    nearest = run_equirect_throughput(bilinear=False, rubix=False, **kw)
+    return dict(
+        config=7,
+        name="equirect 360-video end-to-end (4096x2048 -> 720p)",
+        bilinear_fps=round(plain["fps"], 1),
+        bilinear_rubix_fps=round(rubix["fps"], 1),
+        nearest_fps=round(nearest["fps"], 1),
+        ms_per_batch=round(plain["ms_per_batch"], 1),
+    )
+
+
 def run_all(quick=False):
     out = [
         config0_saveglobe_roundtrip(),
@@ -190,5 +239,7 @@ def run_all(quick=False):
         config3_low_poly(),
         config4_batched_demo(quick=quick),
         config5_pose_playback(quick=quick),
+        config6_4k(quick=quick),
+        config7_equirect(quick=quick),
     ]
     return out

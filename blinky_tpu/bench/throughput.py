@@ -231,6 +231,71 @@ def run_gather_throughput(
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def device_pano(h, w, batch):
+    """On-device synthetic [H, W, B] packed-RGBA u32 pano batch."""
+    shape = (h, w, batch)
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    b = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    v = (r * 3 + c * 5 + b * 11) % 256
+    return ((v | ((v * 5 % 256) << 8) | ((v * 9 % 256) << 16))
+            .astype(jnp.uint32) | jnp.uint32(0xFF000000))
+
+
+def run_equirect_throughput(pano_h=2048, pano_w=4096, platesize=720,
+                            width=1280, height=720, batch=16, iters=4,
+                            bilinear=True, rubix=False,
+                            lens_name="panini", fov=180):
+    """End-to-end 360-video throughput: device-resident pano batch ->
+    EquirectIngest (static gather tables) -> remap, one fused device
+    chain per iteration — only the warped screens would leave the chip
+    (``Session.render_equirect``).  Rubix rides the post-gather tint
+    (no face-batch expansion).  Returns panos/sec."""
+    from blinky_tpu.kernels.ingest import EquirectIngest
+    from blinky_tpu.kernels.remap import (
+        RemapKernel, remap_gather_impl, remap_gather_tint_impl)
+
+    g = globes.get("cube")
+    lens = lenses.get(lens_name, g)
+    scale = calc_scale(Zoom("fov", fov), lens, width, height)
+    lm = build_lensmap(lens, g, scale, width, height, platesize)
+    kernel = RemapKernel(lm, default_palette())
+    ing = EquirectIngest(pano_h, pano_w, platesize, globe=g,
+                         bilinear=bilinear)
+    panos = device_pano(pano_h, pano_w, batch)
+    _sync(panos)
+    bg = kernel.background_rgba
+    tr, tm = kernel.tint_rgb_mask if rubix else (None, None)
+
+    @jax.jit
+    def step(panos):
+        def body(i, acc):
+            p = panos.at[0, 0, 0].set(i.astype(jnp.uint32))  # no hoisting
+            faces = ing(p)
+            if rubix:
+                out = remap_gather_tint_impl(
+                    faces, kernel.flat_idx, kernel.valid, bg, tr, tm)
+            else:
+                out = remap_gather_impl(
+                    faces, kernel.flat_idx, kernel.valid, bg)
+            return acc + out.reshape(-1)[0].astype(jnp.int32)
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    _sync(step(panos))
+    t0 = time.perf_counter()
+    _sync(step(panos))
+    dt = time.perf_counter() - t0
+    return dict(
+        config=f"equirect {pano_w}x{pano_h} -> {lens_name} {width}x{height}"
+        f" S={platesize} B={batch}"
+        + (" bilinear" if bilinear else " nearest")
+        + (" rubix" if rubix else ""),
+        fps=batch * iters / dt,
+        ms_per_batch=dt / iters * 1000,
+    )
+
+
 def run_throughput(
     width=1920,
     height=1080,

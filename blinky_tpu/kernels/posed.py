@@ -225,6 +225,77 @@ def posed_remap_sharded(kernel: PosedRemapKernel, frames, bases, mesh):
     )
 
 
+@functools.lru_cache(maxsize=16)
+def _compiled_sweep_pipeline(lens, globe, width_px, height_px, platesize,
+                             expanded, dtype):
+    """One executable per (lens, globe, shape, source-kind): takes a
+    [N] scale vector and ONE flattened source frame, vmapping the
+    inverse builder over the zoom axis exactly as the posed pipeline
+    vmaps it over bases."""
+    S = platesize
+
+    def one_scale(scale, src, bg, numcells, cell_size, pad_size):
+        lm = inverse_grid(
+            lens, globe, scale, width_px, height_px, S,
+            numcells, cell_size, pad_size, jnp, dtype,
+        )
+        idx = lm["flat_idx"]
+        if expanded:
+            idx = idx + jnp.where(
+                (lm["tint"] != TINT_NONE) & lm["valid"],
+                jnp.int32(MAX_PLATES * S * S), jnp.int32(0),
+            )
+        out = jnp.take(src, idx.reshape(-1), axis=0, mode="clip").reshape(
+            height_px, width_px)
+        return jnp.where(lm["valid"], out, bg)
+
+    def run(scales, src, bg, numcells, cell_size, pad_size):
+        return jax.vmap(
+            one_scale, in_axes=(0, None, None, None, None, None)
+        )(scales, src, bg, numcells, cell_size, pad_size)
+
+    return jax.jit(run)
+
+
+def zoom_sweep_remap(lens, globe, scales, frame, width_px, height_px,
+                     numcells=10, cell_size=4.0, pad_size=1.0,
+                     background=None, dtype=None):
+    """Render a whole zoom ramp in ONE fused device call.
+
+    ``scales``: [N] lens-plane scales (one per sweep step, from
+    :func:`calc_scale`); ``frame``: one [P, S, S] u8/u32 source (plain
+    or the expanded raw||tinted rubix layout).  Returns [N, H, W].
+
+    The per-step builder is the same traced ``inverse_grid`` the
+    per-step path jits — vmapped over the scale axis, so an f_fov ramp
+    costs one dispatch instead of N (each ~20 ms through the axon
+    relay, ``docs/PERF.md`` §8; the reference's zoom rebuild is
+    ``calc_zoom`` + a full lensmap scan per step, ``fisheye.c:
+    1293-1386``)."""
+    frame = jnp.asarray(frame)
+    if frame.dtype not in (jnp.uint8, jnp.uint32):
+        frame = frame.astype(jnp.uint8)
+    P, S, _ = frame.shape
+    expanded = P == 2 * MAX_PLATES
+    if not expanded and P != MAX_PLATES:
+        frame = jnp.concatenate(
+            [frame, jnp.zeros((MAX_PLATES - P,) + frame.shape[1:],
+                              frame.dtype)], axis=0)
+    dtype = dtype or jnp.float32
+    if background is None:
+        background = np.zeros((height_px, width_px), np.uint8)
+    bg = jnp.asarray(np.asarray(background).reshape(height_px, width_px))
+    if frame.dtype == jnp.uint32 and bg.dtype != jnp.uint32:
+        raise ValueError("RGBA frames need an RGBA (uint32) background")
+    fn = _compiled_sweep_pipeline(
+        lens, globe, int(width_px), int(height_px), S, expanded, dtype)
+    return fn(
+        jnp.asarray(np.asarray(scales), dtype), frame.reshape(-1), bg,
+        jnp.asarray(numcells, dtype), jnp.asarray(cell_size, dtype),
+        jnp.asarray(pad_size, dtype),
+    )
+
+
 def bases_from_pose_track(poses) -> np.ndarray:
     """[B, 3] (pitch, yaw, roll) degrees -> [B, 3, 3] basis array."""
     from blinky_tpu.camera import view_basis_from_angles

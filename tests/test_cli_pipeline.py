@@ -234,3 +234,33 @@ def test_sweep_gif_lua_lens(tmp_path):
     fl, _, _ = decode_gif(out_lua.read_bytes())
     fp, _, _ = decode_gif(out_py.read_bytes())
     np.testing.assert_array_equal(fl, fp)
+
+
+def test_fused_sweep_matches_per_step_path():
+    """VERDICT r2 task 8 pin: the vmapped zoom-ramp pipeline
+    (kernels.posed.zoom_sweep_remap) is bit-identical to per-step
+    Session renders through the jitted builder — plain and rubix."""
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.cubemap import synthetic_cubemap
+    from blinky_tpu.kernels.posed import zoom_sweep_remap
+    from blinky_tpu.kernels.remap import expand_frames_tinted
+    from blinky_tpu.lensmap import Zoom, calc_scale
+
+    W, H, S = 64, 48, 32
+    values = [120, 180, 240, 300]
+    for rubix in (False, True):
+        sess = Session(W, H, platesize=S, backend="jax")
+        sess.cmd("f_lens stereographic")
+        src = synthetic_cubemap(S)
+        if rubix:
+            src = expand_frames_tinted(src, sess.palette)
+        per_step = []
+        for v in values:
+            sess.cmd(f"f_fov {v}")
+            per_step.append(np.asarray(sess.render(src, rubix=rubix)))
+        scales = [calc_scale(Zoom("fov", v), sess.lens, W, H)
+                  for v in values]
+        fused = np.asarray(zoom_sweep_remap(
+            sess.lens, sess.globe, scales, src, W, H))
+        np.testing.assert_array_equal(fused, np.stack(per_step),
+                                      err_msg=f"rubix={rubix}")
