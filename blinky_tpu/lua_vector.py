@@ -418,6 +418,8 @@ class VectorInterpreter(Interpreter):
             return self._exec_repeat(st, env)
         if kind == "fornum":
             return self._exec_fornum(st, env)
+        if kind == "forin":
+            return self._exec_forin(st, env)
         if kind == "return":
             return self._exec_return(st, env)
         if kind == "break":
@@ -613,6 +615,41 @@ class VectorInterpreter(Interpreter):
             if fr is not None:
                 fr.loops.remove(loop)
 
+    def _exec_forin(self, st, env):
+        """Generic for: the iterator protocol is inherently scalar (table
+        keys are lane-uniform), so the triple runs uniformly — but the
+        BODY may mask, so the loop registers in the frame's loop list
+        (masked breaks must target THIS loop, not an enclosing one)."""
+        f, s, ctrl = self.eval_list(st[2], env, want=3)
+        if any(isinstance(v, _MaybeNil) or _is_arr(v) for v in (f, s, ctrl)):
+            raise Unvectorizable("array-valued generic-for iterator")
+        fr = self._vframes[-1] if self._vframes else None
+        loop = _Loop()
+        if fr is not None:
+            fr.loops.append(loop)
+        try:
+            while True:
+                self._fuel -= 1
+                if self._fuel < 0:
+                    raise LuaError(
+                        "instruction budget exhausted (runaway loop?)")
+                vals = self.call(f, [s, ctrl])
+                if not vals or vals[0] is None:
+                    break
+                ctrl = _scalar_key(vals[0])
+                scope = _Env(env)
+                for i, name in enumerate(st[1]):
+                    scope.vars[name] = vals[i] if i < len(vals) else None
+                self.exec_block(st[3], scope)
+                m = self._eff_mask()
+                if m is not None and not _poss(m):
+                    break  # every lane broke or returned
+        except _Break:
+            pass
+        finally:
+            if fr is not None:
+                fr.loops.remove(loop)
+
     def _exec_break(self):
         m = self._eff_mask()
         fr = self._vframes[-1] if self._vframes else None
@@ -766,6 +803,8 @@ class VectorInterpreter(Interpreter):
         env = _Env(fn.env)
         for i, p in enumerate(fn.params):
             env.vars[p] = args[i] if i < len(args) else None
+        if fn.vararg:
+            env.vars["..."] = tuple(args[len(fn.params):])
         self._depth += 1
         if self._depth == 1:
             self._fuel = self.FUEL

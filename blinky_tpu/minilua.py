@@ -44,13 +44,14 @@ class LuaError(ValueError):
 
 _KEYWORDS = {
     "and", "break", "do", "else", "elseif", "end", "false", "for",
-    "function", "if", "in", "local", "nil", "not", "or", "repeat",
+    "function", "goto", "if", "in", "local", "nil", "not", "or", "repeat",
     "return", "then", "true", "until", "while",
 }
 
 _SYMBOLS = [
     "...", "..", "==", "~=", "<=", ">=", "#", "+", "-", "*", "/", "%",
-    "^", "<", ">", "=", "(", ")", "{", "}", "[", "]", ";", ":", ",", ".",
+    "^", "<", ">", "=", "(", ")", "{", "}", "[", "]", ";", "::", ":",
+    ",", ".",
 ]
 
 
@@ -77,14 +78,33 @@ def _tokenize(src: str):
                 end = src.find("\n", i)
                 i = n if end < 0 else end
             continue
+        if src.startswith("[[", i):  # long string [[ ... ]] (no nesting)
+            end = src.find("]]", i + 2)
+            if end < 0:
+                raise LuaError(f"line {line}: unterminated long string")
+            body = src[i + 2:end]
+            if body.startswith("\n"):  # Lua drops a leading newline
+                body = body[1:]
+            line += src.count("\n", i, end)
+            toks.append(("str", body, line))
+            i = end + 2
+            continue
         if c in "\"'":
             j = i + 1
             buf = []
             while j < n and src[j] != c:
                 if src[j] == "\\":
                     esc = src[j + 1]
-                    buf.append({"n": "\n", "t": "\t", "\\": "\\", '"': '"',
-                                "'": "'"}.get(esc, esc))
+                    if esc.isdigit():  # \ddd decimal byte escape
+                        k = j + 1
+                        while k < min(j + 4, n) and src[k].isdigit():
+                            k += 1
+                        buf.append(chr(int(src[j + 1:k])))
+                        j = k
+                        continue
+                    buf.append({"n": "\n", "t": "\t", "r": "\r", "a": "\a",
+                                "b": "\b", "f": "\f", "v": "\v",
+                                "\\": "\\", '"': '"', "'": "'"}.get(esc, esc))
                     j += 2
                 else:
                     buf.append(src[j])
@@ -202,8 +222,18 @@ class _Parser:
             if t[1] == "function":
                 self.next()
                 name = self.expect("name")[1]
-                # dotted function names unused by the scripts
-                return ("funcstat", name, self.parse_funcbody())
+                target = ("name", name)
+                is_method = False
+                while self.check("sym", ".") or self.check("sym", ":"):
+                    is_method = self.next()[1] == ":"
+                    key = self.expect("name")[1]
+                    target = ("index", target, ("const", key))
+                    if is_method:
+                        break  # `a.b:c` — the method name ends the path
+                fb = self.parse_funcbody(implicit_self=is_method)
+                if target[0] == "name":
+                    return ("funcstat", name, fb)
+                return ("assign", [target], [fb])
             if t[1] == "if":
                 self.next()
                 arms = []
@@ -236,6 +266,17 @@ class _Parser:
             if t[1] == "for":
                 self.next()
                 var = self.expect("name")[1]
+                if self.check("sym", ",") or self.check("kw", "in"):
+                    # generic for: `for k[, v...] in explist do ... end`
+                    names = [var]
+                    while self.accept("sym", ","):
+                        names.append(self.expect("name")[1])
+                    self.expect("kw", "in")
+                    exprs = self.parse_exprlist()
+                    self.expect("kw", "do")
+                    body = self.parse_chunk(("end",))
+                    self.expect("kw", "end")
+                    return ("forin", names, exprs, body)
                 self.expect("sym", "=")
                 start = self.parse_expr()
                 self.expect("sym", ",")
@@ -264,6 +305,14 @@ class _Parser:
                 body = self.parse_chunk(("end",))
                 self.expect("kw", "end")
                 return ("do", body)
+            if t[1] == "goto":
+                raise LuaError(
+                    f"line {t[2]}: 'goto' is outside the mini-Lua subset "
+                    "(docs/SCRIPTING.md documents the supported language)")
+        if t[0] == "sym" and t[1] == "::":
+            raise LuaError(
+                f"line {t[2]}: labels ('::name::') are outside the "
+                "mini-Lua subset (docs/SCRIPTING.md)")
         # expression statement: call, or (multi-)assignment
         first = self.parse_prefix_expr()
         if self.check("sym", "=") or self.check("sym", ","):
@@ -280,17 +329,22 @@ class _Parser:
             raise LuaError(f"line {t[2]}: syntax error (unexpected expression)")
         return ("callstat", first)
 
-    def parse_funcbody(self):
+    def parse_funcbody(self, implicit_self=False):
         self.expect("sym", "(")
-        params = []
+        params = ["self"] if implicit_self else []
+        vararg = False
         if not self.check("sym", ")"):
-            params.append(self.expect("name")[1])
-            while self.accept("sym", ","):
+            while True:
+                if self.accept("sym", "..."):
+                    vararg = True
+                    break  # `...` must be the last parameter
                 params.append(self.expect("name")[1])
+                if not self.accept("sym", ","):
+                    break
         self.expect("sym", ")")
         body = self.parse_chunk(("end",))
         self.expect("kw", "end")
-        return ("function", params, body)
+        return ("function", params, body, vararg)
 
     # ---- expressions
 
@@ -341,6 +395,9 @@ class _Parser:
         if t[0] == "kw" and t[1] in ("nil", "true", "false"):
             self.next()
             return ("const", {"nil": None, "true": True, "false": False}[t[1]])
+        if t[0] == "sym" and t[1] == "...":
+            self.next()
+            return ("vararg",)
         if t[0] == "kw" and t[1] == "function":
             self.next()
             return self.parse_funcbody()
@@ -400,6 +457,18 @@ class _Parser:
                     args = self.parse_exprlist()
                 self.expect("sym", ")")
                 node = ("call", node, args)
+            elif t[0] == "sym" and t[1] == ":":
+                self.next()
+                name = self.expect("name")[1]
+                if self.check("str"):  # obj:m"s" sugar
+                    args = [("const", self.next()[1])]
+                else:
+                    self.expect("sym", "(")
+                    args = []
+                    if not self.check("sym", ")"):
+                        args = self.parse_exprlist()
+                    self.expect("sym", ")")
+                node = ("methcall", node, name, args)
             elif t[0] == "str":  # f"string" call sugar — unused but cheap
                 self.next()
                 node = ("call", node, [("const", t[1])])
@@ -452,15 +521,30 @@ class LuaTable:
         return out
 
 
-class LuaFunction:
-    __slots__ = ("params", "body", "env", "interp", "name")
+class _StubTable(LuaTable):
+    """A library deliberately absent from the sandbox: indexing any key
+    raises a precise diagnostic instead of a confusing nil-call error."""
 
-    def __init__(self, params, body, env, interp, name="?"):
+    __slots__ = ("message",)
+
+    def __init__(self, message):
+        super().__init__()
+        self.message = message
+
+    def get(self, key):
+        raise LuaError(self.message)
+
+
+class LuaFunction:
+    __slots__ = ("params", "body", "env", "interp", "name", "vararg")
+
+    def __init__(self, params, body, env, interp, name="?", vararg=False):
         self.params = params
         self.body = body
         self.env = env
         self.interp = interp
         self.name = name
+        self.vararg = vararg
 
     def __call__(self, *args):
         """Call from Python: returns None (no values), a single value, or
@@ -616,9 +700,172 @@ class Interpreter:
 
         tt = LuaTable()
         tt.set("unpack", lambda t: tuple(t.array()))
+
+        def _t_insert(t, *a):
+            if not isinstance(t, LuaTable):
+                raise LuaError("bad argument to 'insert' (table expected)")
+            if len(a) == 1:
+                t.set(t.length() + 1, a[0])
+            elif len(a) == 2:
+                pos = int(a[0])
+                n = int(t.length())
+                for i in range(n, pos - 1, -1):
+                    t.set(float(i + 1), t.get(float(i)))
+                t.set(float(pos), a[1])
+            else:
+                raise LuaError("wrong number of arguments to 'insert'")
+
+        def _t_remove(t, pos=None):
+            n = int(t.length())
+            if n == 0:
+                return None
+            pos = n if pos is None else int(pos)
+            v = t.get(float(pos))
+            for i in range(pos, n):
+                t.set(float(i), t.get(float(i + 1)))
+            t.set(float(n), None)
+            return v
+
+        def _t_concat(t, sep="", i=1, j=None):
+            j = t.length() if j is None else j
+            return str(sep).join(self._tostring(t.get(float(k)))
+                                 for k in range(int(i), int(j) + 1))
+
+        def _t_sort(t, comp=None):
+            arr = t.array()
+            if comp is None:
+                arr.sort()
+            else:
+                import functools as _ft
+
+                def cmp(a, b):
+                    out = self.call(comp, [a, b])
+                    return -1 if (out and _truthy(out[0])) else 1
+                arr.sort(key=_ft.cmp_to_key(cmp))
+            for k, v in enumerate(arr, 1):
+                t.set(float(k), v)
+
+        tt.set("insert", _t_insert)
+        tt.set("remove", _t_remove)
+        tt.set("concat", _t_concat)
+        tt.set("sort", _t_sort)
         g["table"] = tt
+        g["unpack"] = tt.get("unpack")  # the 5.1 global alias
         g["print"] = self._print
         g["tostring"] = lambda v: self._tostring(v)
+
+        def _tonumber(v, base=None):
+            if base is not None:
+                try:
+                    return float(int(str(v).strip(), int(base)))
+                except ValueError:
+                    return None
+            if isinstance(v, float):
+                return v
+            if isinstance(v, str):
+                s = v.strip()
+                try:
+                    return float(int(s, 16)) if s[:2].lower() == "0x" \
+                        else float(s)
+                except ValueError:
+                    return None
+            return None
+
+        def _type(v):
+            if v is None:
+                return "nil"
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, float):
+                return "number"
+            if isinstance(v, str):
+                return "string"
+            if isinstance(v, LuaTable):
+                return "table"
+            return "function"
+
+        def _pairs(t):
+            if not isinstance(t, LuaTable):
+                raise LuaError("bad argument to 'pairs' (table expected)")
+            # array part 1..n first, then the remaining keys in insertion
+            # order (Lua's order is unspecified; this one is stable)
+            seq = [(float(k) if isinstance(k, int) else k, v)
+                   for k, v in t.data.items()]
+            it = iter(seq)
+
+            def step(s, ctrl):
+                for k, v in it:
+                    return k, v
+                return None
+            return step, t, None
+
+        def _ipairs(t):
+            if not isinstance(t, LuaTable):
+                raise LuaError("bad argument to 'ipairs' (table expected)")
+
+            def step(s, i):
+                i = float(i) + 1
+                v = s.get(i)
+                return None if v is None else (i, v)
+            return step, t, 0.0
+
+        def _select(n, *rest):
+            if n == "#":
+                return float(len(rest))
+            k = int(n)
+            if k < 0:
+                k = len(rest) + 1 + k
+            if k < 1:
+                raise LuaError("bad argument to 'select' (index out of range)")
+            return tuple(rest[k - 1:])
+
+        def _error(msg=None, _level=None):
+            raise LuaError(self._tostring(msg) if not isinstance(msg, str)
+                           else msg)
+
+        def _assert(v=None, msg=None, *rest):
+            if not _truthy(v):
+                raise LuaError(msg if isinstance(msg, str)
+                               else "assertion failed!")
+            return (v, msg, *rest) if msg is not None else v
+
+        def _pcall(f, *a):
+            try:
+                out = self.call(f, list(a))
+                return (True, *out)
+            except LuaError as e:
+                return False, str(e)
+
+        g["tonumber"] = _tonumber
+        g["type"] = _type
+        g["pairs"] = _pairs
+        g["ipairs"] = _ipairs
+        g["select"] = _select
+        g["error"] = _error
+        g["assert"] = _assert
+        g["pcall"] = _pcall
+        g["string"] = self._make_string_lib()
+
+        # Explicit subset boundary: name the missing construct instead of
+        # a confusing nil-call error (docs/SCRIPTING.md)
+        def _unsupported(what, why):
+            def f(*a):
+                raise LuaError(f"{what} {why} (see docs/SCRIPTING.md)")
+            return f
+
+        for name in ("setmetatable", "getmetatable", "rawget", "rawset",
+                     "rawequal", "rawlen"):
+            g[name] = _unsupported(
+                f"'{name}':", "metatables are outside the mini-Lua subset")
+        for fname in ("require", "dofile", "loadstring", "load", "loadfile",
+                      "collectgarbage"):
+            g[fname] = _unsupported(
+                f"'{fname}':", "not available to sandboxed lens scripts")
+        for lib in ("io", "os", "coroutine"):
+            g[lib] = _StubTable(
+                f"the '{lib}' library is not available to sandboxed lens "
+                "scripts (see docs/SCRIPTING.md)")
+
         # the alias preload block (init_lua, fisheye.c:1231-1248)
         for name in ("cos", "sin", "tan", "asin", "acos", "atan", "atan2",
                      "sinh", "cosh", "tanh", "log", "log10", "abs", "sqrt",
@@ -626,6 +873,111 @@ class Interpreter:
             g[name] = mt.get(name)
         g["pi"] = math.pi
         g["tau"] = math.pi * 2
+
+    def _make_string_lib(self) -> "LuaTable":
+        """The string library minus Lua patterns: format/sub/len/upper/
+        lower/rep/reverse/byte/char work; the pattern functions raise a
+        precise diagnostic (Lua patterns are not POSIX regexes, and a
+        wrong approximation would be worse than a clear boundary)."""
+        st = LuaTable()
+
+        def _s(v, fname):
+            if isinstance(v, float):
+                return self._tostring(v)  # Lua coerces numbers to strings
+            if not isinstance(v, str):
+                raise LuaError(f"bad argument to '{fname}' (string expected)")
+            return v
+
+        def _fmt(fmt, *args):
+            fmt = _s(fmt, "format")
+            out = []
+            i, ai = 0, 0
+            while i < len(fmt):
+                c = fmt[i]
+                if c != "%":
+                    out.append(c)
+                    i += 1
+                    continue
+                j = i + 1
+                while j < len(fmt) and fmt[j] in "-+ #0123456789.":
+                    j += 1
+                if j >= len(fmt):
+                    raise LuaError("invalid format string to 'format'")
+                conv = fmt[j]
+                spec = fmt[i:j + 1]
+                if conv == "%":
+                    out.append("%")
+                elif conv in "diu":
+                    out.append((spec[:-1] + "d") % int(float(args[ai])))
+                    ai += 1
+                elif conv in "eEfgG":
+                    out.append(spec % float(args[ai]))
+                    ai += 1
+                elif conv in "xXoc":
+                    out.append(spec % int(float(args[ai])))
+                    ai += 1
+                elif conv == "s":
+                    out.append(spec % self._tostring(args[ai]))
+                    ai += 1
+                elif conv == "q":
+                    s = self._tostring(args[ai])
+                    ai += 1
+                    out.append('"' + s.replace("\\", "\\\\")
+                               .replace('"', '\\"').replace("\n", "\\n")
+                               + '"')
+                else:
+                    raise LuaError(
+                        f"invalid conversion '%{conv}' to 'format'")
+                i = j + 1
+            return "".join(out)
+
+        def _range(s, i, j):
+            """Lua 1-based, negative-from-end string range -> slice."""
+            n = len(s)
+            i = int(i)
+            j = n if j is None else int(j)
+            if i < 0:
+                i = max(n + i + 1, 1)
+            elif i == 0:
+                i = 1
+            if j < 0:
+                j = n + j + 1
+            elif j > n:
+                j = n
+            return (i, j)
+
+        def _sub(v, i, j=None):
+            s = _s(v, "sub")
+            i, j = _range(s, i, j)
+            return s[i - 1:j] if i <= j else ""
+
+        def _byte(v, i=1.0, j=None):
+            s = _s(v, "byte")
+            i, j = _range(s, i, i if j is None else j)
+            return tuple(float(ord(ch)) for ch in s[i - 1:j])
+
+        st.set("format", _fmt)
+        st.set("sub", _sub)
+        st.set("len", lambda v: float(len(_s(v, "len"))))
+        st.set("upper", lambda v: _s(v, "upper").upper())
+        st.set("lower", lambda v: _s(v, "lower").lower())
+        st.set("rep", lambda v, n, sep=None: (
+            (str(sep) if sep is not None else "").join(
+                [_s(v, "rep")] * int(n))))
+        st.set("reverse", lambda v: _s(v, "reverse")[::-1])
+        st.set("byte", _byte)
+        st.set("char", lambda *a: "".join(chr(int(v)) for v in a))
+
+        def _patterns(name):
+            def f(*a):
+                raise LuaError(
+                    f"'string.{name}': Lua pattern matching is outside the "
+                    "mini-Lua subset (see docs/SCRIPTING.md)")
+            return f
+
+        for name in ("find", "match", "gmatch", "gsub"):
+            st.set(name, _patterns(name))
+        return st
 
     def _print(self, *args):
         self.printed.append("\t".join(self._tostring(a) for a in args))
@@ -663,6 +1015,8 @@ class Interpreter:
             env = _Env(fn.env)
             for i, p in enumerate(fn.params):
                 env.vars[p] = args[i] if i < len(args) else None
+            if fn.vararg:
+                env.vars["..."] = tuple(args[len(fn.params):])
             self._depth += 1
             if self._depth == 1:
                 self._fuel = self.FUEL
@@ -749,12 +1103,34 @@ class Interpreter:
             except _Break:
                 pass
         elif kind == "funcstat":
-            fn = LuaFunction(st[2][1], st[2][2], env, self, st[1])
+            fn = LuaFunction(st[2][1], st[2][2], env, self, st[1],
+                             vararg=st[2][3])
             self.assign(("name", st[1]), fn, env)
         elif kind == "localfunc":
             env.vars[st[1]] = None
-            fn = LuaFunction(st[2][1], st[2][2], env, self, st[1])
+            fn = LuaFunction(st[2][1], st[2][2], env, self, st[1],
+                             vararg=st[2][3])
             env.vars[st[1]] = fn
+        elif kind == "forin":
+            # generic for (the pairs/ipairs iterator protocol,
+            # Lua 5.2 §3.3.5): f, s, ctrl = explist; loop on f(s, ctrl)
+            f, s, ctrl = self.eval_list(st[2], env, want=3)
+            try:
+                while True:
+                    self._fuel -= 1
+                    if self._fuel < 0:
+                        raise LuaError(
+                            "instruction budget exhausted (runaway loop?)")
+                    vals = self.call(f, [s, ctrl])
+                    if not vals or vals[0] is None:
+                        break
+                    ctrl = vals[0]
+                    scope = _Env(env)
+                    for i, name in enumerate(st[1]):
+                        scope.vars[name] = vals[i] if i < len(vals) else None
+                    self.exec_block(st[3], scope)
+            except _Break:
+                pass
         elif kind == "return":
             raise _Return(self.eval_list(st[1], env, want=None))
         elif kind == "break":
@@ -800,7 +1176,32 @@ class Interpreter:
             fn = self.eval(e[1], env)
             args = self.eval_list(e[2], env, want=None)
             return self.call(fn, args)
+        if e[0] == "methcall":
+            obj = self.eval(e[1], env)
+            fn = self._method(obj, e[2])
+            args = self.eval_list(e[3], env, want=None)
+            return self.call(fn, [obj] + args)
+        if e[0] == "vararg":
+            scope = env.lookup("...")
+            if scope is None:
+                raise LuaError("cannot use '...' outside a vararg function")
+            return list(scope.vars["..."])
         return [self.eval(e, env)]
+
+    def _method(self, obj, name):
+        """Resolve ``obj:name`` — table methods, plus the string library
+        on string values (Lua's string metatable)."""
+        if isinstance(obj, LuaTable):
+            fn = obj.get(name)
+        elif isinstance(obj, str):
+            st = self.globals.vars.get("string")
+            fn = st.get(name) if isinstance(st, LuaTable) else None
+        else:
+            raise LuaError(f"attempt to call method {name!r} on a "
+                           f"non-table value")
+        if fn is None:
+            raise LuaError(f"attempt to call a nil value (method {name!r})")
+        return fn
 
     def eval(self, e, env):
         kind = e[0]
@@ -816,11 +1217,12 @@ class Interpreter:
             if not isinstance(t, LuaTable):
                 raise LuaError(f"attempt to index a non-table value ({e[1]})")
             return t.get(self.eval(e[2], env))
-        if kind == "call":
+        if kind in ("call", "methcall", "vararg"):
             vals = self.eval_multi(e, env)
             return vals[0] if vals else None
         if kind == "function":
-            return LuaFunction(e[1], e[2], env, self)
+            return LuaFunction(e[1], e[2], env, self,
+                               vararg=e[3] if len(e) > 3 else False)
         if kind == "table":
             t = LuaTable()
             pos = 0
