@@ -91,15 +91,31 @@ class _Gen:
                 arms.append(f"{pad}end")
                 lines.append("\n".join(arms))
             elif roll < 0.7 and depth < 2:
-                # bounded loop, optionally with a data-dependent break
+                # bounded loop, optionally with a data-dependent break;
+                # round 3: sometimes a generic for over a literal table
+                # (ipairs iterator protocol + masked body/breaks)
                 name = f"v{self.r.integers(0, 6)}"
-                body = [f"{pad}local {name} = {self.expr(local_vars)}",
-                        f"{pad}for i{depth} = 1, {self.r.integers(2, 5)} do",
-                        f"{pad}  {name} = {name} * 0.5 + "
-                        f"{self.expr(local_vars, 2)}"]
-                if self.r.random() < 0.5:
-                    body.append(f"{pad}  if {self.cond([name])} then break end")
-                body.append(f"{pad}end")
+                if self.r.random() < 0.3:
+                    consts = ", ".join(self.const()
+                                       for _ in range(self.r.integers(2, 5)))
+                    body = [f"{pad}local {name} = {self.expr(local_vars)}",
+                            f"{pad}for gi{depth}, gw{depth} in "
+                            f"ipairs({{{consts}}}) do",
+                            f"{pad}  {name} = {name} * 0.5 + gw{depth} + "
+                            f"{self.expr(local_vars, 2)}"]
+                    if self.r.random() < 0.5:
+                        body.append(
+                            f"{pad}  if {self.cond([name])} then break end")
+                    body.append(f"{pad}end")
+                else:
+                    body = [f"{pad}local {name} = {self.expr(local_vars)}",
+                            f"{pad}for i{depth} = 1, {self.r.integers(2, 5)} do",
+                            f"{pad}  {name} = {name} * 0.5 + "
+                            f"{self.expr(local_vars, 2)}"]
+                    if self.r.random() < 0.5:
+                        body.append(
+                            f"{pad}  if {self.cond([name])} then break end")
+                    body.append(f"{pad}end")
                 lines.append("\n".join(body))
                 if name not in local_vars:
                     local_vars.append(name)
@@ -123,9 +139,17 @@ class _Gen:
         return "\n".join(lines)
 
     def program(self):
-        helper = (f"function h(a, b)\n"
-                  f"{self.block(['a', 'b'], 1, 1, allow_return=False)}\n"
-                  f"  return (a + b) * 0.5\nend\n")
+        if self.r.random() < 0.25:
+            # round 3: a varargs helper (select + `...` destructuring)
+            helper = ("function h(...)\n"
+                      "  local n = select(\"#\", ...)\n"
+                      "  local a, b = ...\n"
+                      f"{self.block(['a', 'b'], 1, 1, allow_return=False)}\n"
+                      "  return (a + b) * 0.5 + n\nend\n")
+        else:
+            helper = (f"function h(a, b)\n"
+                      f"{self.block(['a', 'b'], 1, 1, allow_return=False)}\n"
+                      f"  return (a + b) * 0.5\nend\n")
         use_helper = self.r.random() < 0.5
         vars_ = ["x", "y"]
         # a guarded top-level nil return (inside an if: the body's own
