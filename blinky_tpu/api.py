@@ -470,14 +470,17 @@ class Session:
         (``fisheye.c:734-737``) because lens globals may depend on
         ``numplates``; a reload is only *observable* when the globe or
         the script file actually changed, so the loaded ``LensDef`` is
-        cached on (name, globe identity, script mtime).  Reusing the
+        cached on (name, globe GENERATION, script mtime).  Reusing the
         same object also keeps the jitted builder's compile cache warm —
         a zoom/pose change must not retrace the lens (and a ``.lua``
-        drop-in's traced re-run is seconds, not ms)."""
+        drop-in's traced re-run is seconds, not ms).  The generation
+        counter, not ``id(globe)``: a freed Globe's id can be reused and
+        silently hit a stale entry (same pitfall as ``_posed_cache``)."""
         try:
             key = None
+            ggen = getattr(self, "_globe_gen", 0)
             if self.lens_name in lenses_mod.BUILTIN_LENSES:
-                key = (self.lens_name, id(self.globe), None)
+                key = (self.lens_name, ggen, None)
                 cached = getattr(self, "_lens_cache", None)
                 if cached is not None and cached[0] == key:
                     self.lens = cached[1]
@@ -489,7 +492,7 @@ class Session:
                 for ext in (".py", ".lua"):  # .lua = reference drop-ins
                     p = d / f"{self.lens_name}{ext}"
                     if p.exists():
-                        key = (str(p), id(self.globe), p.stat().st_mtime_ns)
+                        key = (str(p), ggen, p.stat().st_mtime_ns)
                         cached = getattr(self, "_lens_cache", None)
                         if cached is not None and cached[0] == key:
                             self.lens = cached[1]
@@ -505,12 +508,14 @@ class Session:
         try:
             if self.globe_name in globes_mod.names():
                 self.globe = globes_mod.get(self.globe_name)
+                self._globe_gen = getattr(self, "_globe_gen", 0) + 1
                 return True
             for d in self.globe_dirs:
                 for ext in (".py", ".lua"):
                     p = d / f"{self.globe_name}{ext}"
                     if p.exists():
                         self.globe = globes_mod.load_globe_module(p)
+                        self._globe_gen = getattr(self, "_globe_gen", 0) + 1
                         return True
         except Exception as e:
             self._print(f"could not load globe: {e}")

@@ -421,7 +421,9 @@ def cmd_sweep(args) -> int:
     from blinky_tpu.lensmap import Zoom, ZoomError, calc_scale
 
     fused_scales = None
-    if (sess.lens.map_type == "inverse"
+    if (sess.fisheye_enabled  # `--cmd "fisheye 0"` renders the plain
+            # rectilinear view per step — only the per-step path does that
+            and sess.lens.map_type == "inverse"
             and getattr(sess.lens, "jittable", True)
             and sess.view_angles is None):
         try:

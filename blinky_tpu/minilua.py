@@ -164,6 +164,11 @@ class _Parser:
     def __init__(self, toks):
         self.toks = toks
         self.pos = 0
+        # whether the enclosing function accepts `...` (the main chunk
+        # is vararg in Lua); checked at PARSE time like the real VM so
+        # a nested non-vararg closure can't read the outer varargs
+        # through the env chain
+        self._fn_vararg = [True]
 
     def peek(self):
         return self.toks[self.pos]
@@ -342,7 +347,11 @@ class _Parser:
                 if not self.accept("sym", ","):
                     break
         self.expect("sym", ")")
-        body = self.parse_chunk(("end",))
+        self._fn_vararg.append(vararg)
+        try:
+            body = self.parse_chunk(("end",))
+        finally:
+            self._fn_vararg.pop()
         self.expect("kw", "end")
         return ("function", params, body, vararg)
 
@@ -396,6 +405,10 @@ class _Parser:
             self.next()
             return ("const", {"nil": None, "true": True, "false": False}[t[1]])
         if t[0] == "sym" and t[1] == "...":
+            if not self._fn_vararg[-1]:
+                raise LuaError(
+                    f"line {t[2]}: cannot use '...' outside a vararg "
+                    "function")
             self.next()
             return ("vararg",)
         if t[0] == "kw" and t[1] == "function":
@@ -519,6 +532,24 @@ class LuaTable:
             out.append(self.data[i])
             i += 1
         return out
+
+
+def _lua_guard(name, f):
+    """Convert stray Python exceptions from stdlib bodies into LuaError:
+    the sandbox contract is that a script can only ever raise LuaError
+    (pcall-able), never a raw TypeError/IndexError (e.g. table.sort over
+    mixed types, format with missing args).  LuaError itself (a
+    ValueError subclass) passes through."""
+    def wrapped(*a):
+        try:
+            return f(*a)
+        except LuaError:
+            raise
+        except (TypeError, ValueError, IndexError, KeyError,
+                OverflowError, AttributeError) as e:
+            raise LuaError(f"bad argument to '{name}' ({e})") from None
+    wrapped.__name__ = name
+    return wrapped
 
 
 class _StubTable(LuaTable):
@@ -717,9 +748,23 @@ class Interpreter:
 
         def _t_remove(t, pos=None):
             n = int(t.length())
-            if n == 0:
-                return None
-            pos = n if pos is None else int(pos)
+            if pos is None:
+                if n == 0:
+                    return None
+                pos = n
+            else:
+                pos = int(pos)
+                if n == 0:
+                    if pos not in (0, 1):  # Lua 5.2 allows 0/1 on empty
+                        raise LuaError(
+                            "bad argument #1 to 'remove' "
+                            "(position out of bounds)")
+                    return None
+                if not 1 <= pos <= n + 1:
+                    raise LuaError(
+                        "bad argument #1 to 'remove' (position out of bounds)")
+                if pos == n + 1:
+                    return None  # nothing shifts, nothing clears
             v = t.get(float(pos))
             for i in range(pos, n):
                 t.set(float(i), t.get(float(i + 1)))
@@ -745,10 +790,11 @@ class Interpreter:
             for k, v in enumerate(arr, 1):
                 t.set(float(k), v)
 
-        tt.set("insert", _t_insert)
-        tt.set("remove", _t_remove)
-        tt.set("concat", _t_concat)
-        tt.set("sort", _t_sort)
+        _guard = _lua_guard
+        for name, f in (("insert", _t_insert), ("remove", _t_remove),
+                        ("concat", _t_concat), ("sort", _t_sort),
+                        ("unpack", tt.get("unpack"))):
+            tt.set(name, _guard(name, f))
         g["table"] = tt
         g["unpack"] = tt.get("unpack")  # the 5.1 global alias
         g["print"] = self._print
@@ -787,15 +833,17 @@ class Interpreter:
         def _pairs(t):
             if not isinstance(t, LuaTable):
                 raise LuaError("bad argument to 'pairs' (table expected)")
-            # array part 1..n first, then the remaining keys in insertion
-            # order (Lua's order is unspecified; this one is stable)
-            seq = [(float(k) if isinstance(k, int) else k, v)
-                   for k, v in t.data.items()]
-            it = iter(seq)
+            # key order snapshotted (Lua's order is unspecified; this one
+            # is stable insertion order) but VALUES read live: mutations
+            # of existing keys mid-traversal are seen, entries niled
+            # during the loop are skipped — matching the reference VM
+            it = iter(list(t.data.keys()))
 
             def step(s, ctrl):
-                for k, v in it:
-                    return k, v
+                for k in it:
+                    v = s.get(k)
+                    if v is not None:
+                        return (float(k) if isinstance(k, int) else k), v
                 return None
             return step, t, None
 
@@ -836,11 +884,11 @@ class Interpreter:
             except LuaError as e:
                 return False, str(e)
 
-        g["tonumber"] = _tonumber
+        g["tonumber"] = _guard("tonumber", _tonumber)
         g["type"] = _type
         g["pairs"] = _pairs
         g["ipairs"] = _ipairs
-        g["select"] = _select
+        g["select"] = _guard("select", _select)
         g["error"] = _error
         g["assert"] = _assert
         g["pcall"] = _pcall
@@ -956,17 +1004,19 @@ class Interpreter:
             i, j = _range(s, i, i if j is None else j)
             return tuple(float(ord(ch)) for ch in s[i - 1:j])
 
-        st.set("format", _fmt)
-        st.set("sub", _sub)
-        st.set("len", lambda v: float(len(_s(v, "len"))))
-        st.set("upper", lambda v: _s(v, "upper").upper())
-        st.set("lower", lambda v: _s(v, "lower").lower())
-        st.set("rep", lambda v, n, sep=None: (
+        st.set("format", _lua_guard("format", _fmt))
+        st.set("sub", _lua_guard("sub", _sub))
+        st.set("len", _lua_guard("len", lambda v: float(len(_s(v, "len")))))
+        st.set("upper", _lua_guard("upper", lambda v: _s(v, "upper").upper()))
+        st.set("lower", _lua_guard("lower", lambda v: _s(v, "lower").lower()))
+        st.set("rep", _lua_guard("rep", lambda v, n, sep=None: (
             (str(sep) if sep is not None else "").join(
-                [_s(v, "rep")] * int(n))))
-        st.set("reverse", lambda v: _s(v, "reverse")[::-1])
-        st.set("byte", _byte)
-        st.set("char", lambda *a: "".join(chr(int(v)) for v in a))
+                [_s(v, "rep")] * int(n)))))
+        st.set("reverse", _lua_guard(
+            "reverse", lambda v: _s(v, "reverse")[::-1]))
+        st.set("byte", _lua_guard("byte", _byte))
+        st.set("char", _lua_guard(
+            "char", lambda *a: "".join(chr(int(v)) for v in a)))
 
         def _patterns(name):
             def f(*a):

@@ -316,11 +316,17 @@ class Viewer:
         (``palette.quantize_rgb``)."""
         n = len(self.frames)
         count = n if count is None else max(1, min(int(count), n))
-        _ = self.session.lensmap  # captures are exact: finish any
-        # pending time-sliced build before recording (blocks, as any
-        # capture does on this single-threaded server)
-        shots = [self._render_screen((start + k) % n, follow)
-                 for k in range(count)]
+        # captures are EXACT: suspend time-slicing for the whole capture
+        # (follow=1 rebuilds per frame via setviewangles — each of those
+        # must block to completion too, not record a partial preview),
+        # and finish any already-pending build first
+        budget, self.session.build_budget_s = self.session.build_budget_s, None
+        try:
+            _ = self.session.lensmap
+            shots = [self._render_screen((start + k) % n, follow)
+                     for k in range(count)]
+        finally:
+            self.session.build_budget_s = budget
         from blinky_tpu.io.gif import encode_gif, encode_gif_u32
 
         if shots[0].dtype == np.uint32:

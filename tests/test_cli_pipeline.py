@@ -264,3 +264,21 @@ def test_fused_sweep_matches_per_step_path():
             sess.lens, sess.globe, scales, src, W, H))
         np.testing.assert_array_equal(fused, np.stack(per_step),
                                       err_msg=f"rubix={rubix}")
+
+
+def test_sweep_fisheye_disabled_takes_per_step_path(tmp_path):
+    """Review round 3: `sweep --cmd "fisheye 0"` renders the plain
+    rectilinear view per step (the per-step path); the fused warped ramp
+    must not engage."""
+    from blinky_tpu.cli import main
+    from blinky_tpu.io.gif import decode_gif
+
+    out = tmp_path / "plain.gif"
+    rc = main(["sweep", "--width", "64", "--height", "48", "--steps", "3",
+               "--start", "120", "--stop", "300", "--cmd", "fisheye 0",
+               "--out", str(out)])
+    assert rc == 0
+    frames, _, _ = decode_gif(out.read_bytes())
+    # the plain view ignores f_fov: every step identical
+    np.testing.assert_array_equal(frames[..., 0], frames[..., 1])
+    np.testing.assert_array_equal(frames[..., 0], frames[..., 2])

@@ -432,3 +432,58 @@ end
         sv = si.call(si.get_global("f"), [float(X[i]), float(Y[i])])
         assert float(sv[0]) == float(np.asarray(vals[0])[i])
         assert float(sv[1]) == float(np.broadcast_to(vals[1], X.shape)[i])
+
+
+def test_table_remove_bounds_and_pairs_live_values():
+    """Review round 3: table.remove out of bounds raises (Lua 5.2), and
+    pairs() reads values LIVE (mutations mid-traversal are seen, niled
+    entries skipped) instead of snapshotting."""
+    it = run("""
+t = {10, 20, 30}
+ok1 = pcall(function() table.remove(t, 7) end)
+ok2 = pcall(function() table.remove(t, 0) end)
+untouched = #t
+allowed = table.remove(t, 4)  -- pos == n+1 is legal: no shift, nil
+n_after = #t
+seen = ""
+u = {1, 2, 3}
+for k, v in pairs(u) do
+  u[2] = 99
+  u[3] = nil
+  seen = seen .. tostring(v) .. ";"
+end
+""")
+    assert it.get_global("ok1") is False and it.get_global("ok2") is False
+    assert it.get_global("untouched") == 3.0
+    assert it.get_global("allowed") is None
+    assert it.get_global("n_after") == 3.0
+    assert it.get_global("seen") == "1.0;99.0;"
+
+
+def test_stdlib_raises_luaerror_never_python_exceptions():
+    """Review round 3: stdlib bodies convert stray Python exceptions to
+    LuaError so pcall catches them and the sandbox contract holds."""
+    it = run("""
+ok1, e1 = pcall(function() table.sort({1, "x"}) end)
+ok2, e2 = pcall(function() return string.format("%d") end)
+ok3, e3 = pcall(function() return string.format("%d", 0/0) end)
+ok4, e4 = pcall(function() return string.rep("a", "zz") end)
+""")
+    for k in ("ok1", "ok2", "ok3", "ok4"):
+        assert it.get_global(k) is False, k
+    # and outside pcall they surface as LuaError, not TypeError
+    with pytest.raises(LuaError):
+        run('table.sort({1, "x"})')
+
+
+def test_vararg_outside_vararg_function_is_parse_error():
+    """Review round 3: a nested non-vararg closure cannot read the
+    enclosing function's `...` (parse-time error like the real VM)."""
+    with pytest.raises(LuaError, match="outside a vararg"):
+        run("function outer(...)\n"
+            "  local f = function() return ... end\n"
+            "  return f()\nend")
+    # the main chunk is vararg in Lua: top-level `...` parses (and the
+    # runtime reports the missing binding cleanly)
+    with pytest.raises(LuaError, match="vararg"):
+        run("x = ...")

@@ -382,3 +382,21 @@ def test_echo(sess):
     sess.cmd("echo hello fisheye world")
     assert sess.console[n0:] == ["hello fisheye world"]
     sess.cmd("wait")  # no frame loop here: accepted as a no-op
+
+
+def test_lens_cache_keyed_on_globe_generation():
+    """Review round 3: the LensDef cache keys on a globe GENERATION, not
+    id(globe) — every globe switch invalidates it even if a freed
+    Globe's address is reused."""
+    sess = Session(64, 48, backend="numpy")
+    g0 = sess._globe_gen
+    lens_a = sess.lens
+    sess.cmd("f_globe tetra")
+    assert sess._globe_gen == g0 + 1
+    sess.render(synthetic_cubemap(48)[:4])
+    assert sess.lens is not lens_a  # reloaded for the new globe
+    # unchanged globe + zoom change: the cached object is reused
+    lens_b = sess.lens
+    sess.cmd("f_fov 120")
+    sess.render(synthetic_cubemap(48)[:4])
+    assert sess.lens is lens_b

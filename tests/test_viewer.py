@@ -241,3 +241,36 @@ def test_viewer_lens_switch_time_sliced():
     ref.cmd("f_lens winkeltripel")
     np.testing.assert_array_equal(
         np.asarray(sess.render(frames[0])), np.asarray(ref.render(frames[0])))
+
+
+def test_record_gif_is_exact_during_pending_build():
+    """Review round 3: /record.gif must capture EXACT frames even while
+    a time-sliced build is pending and when follow=1 triggers per-frame
+    rebuilds — the capture suspends slicing (no f32-preview or
+    partial-table frames in the recording)."""
+    from blinky_tpu.io.gif import decode_gif
+
+    sess = Session(96, 72, platesize=48, build_budget_s=1e-6)
+    frames = np.stack([synthetic_cubemap(48)] * 2)
+    poses = np.array([[0, 0, 0], [0, 40, 0]], np.float32)
+    v = Viewer(sess, frames, poses=poses)
+    v.start()
+    try:
+        _get(v, "/cmd?c=f_lens%20winkeltripel")
+        _get(v, "/frame.png?i=0")  # kick off the sliced build
+        assert sess.build_progress is not None
+        _, _, body = _get(v, "/record.gif?n=2&follow=1")
+        got, pal, _ = decode_gif(body)
+    finally:
+        v.stop()
+    assert sess.build_budget_s == 1e-6  # restored after the capture
+    # the reference: the same auto-backend path with NO time-slicing
+    # (posed frames use the f32 device builder either way — the point is
+    # that no partial/preview table leaks into the capture)
+    ref = Session(96, 72, platesize=48)
+    ref.cmd("f_lens winkeltripel")
+    for k, (p, y, r) in enumerate(poses):
+        ref.cmd(f"setviewangles {float(p)} {float(y)} {float(r)}")
+        np.testing.assert_array_equal(
+            got[..., k], np.asarray(ref.render(frames[k])),
+            err_msg=f"frame {k} not exact")
