@@ -45,3 +45,18 @@ def test_equirect_pipeline_example(tmp_path):
     assert (first != last).any()
     poster = decode_png((tmp_path / "out" / "poster_aa.png").read_bytes())
     assert poster.shape == (48, 64, 3)
+
+
+def test_lua_drop_in_example(tmp_path):
+    spec = importlib.util.spec_from_file_location(
+        "example_lua", EXAMPLES / "lua_drop_in.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.W, mod.H, mod.S, mod.STEPS = 64, 48, 32, 3
+    out = mod.main(tmp_path / "out")
+    assert (out / "sweep.gif").exists()
+    from blinky_tpu.io.gif import decode_gif
+
+    ramp, _, _ = decode_gif((out / "sweep.gif").read_bytes())
+    assert ramp.shape == (48, 64, 3)
+    assert (ramp[..., 0] != ramp[..., 2]).any()  # the zoom moved
