@@ -309,8 +309,8 @@ class Session:
             if self.view_angles is not None and getattr(self.lens, "jittable", True):
                 return "jax"
             # the rare non-jittable lens (a .lua script that fails the
-            # trace probe, e.g. debug.lua) takes the host builder, which
-            # supports view_basis too — just slower
+            # trace probe, e.g. lane-varying table writes) takes the
+            # host builder, which supports view_basis too — just slower
             return "numpy"
         return self.backend
 
@@ -748,8 +748,9 @@ class Session:
         scale = calc_scale(self.zoom, self.lens, self.width_px, self.height_px)
         if not getattr(self.lens, "jittable", True):
             # .lua drop-ins trace through the Lua->JAX evaluator and are
-            # jittable like the ports; only scripts that genuinely need
-            # per-lane control (debug.lua's numplates tables) land here
+            # jittable like the ports (ALL 21 shipped inverse-capable
+            # scripts incl. debug.lua); only scripts that genuinely need
+            # per-lane control (e.g. lane-varying table writes) land here
             raise ValueError(
                 f"render_posed needs a jittable lens: '{self.lens_name}' "
                 "failed the trace probe (per-lane control flow) and runs "

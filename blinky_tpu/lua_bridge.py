@@ -117,8 +117,54 @@ def make_lua_builtins(globe=None, vector=False) -> dict:
     def plate_to_ray(i, u, v):
         if globe is None:
             return None
-        if _is_vec(i) or _is_traced(i):
-            raise Unvectorizable("array-valued plate index")
+        if _is_traced(i):
+            # traced LANE-VARYING plate index (debug.lua): gather the
+            # per-lane plate frames and project — the SAME formulation
+            # the Python debug port uses (lenses.make_context's
+            # plate_to_ray), so the two graphs fuse identically and the
+            # device builds pin bit-equal (a where-chain variant
+            # measured 1-ulp off on XLA:CPU from different FMA
+            # contraction).  Out-of-range lanes clip; the script's own
+            # guards mask them out.
+            import jax.numpy as jnp
+
+            dt = getattr(u, "dtype", np.dtype(np.float64))
+            f64 = jnp.float64 if dt == np.float64 else jnp.float32
+            ii = jnp.clip(jnp.floor(jnp.asarray(i)).astype(jnp.int32),
+                          0, globe.numplates - 1)
+            return geometry.plate_uv_to_ray_c(
+                u, v, jnp.asarray(globe.forward)[ii],
+                jnp.asarray(globe.right)[ii], jnp.asarray(globe.up)[ii],
+                jnp.asarray(globe.dist)[ii], jnp, jnp.float32, f64,
+            )
+        if _is_vec(i):
+            # lane-varying plate index on the np whole-grid path
+            # (debug.lua): gather each lane's plate frame — per lane
+            # identical arithmetic to the scalar-plate branch below, so
+            # bit-equal to per-pixel scalar calls.  Out-of-range lanes
+            # are per-lane nil (lua_pushnil, fisheye.c:1528-1531),
+            # carried as one shared-mask _MaybeNil triple.  (A NaN
+            # plate on an ACTIVE lane would error per-pixel on the
+            # scalar path; here it maps to nil — garbage on merged-out
+            # lanes is routinely NaN and must not refuse the grid.)
+            from blinky_tpu.lua_vector import _MaybeNil
+
+            ii = np.asarray(i, np.float64)
+            with np.errstate(invalid="ignore"):
+                tr = np.trunc(np.nan_to_num(ii, nan=-1.0))  # C int() cast
+                valid = (tr >= 0) & (tr < globe.numplates)
+            idx = np.clip(tr, 0, globe.numplates - 1).astype(np.int64)
+            rx, ry, rz = geometry.plate_uv_to_ray_c(
+                np.asarray(u, np.float64), np.asarray(v, np.float64),
+                globe.forward[idx], globe.right[idx], globe.up[idx],
+                globe.dist[idx], np, np.float32, np.float64,
+            )
+            out = (np.asarray(rx, np.float64), np.asarray(ry, np.float64),
+                   np.asarray(rz, np.float64))
+            if bool(valid.all()):
+                return out
+            nil = ~valid  # ONE mask object: slots share it (nil protocol)
+            return tuple(_MaybeNil(c, nil) for c in out)
         pi = int(np.asarray(i)[()] if isinstance(i, np.ndarray) else i)
         if pi < 0 or pi >= globe.numplates:
             return None  # lua_pushnil, fisheye.c:1528-1531

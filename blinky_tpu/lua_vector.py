@@ -169,6 +169,21 @@ def _combine_slot_nils(vals, slot_nils):
     return out
 
 
+def _has_break_or_return(node) -> bool:
+    """Does this AST subtree lexically contain break/return?  Nested
+    function DEFINITIONS don't count (their returns target their own
+    frames)."""
+    if isinstance(node, tuple):
+        if node and node[0] == "function":
+            return False
+        if node and node[0] in ("break", "return"):
+            return True
+        return any(_has_break_or_return(x) for x in node)
+    if isinstance(node, list):
+        return any(_has_break_or_return(x) for x in node)
+    return False
+
+
 def _same_mask(a, b) -> bool:
     """Are two nil masks provably identical?  Object identity covers the
     nil-protocol multi-value return (all slots share ONE frame mask);
@@ -242,6 +257,8 @@ class VectorInterpreter(Interpreter):
         super().__init__(builtins=builtins)
         self._masks: list = []
         self._vframes: list[_Frame] = []
+        self._wlog = None  # write-set log for the lax while lowering
+        self._wlog_bad = False  # a table write occurred while logging
         self._install_vector_math()
 
     # ------------------------------------------------------------ stdlib
@@ -515,13 +532,12 @@ class VectorInterpreter(Interpreter):
                 if not _poss(work):
                     break
                 if not isinstance(work, np.ndarray):
-                    # traced lanes can't be inspected for convergence:
-                    # unroll a bounded masked loop (exited lanes freeze
-                    # through the mask merges), the ports' repeat_until
-                    # max_iter analog
-                    titers += 1
-                    if titers > self.TRACE_LOOP_CAP:
-                        break
+                    # traced lanes can't be inspected for convergence —
+                    # hand the whole lane-varying phase to the traced
+                    # loop driver (lax.while_loop when the body
+                    # qualifies, else a bounded masked unroll)
+                    self._traced_loop(st, env, active, is_repeat=False)
+                    break
                 self._masks.append(active)
                 try:
                     self.exec_block(st[2], _Env(env))
@@ -534,6 +550,140 @@ class VectorInterpreter(Interpreter):
         finally:
             if fr is not None:
                 fr.loops.remove(loop)
+
+    def _traced_loop(self, st, env, active, is_repeat):
+        """Drive the lane-varying phase of a while/repeat whose mask is
+        TRACED.  One masked iteration runs eagerly with write logging to
+        discover the loop-carried variables; if the body qualifies (no
+        lexical break/return, no table writes, every carried value a
+        traced/np array) the rest lowers to ``lax.while_loop`` — a
+        compact graph with data-dependent trip count, exactly the shape
+        the ports' ``repeat_until`` compiles to, instead of a
+        TRACE_LOOP_CAP-times unrolled body (debug.lua's whole unrolled
+        while was ~3.8k HLO eqns; the lowered loop is ~40).  Ineligible
+        loops keep the bounded masked unroll — bit-identical values
+        either way (frozen lanes never update in any scheme)."""
+        body_ast = st[1] if is_repeat else st[2]
+        cond_ast = st[2] if is_repeat else st[1]
+
+        def one_iter(act):
+            """body-then-cond under mask *act* -> the next active mask
+            (while: act & cond; repeat: act & ~cond)."""
+            import jax.numpy as jnp
+
+            self._masks.append(act)
+            try:
+                scope = _Env(env)
+                self.exec_block(body_ast, scope)
+                with np.errstate(all="ignore"):
+                    c = self.eval(cond_ast, scope if is_repeat else env)
+            except (LuaError, TypeError) as e:
+                raise Unvectorizable(f"error under mask: {e}") from e
+            finally:
+                self._masks.pop()
+            uni, cv = self._truthy_ctx(c)
+            cmv = jnp.broadcast_to(jnp.asarray(bool(cv) if uni else cv),
+                                   np.shape(act))
+            return act & (~cmv if is_repeat else cmv)
+
+        eligible = not (_has_break_or_return(body_ast)
+                        or _has_break_or_return(cond_ast))
+        # probe iteration (eager, write-logged)
+        outer_log, outer_bad = self._wlog, self._wlog_bad
+        self._wlog, self._wlog_bad = {}, False
+        try:
+            active = one_iter(active)
+        finally:
+            written, bad = self._wlog, self._wlog_bad
+            self._wlog, self._wlog_bad = outer_log, outer_bad
+            if outer_log is not None:  # nested probe: propagate upward
+                outer_log.update(written)
+                self._wlog_bad = outer_bad or bad
+        if eligible and not bad and self._lax_rest(one_iter, written,
+                                                   active, it0=1):
+            return
+        # bounded masked unroll fallback (the ports' repeat_until
+        # max_iter analog; exited lanes freeze through the merges)
+        for _ in range(self.TRACE_LOOP_CAP - 1):
+            self._fuel -= 1
+            if self._fuel < 0:
+                raise LuaError("instruction budget exhausted (runaway loop?)")
+            active = one_iter(active)
+
+    def _lax_rest(self, one_iter, written, active, it0):
+        """Lower the remaining iterations to ``lax.while_loop``.  Returns
+        False (with all state restored to post-probe) when the carry
+        can't be built or the lowering fails — the caller then unrolls."""
+        import jax
+        import jax.numpy as jnp
+
+        slots = []
+        for scope, name in written.values():
+            v = scope.vars.get(name)
+            if isinstance(v, _MaybeNil):
+                if not (_is_traced(v.value)
+                        or isinstance(v.value, np.ndarray)):
+                    return False
+                slots.append((scope, name, "mn"))
+            elif _is_traced(v) or isinstance(v, np.ndarray):
+                slots.append((scope, name, "pl"))
+            else:
+                return False  # a non-array carried value (shouldn't
+                # happen under a mask, but refuse rather than guess)
+
+        class _StructChange(Exception):
+            pass
+
+        def capture():
+            flat = []
+            for scope, name, kind in slots:
+                v = scope.vars[name]
+                if kind == "mn":
+                    if not isinstance(v, _MaybeNil):
+                        raise _StructChange()
+                    flat += [v.value, v.nil_mask]
+                else:
+                    if isinstance(v, _MaybeNil):
+                        raise _StructChange()
+                    flat.append(v)
+            return tuple(flat)
+
+        def restore(flat):
+            i = 0
+            for scope, name, kind in slots:
+                if kind == "mn":
+                    scope.vars[name] = _MaybeNil(flat[i], flat[i + 1])
+                    i += 2
+                else:
+                    scope.vars[name] = flat[i]
+                    i += 1
+
+        snapshot = [(scope, name, scope.vars.get(name))
+                    for scope, name, _ in slots]
+        encl = self._eff_mask()  # trace-constant during the loop
+
+        def cond_fun(carry):
+            it, act, _ = carry
+            alive = act if encl is None else (act & encl)
+            return (it < self.TRACE_LOOP_CAP) & jnp.any(alive)
+
+        def body_fun(carry):
+            it, act, flat = carry
+            restore(flat)
+            new_act = one_iter(act)
+            return it + 1, new_act, capture()
+
+        try:
+            init = (jnp.int32(it0), jnp.asarray(active), capture())
+            out = jax.lax.while_loop(cond_fun, body_fun, init)
+            restore(tuple(out[2]))
+            return True
+        except Exception:
+            # an aborted lowering leaves tracers from the dead trace in
+            # the scopes — restore the post-probe values and unroll
+            for scope, name, v in snapshot:
+                scope.vars[name] = v
+            return False
 
     def _exec_repeat(self, st, env):
         fr = self._vframes[-1] if self._vframes else None
@@ -577,9 +727,10 @@ class VectorInterpreter(Interpreter):
                 if not _poss(work):
                     break
                 if not isinstance(work, np.ndarray):
-                    titers += 1  # bounded traced unroll (see _exec_while)
-                    if titers > self.TRACE_LOOP_CAP:
-                        break
+                    # hand the lane-varying phase to the traced loop
+                    # driver (lax.while_loop / bounded unroll)
+                    self._traced_loop(st, env, active, is_repeat=True)
+                    break
         except _Break:
             pass
         finally:
@@ -686,7 +837,9 @@ class VectorInterpreter(Interpreter):
         newly = np.ones(shape, bool) if m is None else m
         if fr.done is not None:
             newly = newly & ~fr.done
-        is_nil = (len(vals) == 0 or (len(vals) == 1 and vals[0] is None))
+        # an all-nil return (`return nil` but also `return nil, nil` —
+        # debug.lua's col/row helpers) marks the lanes nil for every slot
+        is_nil = (len(vals) == 0 or all(v is None for v in vals))
         if is_nil:
             fr.nil = newly if fr.nil is None else (fr.nil | newly)
         else:
@@ -730,6 +883,12 @@ class VectorInterpreter(Interpreter):
             raise _AllReturned()  # traced: can't early-exit, keep going
 
     # -------------------------------------------------------- assignment
+    def _log_write(self, scope, name):
+        """Record an escaping write (for the lax while-lowering's
+        loop-carry discovery); no-op unless a probe is logging."""
+        if self._wlog is not None:
+            self._wlog[(id(scope), name)] = (scope, name)
+
     def assign(self, tgt, val, env):
         m = self._eff_mask()
         if m is None:
@@ -741,9 +900,17 @@ class VectorInterpreter(Interpreter):
                 if scope is None or scope.parent is None:
                     entry = self._vframes[-1].entry
                     old = None if scope is None else scope.vars[tgt[1]]
-                    (scope or env.root()).vars[tgt[1]] = self._merge(
-                        entry, val, old)
+                    target = scope or env.root()
+                    self._log_write(target, tgt[1])
+                    target.vars[tgt[1]] = self._merge(entry, val, old)
                     return
+            if self._wlog is not None:
+                if tgt[0] == "index":
+                    self._wlog_bad = True  # table writes can't be carried
+                elif tgt[0] == "name":
+                    scope = env.lookup(tgt[1])
+                    self._log_write(scope if scope is not None
+                                    else env.root(), tgt[1])
             return super().assign(tgt, val, env)
         if tgt[0] == "index":
             # masked table writes: a lane-uniform value (quincuncial's
@@ -758,6 +925,8 @@ class VectorInterpreter(Interpreter):
             # merge with the old slot value; a fresh slot tracks the
             # out-of-mask lanes as per-lane nil (read later -> handled
             # or Unvectorizable, never silently wrong)
+            if self._wlog is not None:
+                self._wlog_bad = True  # table writes can't be carried
             t.set(key, self._merge(m, val, t.get(key)))
             return
         if tgt[0] != "name":
@@ -768,6 +937,7 @@ class VectorInterpreter(Interpreter):
             old = None
         else:
             old = scope.vars[tgt[1]]
+        self._log_write(scope, tgt[1])
         if scope.parent is None and self._vframes:
             # a GLOBAL write escapes the call: lanes outside the call's
             # entry mask must keep their old value
@@ -850,6 +1020,47 @@ class VectorInterpreter(Interpreter):
         return out, nil
 
     # -------------------------------------------------------- expressions
+    def _vector_table_read(self, t, key):
+        """A lane-varying table READ (debug.lua's ``cols[r+1]``): legal
+        for a dense 1..n numeric array-part table.
+
+        Under jax tracing: a clipped gather over the values (clipping is
+        safe — lanes with out-of-range keys are masked out by the
+        script's own guards, and their garbage is discarded by merges).
+
+        On the np path: the gather is PROVEN equal to per-lane scalar
+        reads first — every ACTIVE lane's key must be an integer inside
+        1..n (else Unvectorizable, and the scalar fallback remains the
+        authority).  This is what lets debug.lua's exact host build run
+        whole-grid instead of one interpreter walk per pixel."""
+        arr = t.array()
+        if len(arr) != len(t.data) or not all(
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                for v in arr):
+            raise Unvectorizable("lane-array read of a non-dense table")
+        if not arr:
+            raise Unvectorizable("lane-array read of an empty table")
+        if _is_traced(key):
+            import jax.numpy as jnp
+
+            vals = jnp.asarray(np.asarray(arr, np.float32))  # f32 trace
+            idx = jnp.clip(jnp.floor(key).astype(jnp.int32) - 1,
+                           0, len(arr) - 1)
+            return jnp.take(vals, idx)
+        k = np.asarray(key)
+        m = self._active_lanes()
+        act = (np.ones(k.shape, bool) if m is None
+               else np.broadcast_to(m, k.shape))
+        with np.errstate(invalid="ignore"):
+            kf = np.floor(k)
+            ok = (kf == k) & (kf >= 1) & (kf <= len(arr))
+        if bool((act & ~ok).any()):
+            raise Unvectorizable(
+                "table key out of range / non-integer on active lanes")
+        idx = np.clip(np.nan_to_num(kf, nan=1.0), 1, len(arr)).astype(
+            np.int64) - 1
+        return np.asarray(arr, np.float64)[idx]
+
     def _active_lanes(self):
         """The lanes actually executing right now: the relative eff mask
         intersected with the current call's entry mask (a callee runs
@@ -903,7 +1114,16 @@ class VectorInterpreter(Interpreter):
             t = self.eval(e[1], env)
             if not isinstance(t, LuaTable):
                 raise LuaError(f"attempt to index a non-table value ({e[1]})")
-            return t.get(_scalar_key(self.eval(e[2], env)))
+            key = self.eval(e[2], env)
+            if isinstance(key, _MaybeNil) and _is_arr(key.value):
+                # maybe-nil lane-array key (debug.lua's cols[r+1] where
+                # r is the guarded row): _unwrap_arith verifies no
+                # ACTIVE lane is nil on the np path (raises otherwise —
+                # scalar authority) and is optimistic under tracing
+                key, _ = self._unwrap_arith(key)
+            if _is_arr(key):
+                return self._vector_table_read(t, key)
+            return t.get(_scalar_key(key))
         if kind == "unop":
             if e[1] == "not":
                 uni, cv = self._truthy_ctx(self.eval(e[2], env))

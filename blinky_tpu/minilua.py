@@ -502,10 +502,18 @@ class LuaTable:
 
     @staticmethod
     def _norm(key):
-        if isinstance(key, float) and key.is_integer():
-            return int(key)
         if isinstance(key, bool):
             raise LuaError("boolean table keys unsupported")
+        if isinstance(key, float) and key.is_integer():
+            return int(key)
+        if not isinstance(key, (int, float, str)):
+            # arrays/tracers must never become dict keys (a traced key
+            # would silently store a Tracer; a lane array is per-lane
+            # control).  TypeError on purpose: the vectorized bridge's
+            # fallback paths catch TypeError and re-run scalar.
+            raise TypeError(
+                f"table key must be a number or string, got "
+                f"{type(key).__name__}")
         return key
 
     def get(self, key):

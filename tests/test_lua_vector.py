@@ -123,20 +123,52 @@ end
 
 
 def test_unvectorizable_constructs_raise():
+    # a lane-array read of a DENSE numeric table vectorizes since late
+    # round 3 (proven equal per lane: integer in-range active keys)...
     vi = VectorInterpreter()
     vi.run("""
-t = {1, 2, 3}
+t = {10, 20, 30}
 function g(x)
-  return t[x]      -- array-valued table key
+  return t[x]
+end
+""")
+    vals, nil = vi.vcall(vi.get_global("g"), [np.array([1.0, 3.0, 2.0])])
+    np.testing.assert_array_equal(vals[0], [10.0, 30.0, 20.0])
+    # ...but non-integer or out-of-range keys on active lanes refuse
+    # (the scalar path would read nil there)
+    with pytest.raises(Unvectorizable):
+        vi.vcall(vi.get_global("g"), [np.array([1.5, 2.0])])
+    with pytest.raises(Unvectorizable):
+        vi.vcall(vi.get_global("g"), [np.array([1.0, 7.0])])
+    # and a NON-dense table (hash keys) still refuses outright
+    vi2 = VectorInterpreter()
+    vi2.run("""
+h = {1, 2, 3}
+h.x = 9
+function g(x)
+  return h[x]
 end
 """)
     with pytest.raises(Unvectorizable):
-        vi.vcall(vi.get_global("g"), [np.array([1.0, 2.0])])
+        vi2.vcall(vi2.get_global("g"), [np.array([1.0, 2.0])])
+    # lane-varying table WRITES remain per-lane control: refuse
+    vi3 = VectorInterpreter()
+    vi3.run("""
+acc = {}
+function w(x)
+  acc[x] = 1
+  return x
+end
+""")
+    with pytest.raises((Unvectorizable, TypeError)):
+        vi3.vcall(vi3.get_global("w"), [np.array([1.0, 2.0])])
 
 
 def test_bridge_falls_back_to_scalar(tmp_path):
-    """A lens whose body is unvectorizable still loads and renders via
-    the scalar path (the `debug` lens pattern)."""
+    """A lens with a lane-varying table read loads and renders
+    correctly whichever path takes it (since late round 3 the dense
+    numeric read vectorizes; before, it fell back to the scalar walk —
+    the values are pinned identical either way)."""
     p = tmp_path / "tricky.lua"
     p.write_text("""
 lut = {2, 4, 8}
@@ -146,7 +178,7 @@ onload = "f_contain"
 function lens_inverse(x, y)
   local k
   if x < -0.3 then k = 1 elseif x < 0.3 then k = 2 else k = 3 end
-  local s = lut[k]      -- k is lane-varying: unvectorizable
+  local s = lut[k]      -- k is lane-varying
   return x * s, y * s, 1.0
 end
 """)
@@ -335,3 +367,56 @@ end
     it2 = VectorInterpreter()
     it2.run("m = 0\nwhile true do m = m + 1; if m > 2 then break end end")
     assert float(np.asarray(it2.get_global("m"))) == 3.0
+
+
+def test_debug_lens_vectorizes_bitequal_scalar():
+    """Late round 3: debug.lua vectorizes on the np path too — dense
+    lane-array table reads and the lane-varying plate_to_ray gather are
+    PROVEN equal to per-lane scalar calls (active-lane verification),
+    so the exact host build runs whole-grid instead of one interpreter
+    walk per pixel.  Bit-equality lane-for-lane vs the scalar engine."""
+    from blinky_tpu import globes
+
+    for gname in ("cube", "trism"):
+        g = globes.get(gname)
+        src = open(f"{LENS_DIR}/debug.lua").read()
+        vi = VectorInterpreter(builtins=make_lua_builtins(g, vector=True))
+        vi.run(src)
+        si = Interpreter(builtins=make_lua_builtins(g))
+        si.run(src)
+        inv_v, inv_s = (vi.get_global("lens_inverse"),
+                        si.get_global("lens_inverse"))
+        rng = np.random.default_rng(7)
+        N = 400
+        X = rng.uniform(-1.8, 1.8, N)
+        Y = rng.uniform(-1.3, 1.3, N)
+        with np.errstate(all="ignore"):
+            vals, nil = vi.vcall(inv_v, [X, Y])
+        assert len(vals) == 3  # vectorized, no scalar fallback
+        for i in range(N):
+            sv = si.call(inv_s, [float(X[i]), float(Y[i])])
+            s_nil = len(sv) == 0 or sv[0] is None
+            v_nil = bool(nil[i]) if nil is not None else False
+            assert s_nil == v_nil, (gname, i, X[i], Y[i])
+            if not s_nil:
+                for j, s in enumerate(sv):
+                    assert float(s) == float(vals[j][i]), (gname, i, j)
+
+
+def test_debug_exact_host_build_matches_port():
+    """The whole-grid debug.lua exact build bit-equals the Python
+    port's exact build (and runs in ms, not minutes)."""
+    from blinky_tpu import globes, lenses
+    from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+    from blinky_tpu.lua_bridge import load_lua_lens
+
+    g = globes.get("cube")
+    lua = load_lua_lens(f"{LENS_DIR}/debug.lua", g)
+    port = lenses.get("debug", g)
+    scale = calc_scale(Zoom("contain"), lua, 96, 72)
+    lm = build_lensmap(lua, g, scale, 96, 72, 48, backend="numpy")
+    lmp = build_lensmap(port, g, scale, 96, 72, 48, backend="numpy")
+    for f in ("plate", "px", "py", "valid", "tint", "flat_idx"):
+        np.testing.assert_array_equal(np.asarray(getattr(lm, f)),
+                                      np.asarray(getattr(lmp, f)),
+                                      err_msg=f)

@@ -121,7 +121,10 @@ class _Gen:
                     local_vars.append(name)
             elif roll < 0.85 and allow_return:
                 if self.r.random() < 0.25:
-                    lines.append(f"{pad}return nil")
+                    # all-nil returns mark the lanes nil for every slot
+                    # (round 3: `return nil, nil` too, like debug.lua)
+                    lines.append(f"{pad}return nil"
+                                 + (", nil" if self.r.random() < 0.4 else ""))
                 else:
                     lines.append(f"{pad}return {self.expr(local_vars)}, "
                                  f"{self.expr(local_vars)}")
