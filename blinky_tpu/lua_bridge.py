@@ -128,15 +128,22 @@ def make_lua_builtins(globe=None, vector=False) -> dict:
             # guards mask them out.
             import jax.numpy as jnp
 
+            from blinky_tpu.lua_vector import _MaybeNil
+
             dt = getattr(u, "dtype", np.dtype(np.float64))
             f64 = jnp.float64 if dt == np.float64 else jnp.float32
-            ii = jnp.clip(jnp.floor(jnp.asarray(i)).astype(jnp.int32),
-                          0, globe.numplates - 1)
-            return geometry.plate_uv_to_ray_c(
+            tr = jnp.trunc(jnp.asarray(i))  # the C (int) cast
+            valid = (tr >= 0) & (tr < globe.numplates)  # NaN -> False
+            ii = jnp.clip(tr, 0, globe.numplates - 1).astype(jnp.int32)
+            out = geometry.plate_uv_to_ray_c(
                 u, v, jnp.asarray(globe.forward)[ii],
                 jnp.asarray(globe.right)[ii], jnp.asarray(globe.up)[ii],
                 jnp.asarray(globe.dist)[ii], jnp, jnp.float32, f64,
             )
+            # out-of-range plates are per-lane nil (lua_pushnil,
+            # fisheye.c:1528-1531) — ONE shared mask for the triple
+            nil = ~valid
+            return tuple(_MaybeNil(c, nil) for c in out)
         if _is_vec(i):
             # lane-varying plate index on the np whole-grid path
             # (debug.lua): gather each lane's plate frame — per lane

@@ -349,6 +349,26 @@ class VectorInterpreter(Interpreter):
         mt_orig_log = mt.get("log")
         for k, v in lifted.items():
             mt.set(k, v)
+        # Mutating table-stdlib calls are per-lane control under a mask
+        # (the scalar path runs them once per LANE; a masked vector call
+        # would run them once for ALL lanes) and can't ride a
+        # lax.while_loop carry — refuse under masks, and flag the
+        # write-log during a loop probe so the lowering falls back.
+        tbl = self.globals.vars["table"]
+        for name in ("insert", "remove", "sort"):
+            orig = tbl.get(name)
+
+            def make_guard(orig=orig, name=name):
+                def f(*a):
+                    if self._active_lanes() is not None:
+                        raise Unvectorizable(
+                            f"table.{name} under a lane mask")
+                    if self._wlog is not None:
+                        self._wlog_bad = True
+                    return orig(*a)
+                return f
+
+            tbl.set(name, make_guard())
         # refresh the alias globals (cos = math.cos, ..., init_lua preload)
         for name in ("cos", "sin", "tan", "asin", "acos", "atan", "atan2",
                      "sinh", "cosh", "tanh", "log", "log10", "abs", "sqrt",
@@ -508,7 +528,6 @@ class VectorInterpreter(Interpreter):
         if fr is not None:
             fr.loops.append(loop)
         active = None  # extra mask accumulated from array conditions
-        titers = 0  # traced masked iterations executed (capped unroll)
         try:
             while True:
                 self._fuel -= 1
@@ -691,7 +710,6 @@ class VectorInterpreter(Interpreter):
         if fr is not None:
             fr.loops.append(loop)
         active = None
-        titers = 0  # traced masked iterations executed (capped unroll)
         try:
             while True:
                 self._fuel -= 1
@@ -1041,9 +1059,12 @@ class VectorInterpreter(Interpreter):
         if not arr:
             raise Unvectorizable("lane-array read of an empty table")
         if _is_traced(key):
+            import jax
             import jax.numpy as jnp
 
-            vals = jnp.asarray(np.asarray(arr, np.float32))  # f32 trace
+            dt = (np.float64 if jax.config.jax_enable_x64
+                  else np.float32)  # follow the trace precision
+            vals = jnp.asarray(np.asarray(arr, dt))
             idx = jnp.clip(jnp.floor(key).astype(jnp.int32) - 1,
                            0, len(arr) - 1)
             return jnp.take(vals, idx)

@@ -501,12 +501,16 @@ class LuaTable:
         self.data = {}
 
     @staticmethod
-    def _norm(key):
+    def _norm(key, writing=False):
         if isinstance(key, bool):
             raise LuaError("boolean table keys unsupported")
-        if isinstance(key, float) and key.is_integer():
-            return int(key)
-        if not isinstance(key, (int, float, str)):
+        if isinstance(key, float):
+            return int(key) if key.is_integer() else key
+        if key is None:
+            if writing:
+                raise LuaError("table index is nil")  # Lua 5.2
+            return None  # reads of t[nil] yield nil
+        if hasattr(key, "shape") and hasattr(key, "dtype"):
             # arrays/tracers must never become dict keys (a traced key
             # would silently store a Tracer; a lane array is per-lane
             # control).  TypeError on purpose: the vectorized bridge's
@@ -514,13 +518,14 @@ class LuaTable:
             raise TypeError(
                 f"table key must be a number or string, got "
                 f"{type(key).__name__}")
-        return key
+        return key  # strings, tables, functions: legal Lua keys
 
     def get(self, key):
-        return self.data.get(self._norm(key))
+        k = self._norm(key)
+        return None if k is None else self.data.get(k)
 
     def set(self, key, val):
-        k = self._norm(key)
+        k = self._norm(key, writing=True)
         if val is None:
             self.data.pop(k, None)
         else:

@@ -420,3 +420,81 @@ def test_debug_exact_host_build_matches_port():
         np.testing.assert_array_equal(np.asarray(getattr(lm, f)),
                                       np.asarray(getattr(lmp, f)),
                                       err_msg=f)
+
+
+def test_masked_table_stdlib_mutation_refuses():
+    """Review: table.insert/remove/sort under a lane mask would run once
+    for ALL lanes where the scalar engine runs per lane — must refuse
+    (Unvectorizable) so the scalar fallback reproduces exact behavior."""
+    vi = VectorInterpreter()
+    vi.run("""
+function f(x)
+  local t = {}
+  if x > 0 then
+    table.insert(t, x)
+  end
+  return #t
+end
+""")
+    with pytest.raises(Unvectorizable):
+        vi.vcall(vi.get_global("f"), [np.array([1.0, -1.0, 2.0])])
+    # ...and the bridge-level contract: vector == scalar per lane via
+    # the fallback
+    from blinky_tpu.lua_bridge import _vectorize_inverse  # noqa: F401
+    si = Interpreter()
+    si.run("""
+function f(x)
+  local t = {}
+  if x > 0 then
+    table.insert(t, x)
+  end
+  return #t
+end
+""")
+    for x in (1.0, -1.0):
+        assert float(si.call(si.get_global("f"), [x])[0]) == (
+            1.0 if x > 0 else 0.0)
+
+
+def test_traced_plate_to_ray_out_of_range_is_nil():
+    """Review: the traced lane-varying plate_to_ray must keep the
+    reference's nil protocol (lua_pushnil for an out-of-range plate,
+    fisheye.c:1528-1531) — a script relying on it must mark those lanes
+    invalid on the DEVICE build too, matching the np path."""
+    import jax
+
+    from blinky_tpu import globes
+    from blinky_tpu.lua_bridge import load_lua_lens
+
+    src = """
+max_fov = 360
+max_vfov = 180
+onload = "f_fov 180"
+function lens_forward(x, y, z)
+  local lat, lon = ray_to_latlon(x, y, z)
+  return lon, lat
+end
+function lens_inverse(x, y)
+  -- plate index beyond numplates for x > 0.5: plate_to_ray -> nil
+  local p = 0
+  if x > 0.5 then p = 99 end
+  return plate_to_ray(p, x - math.floor(x), y - math.floor(y))
+end
+"""
+    import tempfile
+    from pathlib import Path
+
+    d = Path(tempfile.mkdtemp())
+    (d / "oob.lua").write_text(src)
+    g = globes.get("cube")
+    lens = load_lua_lens(d / "oob.lua", g)
+    assert lens.jittable
+    X = np.array([[0.1, 0.2, 0.7, 0.9]], np.float32)
+    Y = np.array([[0.3, 0.4, 0.3, 0.4]], np.float32)
+    _, _, _, ok_t = jax.jit(lens.inverse)(X, Y)
+    ok_np = lens.inverse(np.asarray(X, np.float64),
+                         np.asarray(Y, np.float64))[3]
+    np.testing.assert_array_equal(np.asarray(ok_t), [[True, True,
+                                                      False, False]])
+    np.testing.assert_array_equal(np.asarray(ok_np),
+                                  np.asarray(ok_t))

@@ -129,6 +129,20 @@ class _Gen:
                     lines.append(f"{pad}return {self.expr(local_vars)}, "
                                  f"{self.expr(local_vars)}")
                 break  # statements after return don't parse in a block
+            elif roll < 0.78:
+                # lane-varying DENSE-table read (round 3: vectorizes when
+                # every active key is an integer in range; the % keeps it
+                # in 1..3 most of the time, and the occasional wider
+                # modulus produces out-of-range keys the vector path must
+                # cleanly refuse)
+                name = f"v{self.r.integers(0, 6)}"
+                mod = 3 if self.r.random() < 0.8 else 5
+                lines.append(
+                    f"{pad}local {name} = LUT[math.floor(math.abs("
+                    f"{self.expr(local_vars, 2)}) * 2) % {mod} + 1]\n"
+                    f"{pad}if {name} == nil then {name} = 0.5 end")
+                if name not in local_vars:
+                    local_vars.append(name)
             else:
                 # partial assignment + nil check (the _MaybeNil machinery)
                 name = f"g{self.r.integers(0, 3)}"
@@ -142,6 +156,9 @@ class _Gen:
         return "\n".join(lines)
 
     def program(self):
+        # a dense numeric table for the lane-varying-read branch
+        lut = ("LUT = {" + ", ".join(self.const() for _ in range(3))
+               + "}\n")
         if self.r.random() < 0.25:
             # round 3: a varargs helper (select + `...` destructuring)
             helper = ("function h(...)\n"
@@ -162,7 +179,7 @@ class _Gen:
         body = self.block(vars_, 1, 0, allow_return=False)
         call = "  local hh = h(x, y)\n" if use_helper else ""
         tail_vars = vars_ + (["hh"] if use_helper else [])
-        return (helper +
+        return (lut + helper +
                 f"function f(x, y)\n{call}{guard}{body}\n"
                 f"  return {self.expr(tail_vars)}, {self.expr(tail_vars)}\nend\n")
 

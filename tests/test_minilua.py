@@ -487,3 +487,24 @@ def test_vararg_outside_vararg_function_is_parse_error():
     # runtime reports the missing binding cleanly)
     with pytest.raises(LuaError, match="vararg"):
         run("x = ...")
+
+
+def test_nil_table_keys_lua_semantics():
+    """Review: t[nil] READS yield nil (not an error); WRITING t[nil]
+    raises 'table index is nil' as a LuaError (pcall-able); table- and
+    function-valued keys remain legal like real Lua."""
+    it = run("""
+t = {}
+r1 = t[nil]
+ok1, e1 = pcall(function() t[nil] = 1 end)
+k = {}
+t[k] = "byref"
+f = function() end
+t[f] = 2
+v1 = t[k]
+v2 = t[f]
+""")
+    assert it.get_global("r1") is None
+    assert it.get_global("ok1") is False
+    assert "index is nil" in it.get_global("e1")
+    assert it.get_global("v1") == "byref" and it.get_global("v2") == 2.0
