@@ -303,3 +303,45 @@ def test_lua_device_build_matches_port_device_build(name, cube):
                                   np.asarray(lm_port.flat_idx))
     np.testing.assert_array_equal(np.asarray(lm_lua.tint),
                                   np.asarray(lm_port.tint))
+
+
+def test_lua_globe_resolver_traces_on_device(tmp_path, cube):
+    """fast.lua's custom globe_plate resolver runs under the jitted
+    device builder (the traced branch of load_lua_globe's resolver),
+    bit-equal to the builtin fast globe's device build."""
+    import shutil
+
+    from blinky_tpu import globes
+    from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+
+    shutil.copy(LUA_DIR / "globes" / "fast.lua", tmp_path / "f.lua")
+    lua_globe = load_lua_globe(tmp_path / "f.lua")
+    py_globe = globes.get("fast")
+    lens = lenses.get("panini", py_globe)
+    scale = calc_scale(Zoom("fov", 140), lens, 64, 48)
+    lm_lua = build_lensmap(lenses.get("panini", lua_globe), lua_globe,
+                           scale, 64, 48, 32, backend="jax")
+    lm_py = build_lensmap(lens, py_globe, scale, 64, 48, 32, backend="jax")
+    for f in ("plate", "valid", "flat_idx"):
+        np.testing.assert_array_equal(np.asarray(getattr(lm_lua, f)),
+                                      np.asarray(getattr(lm_py, f)),
+                                      err_msg=f)
+
+
+def test_session_lua_globe_pose_playback(tmp_path):
+    """End-to-end: a .lua globe drop-in + view rotation takes the jitted
+    device builder (traced resolver) and matches the builtin globe."""
+    import shutil
+
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.cubemap import synthetic_cubemap
+
+    shutil.copy(LUA_DIR / "globes" / "fast.lua", tmp_path / "myfast.lua")
+    sess = Session(64, 48, platesize=32, globe_dirs=[tmp_path])
+    sess.cmd("f_globe myfast; setviewangles 5 30 0")
+    assert sess._resolved_backend() == "jax"
+    frames = synthetic_cubemap(32)[:2]
+    out = np.asarray(sess.render(frames))
+    ref = Session(64, 48, platesize=32)
+    ref.cmd("f_globe fast; setviewangles 5 30 0")
+    np.testing.assert_array_equal(out, np.asarray(ref.render(frames)))
