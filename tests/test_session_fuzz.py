@@ -20,7 +20,9 @@ def test_console_fuzz_never_crashes(tmp_path, monkeypatch):
              "exec", "setviewangles", "f_saveglobe", "f_dumppal", "f_help",
              "f_shortcutkeys", "panini", "nosuchlens", "cube", "-3", "9e99",
              "nan", "inf", "0", "1", "361", ";", "", "xyz", "--", "1e-9",
-             '"quoted"', "\t", "zzz.lua", "../escape"]
+             '"quoted"', "\t", "zzz.lua", "../escape",
+             "alias", "echo", "wait", 'alias a "f_fov 90"', "a",
+             'alias b "b"', "b", '"semi; colon"']
     sess = Session(48, 36, platesize=16)
     frames = synthetic_cubemap(16)
     for i in range(300):
