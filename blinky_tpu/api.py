@@ -18,7 +18,6 @@ batches.  Command strings use the exact ``f_*`` vocabulary::
 
 from __future__ import annotations
 
-import shlex
 from pathlib import Path
 from typing import Optional
 
@@ -60,6 +59,109 @@ SHORTCUT_BINDINGS = {
     "o": "f_globe tetra",
     "p": "f_globe fast",
 }
+
+
+_SINGLE_CHARS = "{})(':"  # common/common.c:1063 — NQ splits these alone
+
+
+def _c_is_space(ch: str) -> bool:
+    """C's ``*data <= ' '`` with a SIGNED char: control chars and every
+    byte >= 0x80 (negative as signed char) count as whitespace."""
+    o = ord(ch)
+    return o <= 32 or o >= 128
+
+
+def com_parse(data: str, pos: int):
+    """``COM_Parse`` transliterated (``common/common.c:1066-1141``, the
+    NQ arm: ``split_single_chars`` true).  Returns ``(token, new_pos)``;
+    token None = end of data.  Semantics the console depends on: ``//``
+    and ``/* */`` comments skip, ``"..."`` strings run to the closing
+    quote or end WITHOUT escape processing, the ``{})(':`` characters
+    split as single-char tokens, words end at whitespace or a single
+    char, tokens cap at 1023 chars (``com_tokenbuf``).  Pinned against
+    the COMPILED reference tokenizer by tests/test_c_reference.py."""
+    n = len(data)
+    while True:
+        while pos < n and _c_is_space(data[pos]):
+            pos += 1
+        if pos >= n:
+            return None, pos
+        c = data[pos]
+        if c == "/" and pos + 1 < n and data[pos + 1] == "/":
+            while pos < n and data[pos] != "\n":
+                pos += 1
+            continue
+        if c == "/" and pos + 1 < n and data[pos + 1] == "*":
+            pos += 2
+            while pos < n and not (data[pos] == "*" and pos + 1 < n
+                                   and data[pos + 1] == "/"):
+                pos += 1
+            if pos < n:
+                pos += 2
+            continue
+        break
+    buf = []
+    if c == '"':
+        pos += 1
+        while pos < n:
+            c = data[pos]
+            pos += 1
+            if c == '"':
+                break
+            if len(buf) < 1023:
+                buf.append(c)
+        return "".join(buf), pos
+    if c in _SINGLE_CHARS:
+        return c, pos + 1
+    while True:
+        if len(buf) < 1023:
+            buf.append(data[pos])
+        pos += 1
+        if pos >= n:
+            break
+        c = data[pos]
+        if c in _SINGLE_CHARS:
+            break
+        if _c_is_space(c):
+            break
+    return "".join(buf), pos
+
+
+def tokenize_console(line: str) -> list:
+    """``Cmd_TokenizeString`` (``common/cmd.c:531-571``): whitespace
+    (sans newline) skipped between tokens, a newline ends the command,
+    80-arg cap."""
+    argv = []
+    pos, n = 0, len(line)
+    while True:
+        while pos < n and line[pos] != "\n" and _c_is_space(line[pos]):
+            pos += 1
+        if pos >= n or line[pos] == "\n":
+            break
+        tok, pos = com_parse(line, pos)
+        if tok is None:
+            break
+        if len(argv) < 80:
+            argv.append(tok)
+    return argv
+
+
+def split_console_lines(text: str) -> list:
+    """``Cbuf_Execute``'s line splitter (``common/cmd.c:181-210``):
+    ``"`` counts quotes, an UNQUOTED ``;`` breaks, ``\\n`` breaks
+    regardless (each scan restarts its quote count)."""
+    parts, cur, quotes = [], [], 0
+    for ch in text:
+        if ch == '"':
+            quotes += 1
+        if (ch == ";" and not (quotes & 1)) or ch == "\n":
+            parts.append("".join(cur))
+            cur = []
+            quotes = 0
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
 
 
 def _atof(s: str) -> float:
@@ -212,38 +314,18 @@ class Session:
 
     # ------------------------------------------------------- command layer
     def cmd(self, line: str) -> None:
-        """Execute one console command line (``Cmd_ExecuteString`` analog).
+        """Execute one console command line (the ``Cbuf_Execute`` ->
+        ``Cmd_ExecuteString`` path).
 
-        Semicolons separate commands as in the Quake console buffer —
-        but only OUTSIDE double quotes: ``Cbuf_Execute`` counts quotes
-        and ignores ``;`` while the count is odd (``common/cmd.c:
-        190-200``), which is what lets an alias body carry a
-        multi-command string.
+        Splitting and tokenizing are faithful transliterations of the
+        reference console (``split_console_lines`` / ``tokenize_console``
+        / ``com_parse`` — quote-aware ``;``, newline breaks, ``//`` and
+        ``/* */`` comments, the ``{})(':`` single-char split set, no
+        escape processing in quotes), pinned against the COMPILED
+        reference tokenizer by tests/test_c_reference.py.
         """
-        parts, cur, quotes = [], [], 0
-        for ch in line:
-            if ch == '"':
-                quotes += 1
-            if ch == ";" and not (quotes & 1):
-                parts.append("".join(cur))
-                cur = []
-            else:
-                cur.append(ch)
-        parts.append("".join(cur))
-        for part in parts:
-            part = part.strip()
-            if not part:
-                continue
-            try:
-                argv = shlex.split(part)
-            except ValueError:
-                # COM_Parse reads an unterminated quote through to the end
-                # of the line rather than erroring (common/common.c:1101-1114);
-                # shlex raises, so close the quote and retry.
-                try:
-                    argv = shlex.split(part + '"')
-                except ValueError:
-                    argv = part.split()
+        for part in split_console_lines(line):
+            argv = tokenize_console(part)
             if not argv:
                 continue
             handler = self._commands.get(argv[0])

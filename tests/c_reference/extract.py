@@ -137,13 +137,39 @@ def extract_function(src_lines: list[str], name: str) -> str:
     raise ValueError(f"unbalanced braces extracting {name!r}")
 
 
+COMMON_C = REFERENCE / "engine/common/common.c"
+
+# The console tokenizer (COM_Parse, round 3): its statics are part of
+# the behavior (com_tokenbuf bounds token length to 1023; single_chars
+# is the NQ single-char split set) — extracted verbatim with anchors.
+COMMON_STATIC_PATTERNS = [
+    r"static char com_tokenbuf\[\d+\];",
+    r"const char \*com_token = com_tokenbuf;",
+    r'static const char single_chars\[\] = "[^"]*";',
+]
+COMMON_FUNCS = ["COM_Parse_", "COM_Parse"]
+
+
+def extract_statics(src_lines: list[str], patterns: list[str]) -> list[str]:
+    out = []
+    for pat in patterns:
+        for ln in src_lines:
+            if re.fullmatch(pat, ln.strip()):
+                out.append(ln.strip())
+                break
+        else:
+            raise LookupError(f"static matching {pat!r} not found in reference")
+    return out
+
+
 def generate(out_path: Path) -> Path:
     """Write the extracted reference functions to ``out_path``."""
     fisheye = FISHEYE_C.read_text().split("\n")
     mathlib = MATHLIB_C.read_text().split("\n")
+    common = COMMON_C.read_text().split("\n")
     parts = [
         "/* GENERATED by tests/c_reference/extract.py — functions extracted",
-        f"   verbatim from {FISHEYE_C} and {MATHLIB_C}.",
+        f"   verbatim from {FISHEYE_C}, {MATHLIB_C} and {COMMON_C}.",
         "   Do not edit, do not commit. */",
         "",
         PROTOTYPES,
@@ -153,6 +179,14 @@ def generate(out_path: Path) -> Path:
         parts.append("")
     for name in FISHEYE_FUNCS:
         parts.append(extract_function(fisheye, name))
+        parts.append("")
+    # the console tokenizer (COM_Parse selects its NQ arm via NQ_HACK —
+    # the build the reference actually ships, build.sh:28)
+    parts.append("#define NQ_HACK 1")
+    parts.extend(extract_statics(common, COMMON_STATIC_PATTERNS))
+    parts.append("")
+    for name in COMMON_FUNCS:
+        parts.append(extract_function(common, name))
         parts.append("")
     out_path.write_text("\n".join(parts))
     return out_path

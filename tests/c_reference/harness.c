@@ -1550,10 +1550,74 @@ static int mode_probes(int argc, char **argv)
     return 0;
 }
 
+/* Console tokenizer ground truth (round 3): stdin -> the exact token
+ * stream the NQ console produces.  Transliterates Cbuf_Execute's line
+ * splitter (common/cmd.c:181-210: '"' counts quotes, unquoted ';'
+ * breaks, '\n' breaks regardless) and Cmd_TokenizeString's loop
+ * (cmd.c:531-571: skip ws-but-not-newline, COM_Parse per token, 80-arg
+ * cap) over the EXTRACTED COM_Parse.  Output: tokens separated by 0x1f,
+ * lines by 0x1e. */
+static int mode_tokenize(int argc, char **argv)
+{
+    static char buf[1 << 20];
+    char line[1024];
+    int n = (int)fread(buf, 1, sizeof(buf) - 1, stdin);
+    char *text = buf;
+    int remaining = n;
+    (void)argc; (void)argv;
+    buf[n] = 0;
+    while (remaining) {
+        int quotes = 0, len;
+        int maxlen = remaining < (int)sizeof(line) ? remaining
+                                                   : (int)sizeof(line);
+        for (len = 0; len < maxlen; len++) {
+            if (text[len] == '"')
+                quotes++;
+            if (!(quotes & 1) && text[len] == ';')
+                break;
+            if (text[len] == '\n')
+                break;
+        }
+        if (len == sizeof(line))
+            len--;
+        memcpy(line, text, len);
+        line[len] = 0;
+        if (len == remaining)
+            remaining = 0;
+        else {
+            len++;
+            remaining -= len;
+            text += len;
+        }
+        {
+            const char *t = line;
+            int argc2 = 0;
+            while (1) {
+                while (*t && *t <= ' ' && *t != '\n')
+                    t++;
+                if (*t == '\n') { t++; break; }
+                if (!*t)
+                    break;
+                t = COM_Parse(t);
+                if (!t)
+                    break;
+                if (argc2 < 80) {
+                    fwrite(com_token, 1, strlen(com_token), stdout);
+                    fputc(0x1f, stdout);
+                    argc2++;
+                }
+            }
+        }
+        fputc(0x1e, stdout);
+    }
+    return 0;
+}
+
 int main(int argc, char **argv)
 {
     init_lens_metadata();
     if (argc < 2) { fprintf(stderr, "usage: harness <mode> ...\n"); return 2; }
+    if (!strcmp(argv[1], "tokenize")) return mode_tokenize(argc - 2, argv + 2);
     if (!strcmp(argv[1], "lensmap")) return mode_lensmap(argc - 2, argv + 2);
     if (!strcmp(argv[1], "palmap")) return mode_palmap(argc - 2, argv + 2);
     if (!strcmp(argv[1], "pcx")) return mode_pcx(argc - 2, argv + 2);

@@ -344,3 +344,56 @@ def test_geometry_probes_vs_c(harness, workdir, globe_name):
     lat2, lon2 = geometry.ray_to_latlon(x, y, z)
     np.testing.assert_array_equal(np.asarray(lat2), p["latlon"][..., 5])
     np.testing.assert_array_equal(np.asarray(lon2), p["latlon"][..., 6])
+
+
+def test_console_tokenizer_bitexact_vs_c(harness):
+    """Round 3: the console splitter+tokenizer (split_console_lines /
+    tokenize_console / com_parse) vs the COMPILED reference tokenizer —
+    the extracted COM_Parse driven through transliterations of
+    Cbuf_Execute's quote-aware line split and Cmd_TokenizeString's loop
+    (harness mode `tokenize`).  Covers quotes, unterminated quotes, the
+    NQ single-char split set, //- and /**/-comments, control chars,
+    high (signed-char) bytes, ;-splitting and newline breaks."""
+    import subprocess
+
+    from blinky_tpu.api import split_console_lines, tokenize_console
+
+    cases = [
+        'f_lens panini; f_fov 180',
+        'alias zoomin "f_fov 90; f_rubix"',
+        "f_lens 'panini'",
+        'bind 3 "f_lens fisheye1',          # unterminated quote
+        'f_fov(90) {x} y:z',                # single-char splits
+        'f_lens hammer // trailing comment',
+        'f_fov /* mid */ 120',
+        'a;;b\nc d;e',
+        '  "a;b" ; c "d\ne" f',             # newline INSIDE a quote breaks
+        '"" empty "" tokens',
+        "mixed'quote\"and\"tick'end",
+        'tab\tand\x01ctl args',
+        'high\xe9byte and caf\xe9',         # signed-char whitespace
+        '"/not/a//comment" /also/not',
+        ';;;',
+        '"unbalanced ;\nnext',
+        "')('",
+        'word/with/slash /single',
+    ]
+    rng = np.random.default_rng(11)
+    alphabet = list('abc ";\n\'(){}/:*\t\x01\xe9 09.')
+    for _ in range(200):  # fuzz: random soup in the tokenizer alphabet
+        k = int(rng.integers(1, 60))
+        cases.append("".join(rng.choice(alphabet) for _ in range(k)))
+
+    for text in cases:
+        out = subprocess.run([str(harness), "tokenize"],
+                             input=text.encode("latin-1"),
+                             capture_output=True, check=True)
+        c_lines = []
+        for chunk in out.stdout.decode("latin-1").split("\x1e")[:-1]:
+            toks = chunk.split("\x1f")[:-1] if chunk else []
+            c_lines.append(toks)
+        py_lines = [tokenize_console(p) for p in split_console_lines(text)]
+        # the C side emits one record per extracted Cbuf line; empty
+        # trailing input yields no record, ours yields an empty argv —
+        # compare the token streams with empties normalized away
+        assert [t for t in py_lines if t] == [t for t in c_lines if t], text
