@@ -164,27 +164,39 @@ def split_console_lines(text: str) -> list:
     return parts
 
 
+def _c_char(ch: str) -> int:
+    """A byte as C's SIGNED char (the ``'c`` constant path reads it)."""
+    o = ord(ch)
+    return o - 256 if o >= 128 else o
+
+
 def _atof(s: str) -> float:
     """``Q_atof`` transcription (``common/common.c:252-315``; used by
     e.g. ``cmd_fov``, ``fisheye.c:1043``): optional ``-``, ``0x`` hex,
     ``'c`` char constant, else digits with a single honored ``.`` —
     parsing stops at the first other character.  Notably "nan"/"inf"
     parse to 0 and "9e99" parses to 9 (no exponent syntax), so console
-    input can never smuggle non-finite or overflowing values in."""
+    input can never smuggle non-finite or overflowing values in.  The C
+    computes in double but RETURNS float — the final f32 truncation is
+    part of the contract (pinned vs the compiled Q_atof)."""
     i, sign = 0, 1.0
     if s.startswith("-"):
         sign, i = -1.0, 1
     t = s[i:]
-    if t[:2].lower() == "0x":
+
+    def f32(v):
+        return float(np.float32(v))
+
+    if t[:1] == "0" and t[1:2] in ("x", "X"):
         val = 0.0
         for ch in t[2:]:
             d = "0123456789abcdef".find(ch.lower())
             if d < 0:
                 break
             val = val * 16 + d
-        return val * sign
+        return f32(val * sign)
     if t[:1] == "'":
-        return sign * ord(t[1]) if len(t) > 1 else 0.0
+        return f32(sign * _c_char(t[1])) if len(t) > 1 else 0.0
     val = 0.0
     decimal = -1
     total = 0
@@ -197,11 +209,45 @@ def _atof(s: str) -> float:
         val = val * 10 + (ord(ch) - 48)
         total += 1
     if decimal == -1:
-        return val * sign
+        return f32(val * sign)
     while total > decimal:
         val /= 10
         total -= 1
-    return val * sign
+    return f32(val * sign)
+
+
+def _i32(v: int) -> int:
+    """C ``int`` wraparound: ``Q_atoi`` accumulates in a 32-bit int, so
+    overlong digit strings wrap (e.g. "9999999999" -> 1410065407 as
+    compiled; pinned vs the compiled C in tests/test_c_reference.py)."""
+    v &= 0xFFFFFFFF
+    return v - 0x100000000 if v >= 0x80000000 else v
+
+
+def _atoi(s: str) -> int:
+    """``Q_atoi`` transcription (``common/common.c:200-249``): the same
+    grammar integer-only ("2abc" parses to 2, "abc" to 0) — the
+    ``fisheye`` toggle's parse (``cmd_fisheye``, ``fisheye.c:975``)."""
+    i, sign = 0, 1
+    if s.startswith("-"):
+        sign, i = -1, 1
+    t = s[i:]
+    if t[:1] == "0" and t[1:2] in ("x", "X"):
+        val = 0
+        for ch in t[2:]:
+            d = "0123456789abcdef".find(ch.lower())
+            if d < 0:
+                break
+            val = _i32(val * 16 + d)
+        return _i32(val * sign)
+    if t[:1] == "'":
+        return sign * _c_char(t[1]) if len(t) > 1 else 0
+    val = 0
+    for ch in t:
+        if not "0" <= ch <= "9":
+            break
+        val = _i32(val * 10 + (ord(ch) - 48))
+    return _i32(val * sign)
 
 
 class Session:
@@ -357,10 +403,9 @@ class Session:
             self._print(f"fisheye {int(self.fisheye_enabled)}")
             self._print("\nTry F_HELP for more options and commands.")
             return
-        try:
-            self.fisheye_enabled = bool(int(argv[1]))
-        except ValueError:
-            self.fisheye_enabled = False  # Q_atoi returns 0 if not valid
+        # fisheye_enabled = Q_atoi(Cmd_Argv(1)) — "will return 0 if not
+        # valid" (cmd_fisheye, fisheye.c:975); "2abc" is truthy there
+        self.fisheye_enabled = bool(_atoi(argv[1]))
 
     def _cmd_plainfov(self, argv):
         """The engine ``fov`` cvar: horizontal FOV of the normal

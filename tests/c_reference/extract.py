@@ -147,7 +147,7 @@ COMMON_STATIC_PATTERNS = [
     r"const char \*com_token = com_tokenbuf;",
     r'static const char single_chars\[\] = "[^"]*";',
 ]
-COMMON_FUNCS = ["COM_Parse_", "COM_Parse"]
+COMMON_FUNCS = ["COM_Parse_", "COM_Parse", "Q_atoi", "Q_atof"]
 
 
 def extract_statics(src_lines: list[str], patterns: list[str]) -> list[str]:

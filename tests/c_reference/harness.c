@@ -1613,10 +1613,26 @@ static int mode_tokenize(int argc, char **argv)
     return 0;
 }
 
+/* Console numeric parsers: one input token per stdin line -> the
+ * extracted Q_atoi and Q_atof results ("%d %.9g"). */
+static int mode_num(int argc, char **argv)
+{
+    char line[2048];
+    (void)argc; (void)argv;
+    while (fgets(line, sizeof(line), stdin)) {
+        size_t n = strlen(line);
+        if (n && line[n - 1] == '\n')
+            line[n - 1] = 0;
+        printf("%d %.17g\n", Q_atoi(line), (double)Q_atof(line));
+    }
+    return 0;
+}
+
 int main(int argc, char **argv)
 {
     init_lens_metadata();
     if (argc < 2) { fprintf(stderr, "usage: harness <mode> ...\n"); return 2; }
+    if (!strcmp(argv[1], "num")) return mode_num(argc - 2, argv + 2);
     if (!strcmp(argv[1], "tokenize")) return mode_tokenize(argc - 2, argv + 2);
     if (!strcmp(argv[1], "lensmap")) return mode_lensmap(argc - 2, argv + 2);
     if (!strcmp(argv[1], "palmap")) return mode_palmap(argc - 2, argv + 2);

@@ -397,3 +397,43 @@ def test_console_tokenizer_bitexact_vs_c(harness):
         # trailing input yields no record, ours yields an empty argv —
         # compare the token streams with empties normalized away
         assert [t for t in py_lines if t] == [t for t in c_lines if t], text
+
+
+def test_console_numeric_parsers_bitexact_vs_c(harness):
+    """Round 3: the console numeric parsers (``_atoi``/``_atof``) vs the
+    COMPILED ``Q_atoi``/``Q_atof`` (``common/common.c:200-315``, harness
+    mode ``num``).  Pins the quirks the console relies on: hex / 'c char
+    constants (signed char), "2abc"→2, no exponent syntax ("9e99"→9, so
+    nan/inf can't be smuggled in), Q_atof's double-compute-float-return
+    truncation (incl. -0.0 sign), and Q_atoi's 32-bit int wraparound on
+    overlong digit strings."""
+    import subprocess
+
+    from blinky_tpu.api import _atof, _atoi
+
+    cases = [
+        "180", "-3.5", "0x1F", "-0xff", "'A", "'\xe9", "2abc", "abc",
+        "9e99", "nan", "inf", "1.2.3", "", ".", "-", "-.", "0X10",
+        "123456789", "3.14159265358979", "-0.0001", "'", "1e5", "  5",
+        "0x", "9999999999", "-9999999999", "0.1", "16777217", "'z",
+        "0xFFFFFFFFFF", "00000000012", "4294967296", "2147483648",
+        "2147483647", "-0", "-0.0", "170.00001", "1..5", "'-",
+    ]
+    rng = np.random.default_rng(7)
+    alphabet = list("0123456789.-x'aef\xe9 X")
+    for _ in range(500):  # fuzz: random soup in the numeric alphabet
+        k = int(rng.integers(1, 20))
+        cases.append("".join(rng.choice(alphabet) for _ in range(k)))
+
+    inp = "\n".join(cases) + "\n"
+    out = subprocess.run([str(harness), "num"],
+                         input=inp.encode("latin-1"),
+                         capture_output=True, check=True)
+    lines = out.stdout.decode().splitlines()
+    assert len(lines) == len(cases)
+    for case, line in zip(cases, lines):
+        ci, cf = line.split(" ", 1)
+        ci, cf = int(ci), float(cf)
+        assert _atoi(case) == ci, case
+        pf = _atof(case)
+        assert pf == cf and np.signbit(pf) == np.signbit(cf), case
