@@ -82,21 +82,25 @@ def com_parse(data: str, pos: int):
     the COMPILED reference tokenizer by tests/test_c_reference.py."""
     n = len(data)
     while True:
+        # NUL is hard end-of-data (common.c:1080), not skippable space
         while pos < n and _c_is_space(data[pos]):
+            if data[pos] == "\0":
+                return None, pos
             pos += 1
         if pos >= n:
             return None, pos
         c = data[pos]
         if c == "/" and pos + 1 < n and data[pos + 1] == "/":
-            while pos < n and data[pos] != "\n":
+            while pos < n and data[pos] not in ("\n", "\0"):
                 pos += 1
             continue
         if c == "/" and pos + 1 < n and data[pos + 1] == "*":
             pos += 2
-            while pos < n and not (data[pos] == "*" and pos + 1 < n
-                                   and data[pos + 1] == "/"):
+            while (pos < n and data[pos] != "\0"
+                   and not (data[pos] == "*" and pos + 1 < n
+                            and data[pos + 1] == "/")):
                 pos += 1
-            if pos < n:
+            if pos < n and data[pos] != "\0":
                 pos += 2
             continue
         break
@@ -105,6 +109,8 @@ def com_parse(data: str, pos: int):
         pos += 1
         while pos < n:
             c = data[pos]
+            if c == "\0":  # ends the token, NUL not consumed (common.c:1104-1110)
+                break
             pos += 1
             if c == '"':
                 break
@@ -134,9 +140,12 @@ def tokenize_console(line: str) -> list:
     argv = []
     pos, n = 0, len(line)
     while True:
-        while pos < n and line[pos] != "\n" and _c_is_space(line[pos]):
+        # `while (*text && *text <= ' ' && *text != '\n')` — NUL stops
+        # the skip, and `if (!*text) return` ends the command (cmd.c:545-551)
+        while (pos < n and line[pos] not in ("\n", "\0")
+               and _c_is_space(line[pos])):
             pos += 1
-        if pos >= n or line[pos] == "\n":
+        if pos >= n or line[pos] == "\n" or line[pos] == "\0":
             break
         tok, pos = com_parse(line, pos)
         if tok is None:
@@ -149,18 +158,35 @@ def tokenize_console(line: str) -> list:
 def split_console_lines(text: str) -> list:
     """``Cbuf_Execute``'s line splitter (``common/cmd.c:181-210``):
     ``"`` counts quotes, an UNQUOTED ``;`` breaks, ``\\n`` breaks
-    regardless (each scan restarts its quote count)."""
-    parts, cur, quotes = [], [], 0
-    for ch in text:
-        if ch == '"':
-            quotes += 1
-        if (ch == ";" and not (quotes & 1)) or ch == "\n":
-            parts.append("".join(cur))
-            cur = []
-            quotes = 0
+    regardless (each scan restarts its quote count), and the extracted
+    line is capped at ``sizeof(line)`` = 1024: an unbroken run caps at
+    1023 chars with byte 1023 consumed as the pseudo-terminator
+    (``if (i == sizeof(line)) i--``, cmd.c:189-196).  Pinned against the
+    compiled reference by tests/test_c_reference.py."""
+    parts = []
+    pos, remaining = 0, len(text)
+    while remaining:
+        quotes = 0
+        maxlen = min(remaining, 1024)
+        ln = 0
+        while ln < maxlen:
+            ch = text[pos + ln]
+            if ch == '"':
+                quotes += 1
+            if not (quotes & 1) and ch == ";":
+                break
+            if ch == "\n":
+                break
+            ln += 1
+        if ln == 1024:
+            ln -= 1
+        parts.append(text[pos:pos + ln])
+        if ln == remaining:
+            remaining = 0
         else:
-            cur.append(ch)
-    parts.append("".join(cur))
+            ln += 1  # skip the terminator (or the dropped cap byte)
+            remaining -= ln
+            pos += ln
     return parts
 
 
@@ -175,17 +201,19 @@ def _atof(s: str) -> float:
     e.g. ``cmd_fov``, ``fisheye.c:1043``): optional ``-``, ``0x`` hex,
     ``'c`` char constant, else digits with a single honored ``.`` —
     parsing stops at the first other character.  Notably "nan"/"inf"
-    parse to 0 and "9e99" parses to 9 (no exponent syntax), so console
-    input can never smuggle non-finite or overflowing values in.  The C
-    computes in double but RETURNS float — the final f32 truncation is
-    part of the contract (pinned vs the compiled Q_atof)."""
+    parse to 0 and "9e99" parses to 9 (no exponent syntax); NaN can
+    never be smuggled in, though a ~39-digit run overflows to f32 inf
+    (int-cast consumers go through :func:`_c_int`).  The C computes in
+    double but RETURNS float — the final f32 truncation is part of the
+    contract (pinned vs the compiled Q_atof)."""
     i, sign = 0, 1.0
     if s.startswith("-"):
         sign, i = -1.0, 1
     t = s[i:]
 
     def f32(v):
-        return float(np.float32(v))
+        with np.errstate(over="ignore"):  # overlong digit runs hit f32 inf
+            return float(np.float32(v))
 
     if t[:1] == "0" and t[1:2] in ("x", "X"):
         val = 0.0
@@ -214,6 +242,20 @@ def _atof(s: str) -> float:
         val /= 10
         total -= 1
     return f32(val * sign)
+
+
+def _c_int(v: float) -> int:
+    """C ``(int)`` cast of a float (the ``(int)Q_atof(...)`` console
+    sites, e.g. ``cmd_fov`` ``fisheye.c:1043``): truncation toward zero;
+    NaN/±inf/out-of-int32-range produce INT_MIN (x86 ``cvttsd2si``), so
+    an overlong numeric console arg degrades like the C instead of
+    raising ``OverflowError``."""
+    if v != v or v == float("inf") or v == float("-inf"):
+        return -0x80000000
+    t = int(v)
+    if not -0x80000000 <= t <= 0x7FFFFFFF:
+        return -0x80000000
+    return t
 
 
 def _i32(v: int) -> int:
@@ -486,7 +528,7 @@ class Session:
             self._print("f_fov <degrees>: set horizontal FOV")
             self._print(f"Zoom currently: {self.zoom.command() or 'none'}")
             return
-        self.zoom = Zoom("fov", int(_atof(argv[1])))
+        self.zoom = Zoom("fov", _c_int(_atof(argv[1])))
         self._changed = True
 
     def _cmd_vfov(self, argv):
@@ -494,7 +536,7 @@ class Session:
             self._print("f_vfov <degrees>: set vertical FOV")
             self._print(f"Zoom currently: {self.zoom.command() or 'none'}")
             return
-        self.zoom = Zoom("vfov", int(_atof(argv[1])))
+        self.zoom = Zoom("vfov", _c_int(_atof(argv[1])))
         self._changed = True
 
     def _cmd_cover(self, argv):
@@ -511,7 +553,7 @@ class Session:
 
     def _cmd_rubixgrid(self, argv):
         if len(argv) == 4:
-            self.rubix_numcells = int(_atof(argv[1]))
+            self.rubix_numcells = _c_int(_atof(argv[1]))
             self.rubix_cell_size = _atof(argv[2])
             self.rubix_pad_size = _atof(argv[3])
             self._changed = True  # need to recompute lens to update grid
@@ -525,7 +567,7 @@ class Session:
         if len(argv) < 2:
             self._print("f_saveglobe <name> [full flag=0]: screenshot the globe plates")
             return
-        with_margins = int(_atof(argv[2])) if len(argv) >= 3 else 0
+        with_margins = _c_int(_atof(argv[2])) if len(argv) >= 3 else 0
         self.save_request = (argv[1][:32], with_margins)
 
     def _cmd_dumppal(self, argv):

@@ -54,6 +54,15 @@ def check_render_scale(width_px: int, height_px: int, k: int) -> None:
             "pick k with even width/k and height/k")
 
 
+def flat_gather_safe(batch: int, n_per_frame: int) -> bool:
+    """Whether the flat global gather's ``b*N + idx`` fits int32.  Past
+    2**31 source ELEMENTS (e.g. the expanded 1080p u8 layout at B>=154,
+    12*1080*1080*154) the base index wraps negative and ``mode="clip"``
+    would silently read element 0 for every pose past the wrap — those
+    sources take the batch-preserving ``take_along_axis`` instead."""
+    return batch * n_per_frame < 2**31
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled_posed_pipeline(lens, globe, width_px, height_px, platesize,
                              expanded, dtype, render_scale=1,
@@ -105,7 +114,7 @@ def _compiled_posed_pipeline(lens, globe, width_px, height_px, platesize,
         )(bases_fwd, bases_rgt, bases_up,
           scale, numcells, cell_size, pad_size)
         B = src.shape[0]
-        if flat_gather:
+        if flat_gather and flat_gather_safe(B, src.shape[1]):
             N = src.shape[1]
             gi = (jnp.arange(B, dtype=jnp.int32)[:, None] * N
                   + idx.reshape(B, -1)).reshape(-1)

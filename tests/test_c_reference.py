@@ -377,11 +377,27 @@ def test_console_tokenizer_bitexact_vs_c(harness):
         '"unbalanced ;\nnext',
         "')('",
         'word/with/slash /single',
+        'f_fov\x0090',                      # NUL = hard end of command
+        'a "qu\x00oted" b',                 # NUL inside a quote ends token
+        '\x00leading',
+        'x;\x00;y',
+        'f_fov ' + '9' * 1100,              # Cbuf 1024-byte line cap
+        'a' * 1023 + ';' + 'b' * 5,         # ';' exactly at the cap byte
+        'a' * 1500,                         # unbroken run over the cap
+        '"' + 'q' * 1040 + '" tail',        # quote spanning the cap
+        ('w ' * 300).rstrip(),              # many tokens near the cap
     ]
     rng = np.random.default_rng(11)
     alphabet = list('abc ";\n\'(){}/:*\t\x01\xe9 09.')
     for _ in range(200):  # fuzz: random soup in the tokenizer alphabet
         k = int(rng.integers(1, 60))
+        cases.append("".join(rng.choice(alphabet) for _ in range(k)))
+    nul_alphabet = alphabet + ["\x00"]
+    for _ in range(100):  # fuzz: embedded NULs
+        k = int(rng.integers(1, 60))
+        cases.append("".join(rng.choice(nul_alphabet) for _ in range(k)))
+    for _ in range(30):  # fuzz: lines straddling the 1024-byte Cbuf cap
+        k = int(rng.integers(1000, 1300))
         cases.append("".join(rng.choice(alphabet) for _ in range(k)))
 
     for text in cases:
@@ -393,10 +409,9 @@ def test_console_tokenizer_bitexact_vs_c(harness):
             toks = chunk.split("\x1f")[:-1] if chunk else []
             c_lines.append(toks)
         py_lines = [tokenize_console(p) for p in split_console_lines(text)]
-        # the C side emits one record per extracted Cbuf line; empty
-        # trailing input yields no record, ours yields an empty argv —
-        # compare the token streams with empties normalized away
-        assert [t for t in py_lines if t] == [t for t in c_lines if t], text
+        # split_console_lines is now an exact Cbuf_Execute transliteration
+        # (incl. the 1024-byte line cap), so the line records match 1:1
+        assert py_lines == c_lines, text
 
 
 def test_console_numeric_parsers_bitexact_vs_c(harness):

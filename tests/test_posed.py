@@ -50,6 +50,30 @@ def test_posed_matches_sequential(setup):
     np.testing.assert_array_equal(fused, seq)
 
 
+def test_flat_gather_int32_guard(setup):
+    """The flat global gather indexes b*N + idx in int32; sources past
+    2**31 elements must take the batch-preserving form instead (the wrap
+    would clip every later pose's reads to element 0)."""
+    from blinky_tpu.kernels.posed import _compiled_posed_pipeline, flat_gather_safe
+
+    assert flat_gather_safe(153, 12 * 1080 * 1080)
+    assert not flat_gather_safe(154, 12 * 1080 * 1080)   # expanded 1080p wrap
+    assert not flat_gather_safe(307, 6 * 1080 * 1080)
+    # both branches of the same compiled pipeline are bit-identical
+    g, lens, scale, frames, bases = setup
+    flat = _compiled_posed_pipeline(lens, g, W, H, S, False,
+                                    jnp.float32, flat_gather=True)
+    batched = _compiled_posed_pipeline(lens, g, W, H, S, False,
+                                       jnp.float32, flat_gather=False)
+    src = jnp.asarray(np.moveaxis(frames, -1, 0).reshape(B, -1))
+    bg = jnp.zeros((H, W), jnp.uint8)
+    bf = jnp.asarray(bases[:, 0]); br = jnp.asarray(bases[:, 1])
+    bu = jnp.asarray(bases[:, 2])
+    a = flat(src, bg, bf, br, bu, scale, 10.0, 4.0, 1.0)
+    b = batched(src, bg, bf, br, bu, scale, 10.0, 4.0, 1.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_posed_rubix_expanded_source(setup):
     g, lens, scale, frames, bases = setup
     pal = default_palette()
