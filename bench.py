@@ -76,6 +76,19 @@ def main() -> None:
             iters=2 if q else 4, rubix=rubix, rgba=False, compact=True)
         print(json.dumps({"fps": r["fps"], "config": r["config"]}))
         return
+    if any(a.startswith("--config-eq-") for a in sys.argv):
+        # (internal) one equirect measurement per process: the B=128
+        # pano batch peaks ~11 GB HBM (see config7_equirect)
+        from blinky_tpu.bench.throughput import run_equirect_throughput
+
+        variant = next(a for a in sys.argv if a.startswith("--config-eq-"))
+        r = run_equirect_throughput(
+            batch=128, iters=4,
+            bilinear=not variant.endswith("nearest"),
+            rubix=variant.endswith("rubix"))
+        print(json.dumps({"fps": r["fps"], "ms_per_batch": r["ms_per_batch"],
+                          "config": r["config"]}))
+        return
     if "--headline-compact" in sys.argv:
         # (internal) the compact attempt, run in its own process
         r = run_gather_throughput(batch=2048, iters=iters,

@@ -1030,7 +1030,10 @@ class Session:
         leave the chip.  Returns [H_out, W_out, B] u32 (or [H_out,
         W_out] for a single pano).  Measured on v5e: 327 ms warm for one
         2048x1024 pano to 1280x720 (relay upload included; batches
-        amortize — see kernels/ingest.py for the batched rates).
+        amortize — see kernels/ingest.py for the batched rates, and
+        prefer B a multiple of 128: the batch axis is the gathered rows'
+        minor dim and partial 128-lane tiles cost up to ~15x,
+        docs/PERF.md §9).
         """
         from blinky_tpu.kernels.ingest import EquirectIngest
         from blinky_tpu.kernels.remap import pack_rgba

@@ -214,21 +214,51 @@ def config6_4k(quick=False):
 def config7_equirect(quick=False):
     """360-video end-to-end: pano batch -> ingest gather -> remap, one
     fused device chain (Session.render_equirect's pipeline), bilinear
-    plain + rubix (post-gather tint, no face expansion)."""
-    from blinky_tpu.bench.throughput import run_equirect_throughput
+    plain + rubix (post-gather tint, no face expansion).  B=128 fills
+    the u32 batch-minor lane tile exactly — B=16 wastes 8/8ths of every
+    gathered tile row and runs ~15x slower (docs/PERF.md §9).  The
+    B=128 pano batch peaks ~11 GB HBM, so each variant runs in its OWN
+    process (post-OOM allocs cascade-fail, CLAUDE.md)."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path as _Path
 
-    kw = dict(batch=4, iters=2) if quick else dict(batch=16, iters=4)
-    plain = run_equirect_throughput(bilinear=True, rubix=False, **kw)
-    rubix = run_equirect_throughput(bilinear=True, rubix=True, **kw)
-    nearest = run_equirect_throughput(bilinear=False, rubix=False, **kw)
-    return dict(
-        config=7,
-        name="equirect 360-video end-to-end (4096x2048 -> 720p)",
-        bilinear_fps=round(plain["fps"], 1),
-        bilinear_rubix_fps=round(rubix["fps"], 1),
-        nearest_fps=round(nearest["fps"], 1),
-        ms_per_batch=round(plain["ms_per_batch"], 1),
-    )
+    if quick:
+        from blinky_tpu.bench.throughput import run_equirect_throughput
+
+        kw = dict(batch=4, iters=2)
+        plain = run_equirect_throughput(bilinear=True, rubix=False, **kw)
+        rubix = run_equirect_throughput(bilinear=True, rubix=True, **kw)
+        nearest = run_equirect_throughput(bilinear=False, rubix=False, **kw)
+        return dict(
+            config=7,
+            name="equirect 360-video end-to-end (4096x2048 -> 720p)",
+            bilinear_fps=round(plain["fps"], 1),
+            bilinear_rubix_fps=round(rubix["fps"], 1),
+            nearest_fps=round(nearest["fps"], 1),
+            ms_per_batch=round(plain["ms_per_batch"], 1),
+        )
+
+    bench = str(_Path(__file__).resolve().parents[2] / "bench.py")
+    out = dict(config=7,
+               name="equirect 360-video end-to-end (4096x2048 -> 720p)")
+    for key, flag in (("bilinear_fps", "--config-eq-plain"),
+                      ("bilinear_rubix_fps", "--config-eq-rubix"),
+                      ("nearest_fps", "--config-eq-nearest")):
+        try:
+            r = subprocess.run([_sys.executable, bench, flag],
+                               capture_output=True, text=True,
+                               timeout=1200, check=True)
+            parsed = _json.loads(r.stdout.strip().splitlines()[-1])
+            out[key] = round(parsed["fps"], 1)
+            if key == "bilinear_fps":
+                out["ms_per_batch"] = round(parsed["ms_per_batch"], 1)
+                out["bilinear_config"] = parsed["config"]
+        except Exception as e:
+            out[key] = None
+            out[key.replace("_fps", "_error")] = type(e).__name__
+    return out
 
 
 def run_all(quick=False):

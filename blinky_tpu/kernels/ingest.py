@@ -15,9 +15,12 @@ delegates its per-frame host path to these tables): plate texel →
 clamp.  Weights are float32 in both the host and device executors so the
 two paths agree bit-for-bit.
 
-Measured on the attached v5e (4096×2048 pano → 6×1024² plates, B=16,
-device-resident): **27 panos/s bilinear, 94 nearest** vs 1.2/s for the
-NumPy host executor (~23×).  Through the axon relay the host→device
+Measured on the attached v5e (4096×2048 pano → 720p end-to-end chain,
+B=128, device-resident): **1439 panos/s bilinear, 2813 nearest**.
+Batch size matters enormously here: B is the MINOR axis of the gathered
+rows and the hardware moves 128-lane tiles, so B=16 wastes 7/8ths of
+every tile row and runs ~15× slower (docs/PERF.md §9) — keep B a
+multiple of 128.  Through the axon relay the host→device
 upload of the pano batch (512 MB) dominates, so the *import-to-disk* CLI
 path stays on the host executor; the device kernel is for pipelines that
 stay on-device — :meth:`blinky_tpu.api.Session.render_equirect` chains
