@@ -167,14 +167,23 @@ def config5_pose_playback(quick=False):
         run_per_frame_pose_throughput, run_pose_tracked_throughput,
     )
 
-    chunked = run_pose_tracked_throughput(batch=32 if quick else 64,
+    # chunk size trades pose granularity for throughput; the per-chunk
+    # cost is FLAT (~28-30 ms: one lensmap build + one 2.07M-row gather,
+    # the per-index wall), so fps scales with the chunk until HBM.
+    # 256 is the headline (keeps pose updates ~4 s apart at 60 fps);
+    # 1024 is the max-throughput datapoint (PERF §6).
+    chunked = run_pose_tracked_throughput(batch=32 if quick else 256,
                                           iters=3 if quick else 8)
+    chunked_max = None if quick else run_pose_tracked_throughput(
+        batch=1024, iters=8)
     per_frame = run_per_frame_pose_throughput(batch=8 if quick else 16,
                                               reps=2 if quick else 3)
     return dict(
         config=5,
         name="pose-tracked 1080p playback",
         chunked_fps=round(chunked["fps"], 1),
+        chunked_fps_1024=None if chunked_max is None
+        else round(chunked_max["fps"], 1),
         per_frame_fps=round(per_frame["fps"], 1),
         per_frame_ms=round(per_frame["ms_per_frame"], 2),
         per_frame_fps_scale2=round(per_frame["fps_scale2"], 1),
