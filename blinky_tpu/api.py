@@ -305,6 +305,7 @@ class Session:
         echo: bool = False,
         defaults: bool = True,
         build_budget_s: Optional[float] = None,
+        cmdline_cmds=(),
     ):
         # backend policy ("auto", the default): static builds (no view
         # rotation) use the exact float64 host builder — Session.lensmap
@@ -324,6 +325,7 @@ class Session:
         self.backend = backend
         self.echo = echo
         self.console: list = []
+        self.cmdline_cmds = list(cmdline_cmds)
 
         self.fisheye_enabled = False
         self.fov = 90.0  # the engine "fov" cvar (scr_fov, NQ/view.c:116)
@@ -372,9 +374,11 @@ class Session:
             "f_dumppal": self._cmd_dumppal,
             "f_shortcutkeys": self._cmd_shortcutkeys,
             "impulse": lambda argv: None,  # game-sim command: no-op here
+            "stuffcmds": self._cmd_stuffcmds,
             "setviewangles": self._cmd_setviewangles,
             "bind": self._cmd_bind,
             "unbind": self._cmd_unbind,
+            "unbindall": self._cmd_unbindall,
             "exec": self._cmd_exec,
             "alias": self._cmd_alias,
             "echo": self._cmd_echo,
@@ -595,6 +599,19 @@ class Session:
     def _cmd_unbind(self, argv):
         if len(argv) >= 2:
             self.bindings.pop(argv[1], None)
+
+    def _cmd_stuffcmds(self, argv):
+        """``Cmd_StuffCmds_f`` (``common/cmd.c:236-296``): re-exec the
+        command-line commands, so a config/script can let CLI ``--cmd``
+        overrides win over its own settings (quake.rc's startup order:
+        exec defaults, exec config.cfg, stuffcmds)."""
+        for c in self.cmdline_cmds:
+            self.cmd(c)
+
+    def _cmd_unbindall(self, argv):
+        """``Key_Unbindall_f`` (``common/keys.c:647-656``): clear every
+        binding — the first line of an engine-written config.cfg."""
+        self.bindings.clear()
 
     def _cmd_exec(self, argv):
         if len(argv) >= 2:
@@ -1101,10 +1118,13 @@ class Session:
     # ------------------------------------------------------------- config
     def config_str(self) -> str:
         """``Host_WriteConfiguration`` (``NQ/host.c:272-291``): key binds
-        (``Key_WriteBindings``) then cvars then the fisheye state block
-        (``F_WriteConfig``, ``fisheye.c:683-696``).  Aliases are written
-        too — an extension (the reference loses them on restart)."""
-        lines = [f'bind "{k}" "{v}"' for k, v in self.bindings.items()]
+        (``Key_WriteBindings`` — which leads with ``unbindall`` so a
+        replay starts clean, ``keys.c:715-724``) then cvars then the
+        fisheye state block (``F_WriteConfig``, ``fisheye.c:683-696``).
+        Aliases are written too — an extension (the reference loses
+        them on restart)."""
+        lines = ["unbindall"]
+        lines += [f'bind "{k}" "{v}"' for k, v in self.bindings.items()]
         lines += [f'alias "{n}" "{v}"' for n, v in self.aliases.items()]
         lines += [
             f"fov {self.fov:g}",

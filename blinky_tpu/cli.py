@@ -66,7 +66,8 @@ def cmd_remap(args) -> int:
     from blinky_tpu.io.cubemap import load_globe_pcx, synthetic_cubemap
     from blinky_tpu.io.pcx import encode_pcx
 
-    sess = Session(args.width, args.height, echo=True, **_script_dirs(args))
+    sess = Session(args.width, args.height, echo=True,
+                   cmdline_cmds=args.cmd, **_script_dirs(args))
     user_pal = _load_palette(args.palette)
     if user_pal is not None:
         sess.palette = user_pal
@@ -214,7 +215,8 @@ def cmd_serve(args) -> int:
     if user_pal is not None:
         pal = user_pal
     sess = Session(args.width, args.height, platesize=frames.shape[2],
-                   palette=pal, echo=True, **_script_dirs(args))
+                   palette=pal, echo=True, cmdline_cmds=args.cmd,
+                   **_script_dirs(args))
     sess.cmd("f_shortcutkeys")  # toggle ON: the reference's lens/globe key binds
     for c in args.cmd:
         sess.cmd(c)
@@ -246,7 +248,7 @@ def cmd_reproject(args) -> int:
         pal = user_pal
     N, P, S, _ = frames.shape
     sess = Session(args.width, args.height, platesize=S, palette=pal,
-                   echo=True, **_script_dirs(args))
+                   echo=True, cmdline_cmds=args.cmd, **_script_dirs(args))
     for c in args.cmd:
         sess.cmd(c)
     if args.pose:
@@ -389,7 +391,8 @@ def cmd_sweep(args) -> int:
     # docs/PERF.md section 5 and invisible in motion)
     sess = Session(args.width, args.height,
                    platesize=(src.shape[1] if src is not None else None),
-                   palette=pal, echo=True, backend="jax", **_script_dirs(args))
+                   palette=pal, echo=True, backend="jax",
+                   cmdline_cmds=args.cmd, **_script_dirs(args))
     for c in args.cmd:
         sess.cmd(c)
     sess.cmd(f"f_lens {args.lens}; f_globe {args.globe}")

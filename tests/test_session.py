@@ -85,6 +85,36 @@ def test_config_roundtrip(tmp_path, sess):
     assert s2.lens_name == "hammer" and s2.zoom.command() == "f_vfov 120"
 
 
+def test_unbindall_and_config_leads_with_it(tmp_path, sess):
+    """Key_Unbindall_f (keys.c:647-656) + Key_WriteBindings leading
+    ``unbindall`` (keys.c:719-720): replaying a config clears bindings
+    the target session had but the config doesn't."""
+    sess.cmd('bind 3 "f_lens hammer"')
+    p = tmp_path / "config.cfg"
+    sess.write_config(p)
+    assert p.read_text().splitlines()[0] == "unbindall"
+    s2 = Session(64, 48, backend="numpy", defaults=False)
+    s2.cmd('bind 9 "f_lens debug"; bind 3 "f_globe tetra"')
+    s2.exec_config(p)
+    assert s2.bindings == {"3": "f_lens hammer"}  # stale "9" cleared
+    s2.cmd("unbindall")
+    assert s2.bindings == {}
+
+
+def test_stuffcmds_reapplies_cmdline(tmp_path):
+    """Cmd_StuffCmds_f (cmd.c:236-296): a config saying ``stuffcmds``
+    lets command-line ``--cmd`` overrides win over its own settings
+    (quake.rc startup order)."""
+    s = Session(64, 48, backend="numpy", cmdline_cmds=["f_lens hammer"])
+    cfg = tmp_path / "config.cfg"
+    cfg.write_text("f_lens panini\nstuffcmds\n")
+    s.exec_config(cfg)
+    assert s.lens_name == "hammer"
+    s2 = Session(64, 48, backend="numpy")  # no cmdline: stuffcmds no-ops
+    s2.exec_config(cfg)
+    assert s2.lens_name == "panini"
+
+
 def test_shortcutkeys(sess):
     sess.cmd("f_shortcutkeys")
     assert sess.bindings == SHORTCUT_BINDINGS

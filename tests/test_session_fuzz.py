@@ -22,7 +22,7 @@ def test_console_fuzz_never_crashes(tmp_path, monkeypatch):
              "nan", "inf", "0", "1", "361", ";", "", "xyz", "--", "1e-9",
              '"quoted"', "\t", "zzz.lua", "../escape",
              "alias", "echo", "wait", 'alias a "f_fov 90"', "a",
-             'alias b "b"', "b", '"semi; colon"',
+             'alias b "b"', "b", '"semi; colon"', "unbindall",
              "9" * 39, "-" + "9" * 45, "0x" + "f" * 34, "1" * 400,
              "f_fov\x0090", "x\x00y"]
     sess = Session(48, 36, platesize=16)
