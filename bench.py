@@ -95,27 +95,57 @@ def main() -> None:
                                   rubix=False, rgba=False, compact=True)
         print(json.dumps({"fps": r["fps"]}))
         return
+    if any(a.startswith("--config-rowcrop-") for a in sys.argv):
+        # (internal) one row-cropped rich-path measurement per process:
+        # these batches sit near the HBM edge (CLAUDE.md: post-OOM allocs
+        # cascade-fail in a shared process)
+        q = "--quick" in sys.argv
+        variant = next(a for a in sys.argv if a.startswith("--config-rowcrop-"))
+        cfg = {
+            "--config-rowcrop-rubix": dict(rubix=True, rgba=False,
+                                           batch=96 if q else 1536),
+            "--config-rowcrop-rgba": dict(rubix=False, rgba=True,
+                                          batch=48 if q else 640),
+            "--config-rowcrop-both": dict(rubix=True, rgba=True,
+                                          batch=32 if q else 384),
+        }[variant]
+        r = run_gather_throughput(iters=3 if q else 6, row_crop=True, **cfg)
+        print(json.dumps({"fps": r["fps"], "config": r["config"]}))
+        return
+    if "--headline-rowcrop" in sys.argv:
+        # (internal) the row-cropped attempt, run in its own process:
+        # panini@180 touches 3663/5400 source rows (compact_rows), and the
+        # freed HBM affords B=2688 (21x128 lanes) vs 2048 plate-compacted —
+        # measured 31.5k vs 30.0k fps; B=2816 OOMs (docs/PERF.md §7)
+        r = run_gather_throughput(batch=2688, iters=iters,
+                                  rubix=False, rgba=False, row_crop=True)
+        print(json.dumps({"fps": r["fps"]}))
+        return
     if "--quick" in sys.argv:
         r = run_throughput(batch=batch, iters=iters)
     else:
-        # headline: plate-compacted source (panini@180 uses 5/6 plates;
-        # kernels.remap.compact_planes) affords B=2048 in HBM — measured
-        # 28.5k fps vs 19k at B=1024 full (docs/PERF.md §7).  The attempt
+        # headline: row-cropped source (panini@180 touches 5/6 plates and
+        # 3663/5400 of their rows; kernels.remap.compact_rows) affords
+        # B=2688 in HBM — measured 31.5k fps vs 30.0k plate-compacted at
+        # B=2048 vs 19k at B=1024 full (docs/PERF.md §7).  Each attempt
         # runs in a SUBPROCESS: after a device OOM, later allocations in
-        # the same process cascade-fail (CLAUDE.md), so the fallback needs
-        # a clean process — and a crash there must not kill the headline.
+        # the same process cascade-fail (CLAUDE.md), so each fallback
+        # needs a clean process — and a crash there must not kill the
+        # headline.  Chain: rowcrop -> plate-compact -> full source.
         import subprocess
 
         r = None
-        try:
-            out = subprocess.run(
-                [sys.executable, __file__, "--headline-compact"],
-                capture_output=True, text=True, timeout=900, check=True,
-            )
-            r = {"fps": json.loads(out.stdout.strip().splitlines()[-1])["fps"]}
-        except Exception as e:
-            print(f"compact headline attempt failed ({type(e).__name__}); "
-                  "falling back to the full-source config", file=sys.stderr)
+        for flag in ("--headline-rowcrop", "--headline-compact"):
+            try:
+                out = subprocess.run(
+                    [sys.executable, __file__, flag],
+                    capture_output=True, text=True, timeout=900, check=True,
+                )
+                r = {"fps": json.loads(out.stdout.strip().splitlines()[-1])["fps"]}
+                break
+            except Exception as e:
+                print(f"{flag} attempt failed ({type(e).__name__}); "
+                      "falling back", file=sys.stderr)
         if r is None:
             r = run_throughput(batch=batch, iters=iters)
     print(

@@ -144,6 +144,32 @@ def config4_batched_demo(quick=False):
     both_post = run_gather_throughput(batch=48 if quick else 384,
                                       iters=iters, rubix=True, rgba=True,
                                       compact=True, tint_post=True)
+    # row-cropped source (kernels.remap.compact_rows): each used plane
+    # cropped to its touched row band — another ~1/3 of source HBM freed,
+    # buying the batches that put every rich path over the 10k north star
+    # (measured: rubix 27.4k @1536, RGBA 17.1k @640, rubix+RGBA 12.4k
+    # @384 — docs/PERF.md §7).  These batches sit near the HBM edge, so
+    # each runs in its OWN process (same rationale as config6).
+    import json as _json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    bench = str(_Path(__file__).resolve().parents[2] / "bench.py")
+    rowcrop = {}
+    for key, flag in (("rubix_rowcrop_fps", "--config-rowcrop-rubix"),
+                      ("rgba_rowcrop_fps", "--config-rowcrop-rgba"),
+                      ("rubix_rgba_rowcrop_fps", "--config-rowcrop-both")):
+        try:
+            args = [_sys.executable, bench, flag] + (
+                ["--quick"] if quick else [])
+            r = subprocess.run(args, capture_output=True, text=True,
+                               timeout=1200, check=True)
+            rowcrop[key] = round(
+                _json.loads(r.stdout.strip().splitlines()[-1])["fps"], 1)
+        except Exception as e:
+            rowcrop[key] = None
+            rowcrop[key.replace("_fps", "_error")] = type(e).__name__
     return dict(
         config=4,
         name="batched 1080p demo reprojection",
@@ -154,6 +180,7 @@ def config4_batched_demo(quick=False):
         rgba_compact_fps=round(rgba_c["fps"], 1),
         rubix_rgba_compact_fps=round(both_c["fps"], 1),
         rubix_rgba_postgather_fps=round(both_post["fps"], 1),
+        **rowcrop,
         build_ms=round(plain["build_ms"], 1),
         rebuild_ms=round(plain["rebuild_ms"], 1),
     )

@@ -139,6 +139,37 @@ def device_source(platesize, batch, expanded, rgba, plane_ids=None):
     return v.astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def device_source_rows(platesize, batch, rgba, slabs):
+    """On-device synthetic source in the row-cropped stack layout of
+    ``kernels.remap.compact_rows``: [sum(hi-lo), S, B], generated directly
+    at cropped size (the full source never exists in HBM).  Per-row plane
+    id and source row come from a static where-chain over the slab
+    boundaries, so the values are bit-identical to the matching rows of
+    :func:`device_source`."""
+    S = platesize
+    R = sum(hi - lo for _, lo, hi in slabs)
+    shape = (R, S, batch)
+    gr = jax.lax.broadcasted_iota(jnp.int32, shape, 0)  # stack row
+    p = jnp.full(shape, slabs[0][0], jnp.int32)
+    py = gr + slabs[0][1]
+    off = slabs[0][2] - slabs[0][1]
+    for pid, lo, hi in slabs[1:]:
+        in_slab = gr >= off
+        p = jnp.where(in_slab, jnp.int32(pid), p)
+        py = jnp.where(in_slab, gr - off + lo, py)
+        off += hi - lo
+    px = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    b = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    checker = ((px // 8 + py // 8) % 2) * 16
+    grad = (px * 3 + py * 5 + p * 37 + b * 11) % 128
+    v = (p * 40 + 8 + checker + grad) % 255
+    if rgba:
+        out = (v | ((v * 3 % 256) << 8) | ((v * 7 % 256) << 16)).astype(jnp.uint32)
+        return out | jnp.uint32(0xFF000000)
+    return v.astype(jnp.uint8)
+
+
 def run_gather_throughput(
     width=1920,
     height=1080,
@@ -152,15 +183,18 @@ def run_gather_throughput(
     rgba=False,
     compact=False,
     tint_post=False,
+    row_crop=False,
 ):
     """Throughput of the expanded-source paths: rubix (raw||tinted u8),
     RGBA (u32), or both; *compact* drops unused source planes to afford a
-    larger batch.  See kernels/remap.py for why tint/decode live in the
-    source.  ``tint_post`` measures the post-gather true-color tint
-    variant instead (raw RGBA source, tint applied to the gathered
-    screen — kernels.remap.remap_gather_tint_impl): half the source
-    planes of the expanded layout, so ~2x the feasible batch.  Returns a
-    dict like :func:`run_throughput`."""
+    larger batch, *row_crop* goes further and crops each used plane to
+    its touched row band (kernels.remap.compact_rows).  See
+    kernels/remap.py for why tint/decode live in the source.
+    ``tint_post`` measures the post-gather true-color tint variant
+    instead (raw RGBA source, tint applied to the gathered screen —
+    kernels.remap.remap_gather_tint_impl): half the source planes of the
+    expanded layout, so ~2x the feasible batch.  Returns a dict like
+    :func:`run_throughput`."""
     from blinky_tpu.kernels.remap import RemapKernel
 
     g = globes.get(globe_name)
@@ -200,6 +234,29 @@ def run_gather_throughput(
             ms_per_batch=dt / iters * 1000,
         )
 
+    if row_crop:
+        # crop each used plane to its touched row band
+        # (kernels.remap.compact_rows): the freed HBM buys the batch
+        from blinky_tpu.kernels.remap import compact_rows
+
+        slabs, cidx = compact_rows(lm.to_numpy(), rubix=rubix)
+        idx = jnp.asarray(cidx)
+        frames = device_source_rows(platesize, batch, rgba, slabs)
+        nrows = int(frames.shape[0])
+        _sync(frames)
+        bg = kernel.background_rgba if rgba else kernel.background
+        step = make_gather_bench_step(iters)
+        _sync(step(frames, idx, kernel.valid, bg))
+        t0 = time.perf_counter()
+        _sync(step(frames, idx, kernel.valid, bg))
+        dt = time.perf_counter() - t0
+        return dict(
+            config=f"{lens_name}+{globe_name} {width}x{height} S={platesize}"
+            f" B={batch}" + (" rubix" if rubix else "")
+            + (" rgba" if rgba else "") + f" rowcrop({nrows}rows)",
+            fps=batch * iters / dt,
+            ms_per_batch=dt / iters * 1000,
+        )
     if compact:
         # drop unused source planes (kernels.remap.compact_planes): the
         # freed HBM is what allows the larger batch the caller passes

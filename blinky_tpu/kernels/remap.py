@@ -93,9 +93,11 @@ def remap_gather_impl(frames, flat_idx, valid, background):
     select — the whole per-frame cost of the reference's
     ``render_lensmap`` including rubix tinting.
     """
-    NP, S, _, B = frames.shape
+    B = frames.shape[-1]
     H, W = flat_idx.shape
-    src = frames.reshape(NP * S * S, B)
+    # any leading layout flattens to gather rows: [NP, S, S, B] plane
+    # sources and [R, S, B] row-cropped sources (compact_rows) alike
+    src = frames.reshape(-1, B)
     gathered = jnp.take(src, flat_idx.reshape(H * W), axis=0, mode="clip")
     out = jnp.where(valid.reshape(H * W, 1), gathered, background.reshape(H * W, 1))
     return out.reshape(H, W, B)
@@ -202,6 +204,55 @@ def compact_planes(lensmap, rubix: bool = False):
     renumber[used] = np.arange(used.size, dtype=np.int32)
     new_idx = np.where(valid, renumber[planes] * (S * S) + idx % (S * S), 0)
     return tuple(int(p) for p in used), new_idx.astype(np.int32)
+
+
+def compact_rows(lensmap, rubix: bool = False):
+    """Row-cropped source compaction: keep, per used plane, only the
+    contiguous row range the lensmap's gather actually touches.
+
+    One step past :func:`compact_planes` (same reference analog — render
+    only what's displayed, ``fisheye.c:763-794``): panini@180 at 1080p
+    touches ~3.7k of the 5.4k rows of its five used plates, so cropping
+    each plate to its used row band frees another ~1/3 of the source HBM,
+    which buys a larger batch for the row gather to amortize over.  Row
+    bands (not column crops) because the flat gather-row layout is
+    row-major within a plate — a row band stays one contiguous index
+    range, so the remap stays the same single gather.
+
+    Returns ``(slabs, flat_idx)``: ``slabs`` is a tuple of
+    ``(plane_id, row_lo, row_hi)`` in ascending plane order describing the
+    row-stacked cropped source ``[sum(hi-lo), S(, B)]``, and ``flat_idx``
+    is int32 [H, W] gather indices into that stack's flat rows.  Build the
+    source with ``np.concatenate([frames[p, lo:hi] for p, lo, hi in
+    slabs])`` (or generate it at cropped size) and feed
+    :func:`remap_gather_impl`.
+    """
+    lm = lensmap
+    S = lm.platesize
+    idx = np.asarray(expanded_flat_idx(lm) if rubix else lm.flat_idx)
+    valid = np.asarray(lm.valid)
+    planes = idx // (S * S)
+    rows = (idx // S) % S
+    slabs = []
+    base = np.zeros(2 * MAX_PLATES, np.int64)  # per-plane: stack_base - lo
+    total = 0
+    for p in np.unique(planes[valid]):
+        r = rows[valid & (planes == p)]
+        lo, hi = int(r.min()), int(r.max()) + 1
+        slabs.append((int(p), lo, hi))
+        base[p] = total - lo
+        total += hi - lo
+    if not slabs:
+        slabs.append((0, 0, 1))
+    new_idx = np.where(valid, (base[planes] + rows) * S + idx % S, 0)
+    return tuple(slabs), new_idx.astype(np.int32)
+
+
+def crop_frames_rows(frames, slabs) -> np.ndarray:
+    """Materialize the row-cropped source stack for :func:`compact_rows`:
+    [P, S, S(, B)] -> [sum(hi-lo), S(, B)]."""
+    frames = np.asarray(frames)
+    return np.concatenate([frames[p, lo:hi] for p, lo, hi in slabs], axis=0)
 
 
 def expand_frames_tinted(frames, palette, palmap=None) -> np.ndarray:

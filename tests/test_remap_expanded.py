@@ -168,6 +168,70 @@ def test_compact_planes_matches_full_source():
     np.testing.assert_array_equal(comp_rgba, full_rgba)
 
 
+def test_compact_rows_matches_full_source():
+    """compact_rows crops each used plane to its touched row band;
+    gathering the row-stacked cropped source through the renumbered
+    indices must equal the full remap (plain, rubix-expanded, RGBA) —
+    and the on-device cropped-source generator must be bit-identical to
+    the matching rows of the full device_source."""
+    import jax.numpy as jnp
+
+    from blinky_tpu import globes, lenses
+    from blinky_tpu.bench.throughput import device_source, device_source_rows
+    from blinky_tpu.io.cubemap import synthetic_cubemap_batch
+    from blinky_tpu.kernels.remap import (
+        RemapKernel, compact_rows, crop_frames_rows, expand_frames_tinted,
+        frames_to_rgba, remap_gather_impl,
+    )
+    from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+    from blinky_tpu.palette import default_palette
+
+    W, H, S, B = 64, 48, 32, 5
+    g = globes.get("cube")
+    lens = lenses.get("panini", g)
+    scale = calc_scale(Zoom("fov", 180), lens, W, H)
+    lm = build_lensmap(lens, g, scale, W, H, S, backend="numpy")
+    pal = default_palette()
+    k = RemapKernel(lm, pal)
+    frames = synthetic_cubemap_batch(S, B)
+
+    # plain u8
+    slabs, cidx = compact_rows(lm)
+    total_rows = sum(hi - lo for _, lo, hi in slabs)
+    assert total_rows < 6 * S  # cropped tighter than the full source
+    cropped = crop_frames_rows(frames, slabs)
+    assert cropped.shape == (total_rows, S, B)
+    full = np.asarray(k(jnp.asarray(frames)))
+    comp = np.asarray(remap_gather_impl(
+        jnp.asarray(cropped), jnp.asarray(cidx), k.valid, k.background))
+    np.testing.assert_array_equal(comp, full)
+
+    # rubix via the expanded layout
+    ex = expand_frames_tinted(frames, pal)
+    slabs_r, cidx_r = compact_rows(lm, rubix=True)
+    full_r = np.asarray(k(jnp.asarray(ex), rubix=True))
+    comp_r = np.asarray(remap_gather_impl(
+        jnp.asarray(crop_frames_rows(ex, slabs_r)), jnp.asarray(cidx_r),
+        k.valid, k.background))
+    np.testing.assert_array_equal(comp_r, full_r)
+
+    # RGBA u32 through the same row-cropped indices
+    rgba = frames_to_rgba(ex, pal)
+    full_rgba = np.asarray(remap_gather_impl(
+        jnp.asarray(rgba), k.flat_idx_rubix, k.valid, k.background_rgba))
+    comp_rgba = np.asarray(remap_gather_impl(
+        jnp.asarray(crop_frames_rows(rgba, slabs_r)), jnp.asarray(cidx_r),
+        k.valid, k.background_rgba))
+    np.testing.assert_array_equal(comp_rgba, full_rgba)
+
+    # the bench's cropped device source == the cropped full device source
+    for rgba_flag in (False, True):
+        full_src = np.asarray(device_source(S, 3, False, rgba_flag))
+        rows_src = np.asarray(device_source_rows(S, 3, rgba_flag, slabs))
+        np.testing.assert_array_equal(
+            rows_src, crop_frames_rows(full_src, slabs))
+
+
 def test_post_gather_tint_equals_expanded_source():
     """Round 3 (VERDICT task 2): for TRUE-COLOR sources the kernel tints
     AFTER the gather when handed a raw (non-expanded) u32 source with
