@@ -102,15 +102,33 @@ def main() -> None:
         q = "--quick" in sys.argv
         variant = next(a for a in sys.argv if a.startswith("--config-rowcrop-"))
         cfg = {
-            "--config-rowcrop-rubix": dict(rubix=True, rgba=False,
+            "--config-rowcrop-rubix": dict(rubix=True, rgba=False, row_crop=True,
                                            batch=96 if q else 1536),
-            "--config-rowcrop-rgba": dict(rubix=False, rgba=True,
+            "--config-rowcrop-rgba": dict(rubix=False, rgba=True, row_crop=True,
                                           batch=48 if q else 640),
-            "--config-rowcrop-both": dict(rubix=True, rgba=True,
+            "--config-rowcrop-both": dict(rubix=True, rgba=True, row_crop=True,
                                           batch=32 if q else 384),
+            "--config-rowcrop-txrubix": dict(rubix=True, rgba=False,
+                                             texel_compact=True,
+                                             batch=96 if q else 4224),
+            "--config-rowcrop-txrgba": dict(rubix=False, rgba=True,
+                                            texel_compact=True,
+                                            batch=48 if q else 1024),
+            "--config-rowcrop-txboth": dict(rubix=True, rgba=True,
+                                            texel_compact=True,
+                                            batch=32 if q else 1024),
         }[variant]
-        r = run_gather_throughput(iters=3 if q else 6, row_crop=True, **cfg)
+        r = run_gather_throughput(iters=3 if q else 6, **cfg)
         print(json.dumps({"fps": r["fps"], "config": r["config"]}))
+        return
+    if "--headline-texels" in sys.argv:
+        # (internal) the texel-compacted attempt, run in its own process:
+        # the source keeps exactly the 1.70M unique texels the panini@180
+        # lensmap references (compact_texels), affording B=4224 (33x128
+        # lanes) — measured 33.6k fps vs 31.5k row-cropped (PERF.md §7)
+        r = run_gather_throughput(batch=4224, iters=iters,
+                                  rubix=False, rgba=False, texel_compact=True)
+        print(json.dumps({"fps": r["fps"]}))
         return
     if "--headline-rowcrop" in sys.argv:
         # (internal) the row-cropped attempt, run in its own process:
@@ -124,18 +142,21 @@ def main() -> None:
     if "--quick" in sys.argv:
         r = run_throughput(batch=batch, iters=iters)
     else:
-        # headline: row-cropped source (panini@180 touches 5/6 plates and
-        # 3663/5400 of their rows; kernels.remap.compact_rows) affords
-        # B=2688 in HBM — measured 31.5k fps vs 30.0k plate-compacted at
-        # B=2048 vs 19k at B=1024 full (docs/PERF.md §7).  Each attempt
-        # runs in a SUBPROCESS: after a device OOM, later allocations in
-        # the same process cascade-fail (CLAUDE.md), so each fallback
-        # needs a clean process — and a crash there must not kill the
-        # headline.  Chain: rowcrop -> plate-compact -> full source.
+        # headline: texel-compacted source (the panini@180 lensmap
+        # references 1.70M unique texels of the 6-plate 1080p source;
+        # kernels.remap.compact_texels) affords B=4224 in HBM — measured
+        # 33.6k fps vs 31.5k row-cropped (B=2688) vs 30.0k
+        # plate-compacted (B=2048) vs 19k full (B=1024) — docs/PERF.md
+        # §7.  Each attempt runs in a SUBPROCESS: after a device OOM,
+        # later allocations in the same process cascade-fail (CLAUDE.md),
+        # so each fallback needs a clean process — and a crash there must
+        # not kill the headline.  Chain: texels -> rowcrop -> compact ->
+        # full source.
         import subprocess
 
         r = None
-        for flag in ("--headline-rowcrop", "--headline-compact"):
+        for flag in ("--headline-texels", "--headline-rowcrop",
+                     "--headline-compact"):
             try:
                 out = subprocess.run(
                     [sys.executable, __file__, flag],

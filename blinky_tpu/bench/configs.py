@@ -155,11 +155,18 @@ def config4_batched_demo(quick=False):
     import sys as _sys
     from pathlib import Path as _Path
 
+    # ...and texel-compacted (kernels.remap.compact_texels): the source
+    # keeps exactly the 1.70M unique referenced texels, making rubix free
+    # in source bytes (measured: rubix 33.4k @4224, RGBA 20.7k @1024,
+    # rubix+RGBA 20.7k @1024 — docs/PERF.md §7)
     bench = str(_Path(__file__).resolve().parents[2] / "bench.py")
     rowcrop = {}
     for key, flag in (("rubix_rowcrop_fps", "--config-rowcrop-rubix"),
                       ("rgba_rowcrop_fps", "--config-rowcrop-rgba"),
-                      ("rubix_rgba_rowcrop_fps", "--config-rowcrop-both")):
+                      ("rubix_rgba_rowcrop_fps", "--config-rowcrop-both"),
+                      ("rubix_texels_fps", "--config-rowcrop-txrubix"),
+                      ("rgba_texels_fps", "--config-rowcrop-txrgba"),
+                      ("rubix_rgba_texels_fps", "--config-rowcrop-txboth")):
         try:
             args = [_sys.executable, bench, flag] + (
                 ["--quick"] if quick else [])

@@ -170,6 +170,35 @@ def device_source_rows(platesize, batch, rgba, slabs):
     return v.astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _device_source_texels(meta, batch, rgba):
+    p, py, px = (a[:, None] for a in meta)  # [R, 1] i32 each
+    shape = (meta[0].shape[0], batch)
+    b = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    checker = ((px // 8 + py // 8) % 2) * 16
+    grad = (px * 3 + py * 5 + p * 37 + b * 11) % 128
+    v = (p * 40 + 8 + checker + grad) % 255
+    if rgba:
+        out = (v | ((v * 3 % 256) << 8) | ((v * 7 % 256) << 16)).astype(jnp.uint32)
+        return out | jnp.uint32(0xFF000000)
+    return v.astype(jnp.uint8)
+
+
+def device_source_texels(platesize, batch, rgba, texels):
+    """On-device synthetic source in the texel-compacted layout of
+    ``kernels.remap.compact_texels``: [R, B], generated directly at
+    compacted size.  The per-texel (plane, py, px) columns are small
+    uploads (~20 MB at 1080p) broadcast elementwise against the batch
+    iota — no per-element table gather on device (CLAUDE.md), and the
+    values are bit-identical to the matching texels of
+    :func:`device_source`."""
+    S = platesize
+    t = np.asarray(texels)
+    meta = tuple(jnp.asarray(a.astype(np.int32))
+                 for a in (t // (S * S), t // S % S, t % S))
+    return _device_source_texels(meta, batch, rgba)
+
+
 def run_gather_throughput(
     width=1920,
     height=1080,
@@ -184,6 +213,7 @@ def run_gather_throughput(
     compact=False,
     tint_post=False,
     row_crop=False,
+    texel_compact=False,
 ):
     """Throughput of the expanded-source paths: rubix (raw||tinted u8),
     RGBA (u32), or both; *compact* drops unused source planes to afford a
@@ -234,6 +264,29 @@ def run_gather_throughput(
             ms_per_batch=dt / iters * 1000,
         )
 
+    if texel_compact:
+        # keep exactly the unique texels the lensmap references
+        # (kernels.remap.compact_texels): the terminal compaction —
+        # rubix costs zero extra source bytes here
+        from blinky_tpu.kernels.remap import compact_texels
+
+        texels, cidx = compact_texels(lm.to_numpy(), rubix=rubix)
+        idx = jnp.asarray(cidx)
+        frames = device_source_texels(platesize, batch, rgba, texels)
+        _sync(frames)
+        bg = kernel.background_rgba if rgba else kernel.background
+        step = make_gather_bench_step(iters)
+        _sync(step(frames, idx, kernel.valid, bg))
+        t0 = time.perf_counter()
+        _sync(step(frames, idx, kernel.valid, bg))
+        dt = time.perf_counter() - t0
+        return dict(
+            config=f"{lens_name}+{globe_name} {width}x{height} S={platesize}"
+            f" B={batch}" + (" rubix" if rubix else "")
+            + (" rgba" if rgba else "") + f" texelcompact({texels.size}tx)",
+            fps=batch * iters / dt,
+            ms_per_batch=dt / iters * 1000,
+        )
     if row_crop:
         # crop each used plane to its touched row band
         # (kernels.remap.compact_rows): the freed HBM buys the batch

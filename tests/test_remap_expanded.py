@@ -232,6 +232,70 @@ def test_compact_rows_matches_full_source():
             rows_src, crop_frames_rows(full_src, slabs))
 
 
+def test_compact_texels_matches_full_source():
+    """compact_texels keeps exactly the unique referenced texels;
+    gathering the texel-compacted [R, B] source through the renumbered
+    indices must equal the full remap (plain, rubix-expanded, RGBA), the
+    rubix-expanded compaction must need no more texels than the plain
+    one, and the on-device texel source generator must match
+    device_source at the kept texels."""
+    import jax.numpy as jnp
+
+    from blinky_tpu import globes, lenses
+    from blinky_tpu.bench.throughput import device_source, device_source_texels
+    from blinky_tpu.io.cubemap import synthetic_cubemap_batch
+    from blinky_tpu.kernels.remap import (
+        RemapKernel, compact_texels, expand_frames_tinted, frames_to_rgba,
+        remap_gather_impl, take_texels,
+    )
+    from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+    from blinky_tpu.palette import default_palette
+
+    W, H, S, B = 64, 48, 32, 5
+    g = globes.get("cube")
+    lens = lenses.get("panini", g)
+    scale = calc_scale(Zoom("fov", 180), lens, W, H)
+    lm = build_lensmap(lens, g, scale, W, H, S, backend="numpy")
+    pal = default_palette()
+    k = RemapKernel(lm, pal)
+    frames = synthetic_cubemap_batch(S, B)
+
+    # plain u8
+    texels, cidx = compact_texels(lm)
+    assert texels.size <= int(np.asarray(lm.valid).sum())
+    src = take_texels(frames, texels)
+    assert src.shape == (texels.size, B)
+    full = np.asarray(k(jnp.asarray(frames)))
+    comp = np.asarray(remap_gather_impl(
+        jnp.asarray(src), jnp.asarray(cidx), k.valid, k.background))
+    np.testing.assert_array_equal(comp, full)
+
+    # rubix via the expanded layout: same texel count as plain
+    ex = expand_frames_tinted(frames, pal)
+    texels_r, cidx_r = compact_texels(lm, rubix=True)
+    assert texels_r.size == texels.size
+    full_r = np.asarray(k(jnp.asarray(ex), rubix=True))
+    comp_r = np.asarray(remap_gather_impl(
+        jnp.asarray(take_texels(ex, texels_r)), jnp.asarray(cidx_r),
+        k.valid, k.background))
+    np.testing.assert_array_equal(comp_r, full_r)
+
+    # RGBA u32 through the same texel-compacted indices
+    rgba = frames_to_rgba(ex, pal)
+    full_rgba = np.asarray(remap_gather_impl(
+        jnp.asarray(rgba), k.flat_idx_rubix, k.valid, k.background_rgba))
+    comp_rgba = np.asarray(remap_gather_impl(
+        jnp.asarray(take_texels(rgba, texels_r)), jnp.asarray(cidx_r),
+        k.valid, k.background_rgba))
+    np.testing.assert_array_equal(comp_rgba, full_rgba)
+
+    # the bench's texel device source == the full device source's texels
+    for rgba_flag in (False, True):
+        full_src = np.asarray(device_source(S, 3, False, rgba_flag))
+        tx_src = np.asarray(device_source_texels(S, 3, rgba_flag, texels))
+        np.testing.assert_array_equal(tx_src, take_texels(full_src, texels))
+
+
 def test_post_gather_tint_equals_expanded_source():
     """Round 3 (VERDICT task 2): for TRUE-COLOR sources the kernel tints
     AFTER the gather when handed a raw (non-expanded) u32 source with
