@@ -85,7 +85,8 @@ def main() -> None:
         r = run_equirect_throughput(
             batch=128, iters=4,
             bilinear=not variant.endswith("nearest"),
-            rubix=variant.endswith("rubix"))
+            rubix=variant.endswith("rubix"),
+            texel_compact=variant.endswith(("texels", "txrubix")))
         print(json.dumps({"fps": r["fps"], "ms_per_batch": r["ms_per_batch"],
                           "config": r["config"]}))
         return

@@ -288,7 +288,9 @@ def config7_equirect(quick=False):
                name="equirect 360-video end-to-end (4096x2048 -> 720p)")
     for key, flag in (("bilinear_fps", "--config-eq-plain"),
                       ("bilinear_rubix_fps", "--config-eq-rubix"),
-                      ("nearest_fps", "--config-eq-nearest")):
+                      ("nearest_fps", "--config-eq-nearest"),
+                      ("bilinear_texels_fps", "--config-eq-texels"),
+                      ("bilinear_rubix_texels_fps", "--config-eq-txrubix")):
         try:
             r = subprocess.run([_sys.executable, bench, flag],
                                capture_output=True, text=True,

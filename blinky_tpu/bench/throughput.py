@@ -356,15 +356,20 @@ def device_pano(h, w, batch):
 def run_equirect_throughput(pano_h=2048, pano_w=4096, platesize=720,
                             width=1280, height=720, batch=16, iters=4,
                             bilinear=True, rubix=False,
-                            lens_name="panini", fov=180):
+                            lens_name="panini", fov=180,
+                            texel_compact=False):
     """End-to-end 360-video throughput: device-resident pano batch ->
     EquirectIngest (static gather tables) -> remap, one fused device
     chain per iteration — only the warped screens would leave the chip
     (``Session.render_equirect``).  Rubix rides the post-gather tint
-    (no face-batch expansion).  Returns panos/sec."""
+    (no face-batch expansion).  With *texel_compact* the ingest resamples
+    ONLY the texels the lensmap references (``EquirectIngest.subset`` +
+    ``compact_texels`` — the chained pipeline never computes an unread
+    texel).  Returns panos/sec."""
     from blinky_tpu.kernels.ingest import EquirectIngest
     from blinky_tpu.kernels.remap import (
-        RemapKernel, remap_gather_impl, remap_gather_tint_impl)
+        RemapKernel, compact_texels, remap_gather_impl,
+        remap_gather_tint_impl)
 
     g = globes.get("cube")
     lens = lenses.get(lens_name, g)
@@ -373,6 +378,12 @@ def run_equirect_throughput(pano_h=2048, pano_w=4096, platesize=720,
     kernel = RemapKernel(lm, default_palette())
     ing = EquirectIngest(pano_h, pano_w, platesize, globe=g,
                          bilinear=bilinear)
+    if texel_compact:
+        texels, cidx = compact_texels(lm.to_numpy())
+        ing = ing.subset(texels)
+        flat_idx = jnp.asarray(cidx)
+    else:
+        flat_idx = kernel.flat_idx
     panos = device_pano(pano_h, pano_w, batch)
     _sync(panos)
     bg = kernel.background_rgba
@@ -385,10 +396,10 @@ def run_equirect_throughput(pano_h=2048, pano_w=4096, platesize=720,
             faces = ing(p)
             if rubix:
                 out = remap_gather_tint_impl(
-                    faces, kernel.flat_idx, kernel.valid, bg, tr, tm)
+                    faces, flat_idx, kernel.valid, bg, tr, tm)
             else:
                 out = remap_gather_impl(
-                    faces, kernel.flat_idx, kernel.valid, bg)
+                    faces, flat_idx, kernel.valid, bg)
             return acc + out.reshape(-1)[0].astype(jnp.int32)
         return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
@@ -400,7 +411,8 @@ def run_equirect_throughput(pano_h=2048, pano_w=4096, platesize=720,
         config=f"equirect {pano_w}x{pano_h} -> {lens_name} {width}x{height}"
         f" S={platesize} B={batch}"
         + (" bilinear" if bilinear else " nearest")
-        + (" rubix" if rubix else ""),
+        + (" rubix" if rubix else "")
+        + (" texelcompact" if texel_compact else ""),
         fps=batch * iters / dt,
         ms_per_batch=dt / iters * 1000,
     )

@@ -165,6 +165,23 @@ class EquirectIngest:
         out = self._blend(rows, self.w, np) & self.plate_mask
         return out.reshape(MAX_PLATES, self.platesize, self.platesize)
 
+    def subset(self, texels):
+        """A view of this ingest that resamples ONLY the given flat plate
+        texels — compose with ``kernels.remap.compact_texels`` so a
+        chained pano→remap pipeline never computes a texel the remap
+        won't read (panini@180 at 720p reads ~1/3 of the 6·S² face
+        texels).
+
+        ``texels``: [R] int flat ids into the ``[MAX_PLATES*S*S]`` texel
+        space (``compact_texels``' first return).  The subset's
+        ``__call__`` maps ``[H, W, B]`` panos → ``[R, B]`` u32 (feed
+        :func:`blinky_tpu.kernels.remap.remap_gather_impl` with the
+        compacted indices), ``host`` maps one pano → ``[R]``.  Geometry
+        stays in :func:`_build_tables` — this only slices the static
+        tables, so subset outputs are bit-equal to the matching texels
+        of the full ingest."""
+        return _EquirectIngestSubset(self, np.asarray(texels, np.int64))
+
     def host_nearest_u8(self, pano) -> np.ndarray:
         """Nearest-neighbor executor for u8 palette panos (indices don't
         blend); requires ``bilinear=False`` tables."""
@@ -175,3 +192,54 @@ class EquirectIngest:
             raise ValueError(f"pano shape {pano.shape} != {self.pano_hw}")
         out = pano.reshape(-1)[self.idx[0]] & self.plate_mask.astype(np.uint8)
         return out.reshape(MAX_PLATES, self.platesize, self.platesize)
+
+class _EquirectIngestSubset:
+    """Texel-subset view of an :class:`EquirectIngest` (see
+    :meth:`EquirectIngest.subset`): the parent's static tables sliced to
+    the kept texels, same float32 blend, same plate mask."""
+
+    def __init__(self, parent: EquirectIngest, texels):
+        self.parent = parent
+        self.texels = texels
+        self.pano_hw = parent.pano_hw
+        self.idx = parent.idx[:, texels]
+        self.w = parent.w[:, texels]
+        self.plate_mask = parent.plate_mask[texels]
+        self._jitted = None
+
+    def __call__(self, panos):
+        """[H, W, B] u32 (batch-innermost) -> [R, B] u32."""
+        import jax
+        import jax.numpy as jnp
+
+        if self._jitted is None:
+            idx = jnp.asarray(self.idx)
+            w = jnp.asarray(self.w)
+            pmask = jnp.asarray(self.plate_mask)
+
+            @jax.jit
+            def run(panos):
+                flat = panos.reshape((-1,) + panos.shape[2:])
+                rows = [jnp.take(flat, idx[k], axis=0)
+                        for k in range(idx.shape[0])]
+                out = EquirectIngest._blend(rows, w, jnp)
+                return out & pmask.reshape(
+                    pmask.shape + (1,) * (out.ndim - 1))
+
+            self._jitted = run
+        import jax.numpy as jnp
+
+        panos = jnp.asarray(panos, jnp.uint32)
+        if panos.ndim != 3 or panos.shape[:2] != self.pano_hw:
+            raise ValueError(f"panos must be [H, W, B] = "
+                             f"{self.pano_hw + ('B',)}, got {panos.shape}")
+        return self._jitted(panos)
+
+    def host(self, pano) -> np.ndarray:
+        """NumPy executor over one [H, W] u32 pano -> [R] u32."""
+        pano = np.asarray(pano, np.uint32)
+        if pano.shape != self.pano_hw:
+            raise ValueError(f"pano shape {pano.shape} != {self.pano_hw}")
+        flat = pano.reshape(-1)
+        rows = [flat[self.idx[k]] for k in range(self.idx.shape[0])]
+        return EquirectIngest._blend(rows, self.w, np) & self.plate_mask

@@ -124,9 +124,11 @@ def remap_gather_tint_impl(frames, flat_idx, valid, background, tint_rgb,
     ``tint_rgb``: [H, W] u32 packed tint color per pixel;
     ``tint_mask``: [H, W] bool — tinted and valid.
     """
-    NP, S, _, B = frames.shape
+    B = frames.shape[-1]
     H, W = flat_idx.shape
-    src = frames.reshape(NP * S * S, B)
+    # any leading layout flattens to gather rows (plane sources and
+    # texel-compacted [R, B] sources alike, as in remap_gather_impl)
+    src = frames.reshape(-1, B)
     g = jnp.take(src, flat_idx.reshape(H * W), axis=0, mode="clip")
     percent = 256 // MAX_PLATES
     tm = tint_mask.reshape(H * W, 1)

@@ -438,3 +438,59 @@ def test_render_aa_follows_session_environment(tmp_path):
     sess.palette = pal2
     aa_p2 = np.asarray(sess.render_aa(frames, factor=2))
     assert aa_p2[0, 0] == pack_rgba(pal2[251][None, None])[0, 0]
+
+def test_equirect_ingest_subset_chain():
+    """EquirectIngest.subset (texel-compacted ingest) composed with
+    compact_texels must reproduce the full pano->ingest->remap chain
+    bit-exactly (plain and rubix post-gather tint), on both the device
+    and host executors — same sliced tables, same f32 weights."""
+    import jax.numpy as jnp
+
+    from blinky_tpu import globes, lenses
+    from blinky_tpu.kernels.ingest import EquirectIngest
+    from blinky_tpu.kernels.remap import (
+        RemapKernel, compact_texels, remap_gather_impl,
+        remap_gather_tint_impl)
+    from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+    from blinky_tpu.palette import default_palette
+
+    rng = np.random.default_rng(11)
+    H, W, B, S = 24, 48, 4, 16
+    panos = pack_rgba(rng.integers(0, 256, (H, W, B, 3), np.uint8))
+
+    g = globes.get("cube")
+    lens = lenses.get("panini", g)
+    scale = calc_scale(Zoom("fov", 180), lens, 32, 24)
+    lm = build_lensmap(lens, g, scale, 32, 24, S, backend="numpy")
+    k = RemapKernel(lm, default_palette())
+    texels, cidx = compact_texels(lm)
+    bg = k.background_rgba
+
+    for bilinear in (True, False):
+        ing = EquirectIngest(H, W, S, globe=g, bilinear=bilinear)
+        sub = ing.subset(texels)
+        faces = ing(panos)
+        faces_sub = sub(panos)
+        assert faces_sub.shape == (texels.size, B)
+        # subset output == the kept texels of the full ingest
+        np.testing.assert_array_equal(
+            np.asarray(faces_sub),
+            np.asarray(faces).reshape(-1, B)[texels])
+        # full chain equality, plain
+        full = np.asarray(remap_gather_impl(
+            faces, k.flat_idx, k.valid, bg))
+        comp = np.asarray(remap_gather_impl(
+            faces_sub, jnp.asarray(cidx), k.valid, bg))
+        np.testing.assert_array_equal(comp, full)
+        # full chain equality, rubix post-gather tint
+        tr, tm = k.tint_rgb_mask
+        full_r = np.asarray(remap_gather_tint_impl(
+            faces, k.flat_idx, k.valid, bg, tr, tm))
+        comp_r = np.asarray(remap_gather_tint_impl(
+            faces_sub, jnp.asarray(cidx), k.valid, bg, tr, tm))
+        np.testing.assert_array_equal(comp_r, full_r)
+        # host executor agrees with the device subset per pano
+        for b in range(B):
+            np.testing.assert_array_equal(
+                sub.host(np.asarray(panos[:, :, b])),
+                np.asarray(faces_sub)[:, b])
