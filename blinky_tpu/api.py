@@ -326,6 +326,7 @@ class Session:
         self.echo = echo
         self.console: list = []
         self.cmdline_cmds = list(cmdline_cmds)
+        self._in_stuffcmds = False
 
         self.fisheye_enabled = False
         self.fov = 90.0  # the engine "fov" cvar (scr_fov, NQ/view.c:116)
@@ -605,8 +606,22 @@ class Session:
         command-line commands, so a config/script can let CLI ``--cmd``
         overrides win over its own settings (quake.rc's startup order:
         exec defaults, exec config.cfg, stuffcmds)."""
-        for c in self.cmdline_cmds:
-            self.cmd(c)
+        if len(argv) != 1:
+            # common/cmd.c:253-256 — usage print, nothing executed
+            self._print("stuffcmds : execute command line parameters")
+            return
+        if self._in_stuffcmds:
+            # no reference analog (the C engine consumes the cmdline
+            # tokens via a one-shot buffer); here a cmdline cmd that
+            # execs a config ending in `stuffcmds` would recurse forever
+            self._print("stuffcmds: ignoring recursive call")
+            return
+        self._in_stuffcmds = True
+        try:
+            for c in self.cmdline_cmds:
+                self.cmd(c)
+        finally:
+            self._in_stuffcmds = False
 
     def _cmd_unbindall(self, argv):
         """``Key_Unbindall_f`` (``common/keys.c:647-656``): clear every

@@ -208,10 +208,17 @@ def config5_pose_playback(quick=False):
     # 1024 is the max-throughput datapoint (PERF §6).
     chunked = run_pose_tracked_throughput(batch=32 if quick else 256,
                                           iters=3 if quick else 8)
-    chunked_max = None if quick else run_pose_tracked_throughput(
-        batch=1024, iters=8)
     per_frame = run_per_frame_pose_throughput(batch=8 if quick else 16,
                                               reps=2 if quick else 3)
+    # the B=1024 datapoint sits at the documented u8 HBM ceiling, so it
+    # runs LAST and guarded: an OOM there must lose only this number,
+    # not the measurements above (post-OOM allocs cascade-fail, CLAUDE.md)
+    chunked_max = None
+    if not quick:
+        try:
+            chunked_max = run_pose_tracked_throughput(batch=1024, iters=8)
+        except Exception:
+            chunked_max = None
     return dict(
         config=5,
         name="pose-tracked 1080p playback",
@@ -258,7 +265,7 @@ def config7_equirect(quick=False):
     """360-video end-to-end: pano batch -> ingest gather -> remap, one
     fused device chain (Session.render_equirect's pipeline), bilinear
     plain + rubix (post-gather tint, no face expansion).  B=128 fills
-    the u32 batch-minor lane tile exactly — B=16 wastes 8/8ths of every
+    the u32 batch-minor lane tile exactly — B=16 wastes 7/8ths of every
     gathered tile row and runs ~15x slower (docs/PERF.md §9).  The
     B=128 pano batch peaks ~11 GB HBM, so each variant runs in its OWN
     process (post-OOM allocs cascade-fail, CLAUDE.md)."""

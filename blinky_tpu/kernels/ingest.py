@@ -123,8 +123,16 @@ class EquirectIngest:
             out = out | (ch << shift)
         return out
 
+    # _texel_shape is how the flat texel axis reshapes in outputs:
+    # (MAX_PLATES, S, S) here, (R,) for a texel subset — everything else
+    # (tables, validation, gather, blend, mask) is shared
+    @property
+    def _texel_shape(self):
+        return (MAX_PLATES, self.platesize, self.platesize)
+
     def __call__(self, panos):
-        """[H, W, B] u32 (batch-innermost) -> [MAX_PLATES, S, S, B] u32.
+        """[H, W, B] u32 (batch-innermost) -> [MAX_PLATES, S, S, B] u32
+        (``[R, B]`` for a :meth:`subset` view).
 
         Single panos go through :meth:`host`, or pass ``[..., None]``."""
         import jax
@@ -134,17 +142,16 @@ class EquirectIngest:
             idx = jnp.asarray(self.idx)
             w = jnp.asarray(self.w)
             pmask = jnp.asarray(self.plate_mask)
+            tshape = self._texel_shape
 
             @jax.jit
             def run(panos):
                 flat = panos.reshape((-1,) + panos.shape[2:])
                 rows = [jnp.take(flat, idx[k], axis=0)
                         for k in range(idx.shape[0])]
-                out = self._blend(rows, w, jnp)
+                out = EquirectIngest._blend(rows, w, jnp)
                 out = out & pmask.reshape(pmask.shape + (1,) * (out.ndim - 1))
-                return out.reshape(
-                    (MAX_PLATES, self.platesize, self.platesize)
-                    + panos.shape[2:])
+                return out.reshape(tshape + panos.shape[2:])
 
             self._jitted = run
         import jax.numpy as jnp
@@ -156,14 +163,15 @@ class EquirectIngest:
         return self._jitted(panos)
 
     def host(self, pano) -> np.ndarray:
-        """NumPy executor over one [H, W] u32 pano -> [P, S, S] u32."""
+        """NumPy executor over one [H, W] u32 pano -> [P, S, S] u32
+        (``[R]`` for a :meth:`subset` view)."""
         pano = np.asarray(pano, np.uint32)
         if pano.shape != self.pano_hw:
             raise ValueError(f"pano shape {pano.shape} != {self.pano_hw}")
         flat = pano.reshape(-1)
         rows = [flat[self.idx[k]] for k in range(self.idx.shape[0])]
         out = self._blend(rows, self.w, np) & self.plate_mask
-        return out.reshape(MAX_PLATES, self.platesize, self.platesize)
+        return out.reshape(self._texel_shape)
 
     def subset(self, texels):
         """A view of this ingest that resamples ONLY the given flat plate
@@ -193,13 +201,19 @@ class EquirectIngest:
         out = pano.reshape(-1)[self.idx[0]] & self.plate_mask.astype(np.uint8)
         return out.reshape(MAX_PLATES, self.platesize, self.platesize)
 
-class _EquirectIngestSubset:
+class _EquirectIngestSubset(EquirectIngest):
     """Texel-subset view of an :class:`EquirectIngest` (see
     :meth:`EquirectIngest.subset`): the parent's static tables sliced to
-    the kept texels, same float32 blend, same plate mask."""
+    the kept texels; ``__call__``/``host`` are inherited (only the
+    output ``_texel_shape`` differs — flat ``[R]``)."""
 
     def __init__(self, parent: EquirectIngest, texels):
-        self.parent = parent
+        # deliberately no super().__init__: tables come sliced from the
+        # parent (and the parent object is NOT retained — a subset must
+        # not pin the full-size tables alive)
+        self.globe = parent.globe
+        self.platesize = parent.platesize
+        self.bilinear = parent.bilinear
         self.texels = texels
         self.pano_hw = parent.pano_hw
         self.idx = parent.idx[:, texels]
@@ -207,39 +221,14 @@ class _EquirectIngestSubset:
         self.plate_mask = parent.plate_mask[texels]
         self._jitted = None
 
-    def __call__(self, panos):
-        """[H, W, B] u32 (batch-innermost) -> [R, B] u32."""
-        import jax
-        import jax.numpy as jnp
+    @property
+    def _texel_shape(self):
+        return (self.texels.size,)
 
-        if self._jitted is None:
-            idx = jnp.asarray(self.idx)
-            w = jnp.asarray(self.w)
-            pmask = jnp.asarray(self.plate_mask)
+    def subset(self, texels):
+        raise TypeError("already a texel subset — slice the original "
+                        "EquirectIngest instead")
 
-            @jax.jit
-            def run(panos):
-                flat = panos.reshape((-1,) + panos.shape[2:])
-                rows = [jnp.take(flat, idx[k], axis=0)
-                        for k in range(idx.shape[0])]
-                out = EquirectIngest._blend(rows, w, jnp)
-                return out & pmask.reshape(
-                    pmask.shape + (1,) * (out.ndim - 1))
-
-            self._jitted = run
-        import jax.numpy as jnp
-
-        panos = jnp.asarray(panos, jnp.uint32)
-        if panos.ndim != 3 or panos.shape[:2] != self.pano_hw:
-            raise ValueError(f"panos must be [H, W, B] = "
-                             f"{self.pano_hw + ('B',)}, got {panos.shape}")
-        return self._jitted(panos)
-
-    def host(self, pano) -> np.ndarray:
-        """NumPy executor over one [H, W] u32 pano -> [R] u32."""
-        pano = np.asarray(pano, np.uint32)
-        if pano.shape != self.pano_hw:
-            raise ValueError(f"pano shape {pano.shape} != {self.pano_hw}")
-        flat = pano.reshape(-1)
-        rows = [flat[self.idx[k]] for k in range(self.idx.shape[0])]
-        return EquirectIngest._blend(rows, self.w, np) & self.plate_mask
+    def host_nearest_u8(self, pano) -> np.ndarray:
+        raise TypeError("host_nearest_u8 needs the full-plate layout — "
+                        "use the original EquirectIngest")

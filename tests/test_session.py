@@ -115,6 +115,21 @@ def test_stuffcmds_reapplies_cmdline(tmp_path):
     assert s2.lens_name == "panini"
 
 
+def test_stuffcmds_arity_and_recursion(tmp_path):
+    """cmd.c:253-256: extra args print usage and execute nothing; and a
+    cmdline cmd that execs a config ending in ``stuffcmds`` (the
+    quake.rc pattern) must diagnose instead of recursing forever."""
+    s = Session(64, 48, backend="numpy", cmdline_cmds=["f_lens hammer"])
+    s.cmd("stuffcmds extra")
+    assert s.lens_name != "hammer"  # nothing executed
+    cfg = tmp_path / "rc.cfg"
+    cfg.write_text("f_lens panini\nstuffcmds\n")
+    s2 = Session(64, 48, backend="numpy",
+                 cmdline_cmds=[f"exec {cfg}", "f_lens fisheye1"])
+    s2.cmd("stuffcmds")  # exec rc.cfg -> stuffcmds -> guard, no crash
+    assert s2.lens_name == "fisheye1"
+
+
 def test_shortcutkeys(sess):
     sess.cmd("f_shortcutkeys")
     assert sess.bindings == SHORTCUT_BINDINGS

@@ -24,8 +24,11 @@ def test_console_fuzz_never_crashes(tmp_path, monkeypatch):
              "alias", "echo", "wait", 'alias a "f_fov 90"', "a",
              'alias b "b"', "b", '"semi; colon"', "unbindall",
              "9" * 39, "-" + "9" * 45, "0x" + "f" * 34, "1" * 400,
-             "f_fov\x0090", "x\x00y"]
-    sess = Session(48, 36, platesize=16)
+             "f_fov\x0090", "x\x00y", "stuffcmds", "stuffcmds extra"]
+    # cmdline cmds include a stuffcmds so the fuzz exercises the
+    # recursion guard (a cmdline chain re-entering stuffcmds)
+    sess = Session(48, 36, platesize=16,
+                   cmdline_cmds=["f_fov 120", "stuffcmds"])
     frames = synthetic_cubemap(16)
     for i in range(300):
         n = int(rng.integers(1, 5))
