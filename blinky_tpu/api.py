@@ -947,6 +947,17 @@ class Session:
         poses = np.asarray(poses, dtype=np.float64)
         bases = poses if poses.ndim == 3 else bases_from_pose_track(poses)
         scale = calc_scale(self.zoom, self.lens, self.width_px, self.height_px)
+        if self.lens.map_type == "forward":
+            # forward-only lenses (10 of 31) rasterize on the host in
+            # scan order (draw_quad, fisheye.c:2126-2338) — there is no
+            # vmappable inverse expression to fuse on device, so pose
+            # playback pays one exact host build per pose.  Slow but
+            # uniform: every shipped lens plays poses, as the
+            # reference's one builder serves every lens (fisheye.c:
+            # 730-746) with forward mapping as its documented slow path
+            # (lenses/README.md, "Mapping").
+            return self._render_posed_forward(frames, bases, scale,
+                                              int(render_scale))
         if not getattr(self.lens, "jittable", True):
             # .lua drop-ins trace through the Lua->JAX evaluator and are
             # jittable like the ports (ALL 21 shipped inverse-capable
@@ -981,6 +992,55 @@ class Session:
             )
             self._posed_cache = (key, kernel)
         return self._posed_cache[1](frames, bases)
+
+    def _render_posed_forward(self, frames, bases, scale, k):
+        """Pose playback for forward-only lenses: per-pose exact host
+        rasterization + per-frame remap.
+
+        Each pose composes its view basis into the forward build
+        (``build_forward(view_basis=...)``, the same table a static
+        ``setviewangles`` render uses — pinned equal in
+        ``tests/test_posed.py``), so the result for pose ``b`` is
+        bit-identical to rendering frame ``b`` at those angles.
+        ``render_scale`` k builds the table at 1/k resolution and
+        nearest-upsamples under the upsampled validity mask, like the
+        fused device path.  Host-build-bound; the fused
+        :class:`PosedRemapKernel` path stays reserved for inverse
+        lenses where the builder vmaps.
+        """
+        from blinky_tpu.kernels.posed import check_render_scale
+        from blinky_tpu.kernels.remap import frames_to_rgba
+
+        check_render_scale(self.width_px, self.height_px, k)
+        W, H = self.width_px // k, self.height_px // k
+        S = frames.shape[1]
+        expanded = frames.shape[0] == 2 * MAX_PLATES
+        is_rgba = frames.dtype == np.uint32
+        bg = self._background
+        if bg is None:
+            bg = np.zeros((self.height_px, self.width_px), np.uint8)
+        if is_rgba:
+            bg = np.asarray(frames_to_rgba(bg, self.palette))
+        out_dtype = np.uint32 if is_rgba else np.uint8
+        outs = np.empty((len(bases), self.height_px, self.width_px),
+                        out_dtype)
+        zero_bg = np.zeros((H, W), np.uint8)
+        for b, basis in enumerate(np.asarray(bases, np.float64)):
+            lm = build_lensmap(
+                self.lens, self.globe, scale * k, W, H, S,
+                numcells=self.rubix_numcells,
+                cell_size=self.rubix_cell_size,
+                pad_size=self.rubix_pad_size,
+                view_basis=(basis[0], basis[1], basis[2]),
+            )
+            kern = RemapKernel(lm, self.palette, zero_bg)
+            out = np.asarray(kern(frames[..., b], rubix=expanded))
+            valid = np.asarray(lm.valid)
+            if k > 1:
+                out = out.repeat(k, axis=0).repeat(k, axis=1)
+                valid = valid.repeat(k, axis=0).repeat(k, axis=1)
+            outs[b] = np.where(valid, out, bg)
+        return outs
 
     def render_aa(self, frames, factor: int = 2, rubix: Optional[bool] = None):
         """Supersampled (anti-aliased) true-color rendering.

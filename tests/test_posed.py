@@ -237,3 +237,46 @@ def test_posed_kernel_input_validation(setup):
     with pytest.raises(ValueError, match="odd"):
         PosedRemapKernel(lens, g, 84, 56, scale, platesize=S,
                          render_scale=4)  # 84/4 = 21 is odd
+
+
+def test_render_posed_forward_lens_matches_static(setup):
+    """Forward-only lenses (no inverse fn — 10 of 31) play poses through
+    the per-pose exact host rasterization fallback: pose b bit-equals a
+    static render at those view angles (both drive the same
+    build_forward(view_basis=...) table)."""
+    from blinky_tpu.api import Session
+
+    _, _, _, frames, _ = setup
+    poses = [(0.0, 0.0, 0.0), (5.0, -12.0, 0.0), (-20.0, 33.0, 10.0)]
+    frames3 = frames[..., :3]
+    s = Session(W, H, platesize=S)
+    s.cmd("f_lens eckert1")
+    out = s.render_posed(frames3, np.asarray(poses))
+    assert out.shape == (3, H, W) and out.dtype == np.uint8
+    for b, (p, y, r) in enumerate(poses):
+        s.cmd(f"setviewangles {p} {y} {r}")
+        ref = np.asarray(s.render(frames3[..., b]))
+        np.testing.assert_array_equal(out[b], ref)
+
+
+def test_render_posed_forward_rubix_and_scale(setup):
+    """Expanded rubix sources and render_scale work through the forward
+    fallback (same contracts as the fused inverse path)."""
+    from blinky_tpu.api import Session
+
+    _, _, _, frames, _ = setup
+    pal = default_palette()
+    exp = expand_frames_tinted(frames[..., :2], pal)
+    poses = np.asarray([(0.0, 0.0, 0.0), (10.0, 45.0, 0.0)])
+    s = Session(W, H, platesize=S)
+    s.cmd("f_lens sinusoidal")
+    s.cmd("f_rubix 1")
+    out = s.render_posed(exp, poses)
+    assert out.shape == (2, H, W)
+    for b, (p, y, r) in enumerate(poses):
+        s.cmd(f"setviewangles {p} {y} {r}")
+        ref = np.asarray(s.render(exp[..., b]))
+        np.testing.assert_array_equal(out[b], ref)
+    s.cmd("setviewangles")
+    out2 = s.render_posed(exp, poses, render_scale=2)
+    assert out2.shape == (2, H, W)
