@@ -150,6 +150,12 @@ class PosedRemapKernel:
     def __init__(self, lens, globe, width_px, height_px, scale,
                  platesize=None, numcells=10, cell_size=4.0, pad_size=1.0,
                  background=None, dtype=None, render_scale=1):
+        if getattr(lens, "map_type", "inverse") != "inverse":
+            raise ValueError(
+                "PosedRemapKernel fuses the vmapped INVERSE builder; "
+                f"lens '{getattr(lens, 'name', lens)}' is forward-only — "
+                "Session.render_posed falls back to per-pose exact host "
+                "builds for these")
         self.lens = lens
         self.globe = globe
         self.width_px = int(width_px)
@@ -299,6 +305,11 @@ def zoom_sweep_remap(lens, globe, scales, frame, width_px, height_px,
     relay, ``docs/PERF.md`` §8; the reference's zoom rebuild is
     ``calc_zoom`` + a full lensmap scan per step, ``fisheye.c:
     1293-1386``)."""
+    if getattr(lens, "map_type", "inverse") != "inverse":
+        raise ValueError(
+            "zoom_sweep_remap vmaps the INVERSE builder over the scale "
+            f"axis; lens '{getattr(lens, 'name', lens)}' is forward-only — "
+            "sweep it per step through Session.cmd/render (cli sweep does)")
     frame = jnp.asarray(frame)
     if frame.dtype not in (jnp.uint8, jnp.uint32):
         frame = frame.astype(jnp.uint8)

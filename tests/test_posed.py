@@ -280,3 +280,17 @@ def test_render_posed_forward_rubix_and_scale(setup):
     s.cmd("setviewangles")
     out2 = s.render_posed(exp, poses, render_scale=2)
     assert out2.shape == (2, H, W)
+
+
+def test_posed_kernel_and_sweep_reject_forward_lenses(setup):
+    """Direct kernel-layer calls with a forward-only lens get a clear
+    error pointing at the supported path (Session.render_posed falls
+    back; cli sweep loops per step)."""
+    from blinky_tpu.kernels.posed import zoom_sweep_remap
+
+    g = globes.get("cube")
+    fwd = lenses.get("eckert1", g)
+    with pytest.raises(ValueError, match="forward-only"):
+        PosedRemapKernel(fwd, g, W, H, 1.0, platesize=S)
+    with pytest.raises(ValueError, match="forward-only"):
+        zoom_sweep_remap(fwd, g, [1.0], np.zeros((6, S, S), np.uint8), W, H)
