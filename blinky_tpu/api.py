@@ -947,6 +947,12 @@ class Session:
         poses = np.asarray(poses, dtype=np.float64)
         bases = poses if poses.ndim == 3 else bases_from_pose_track(poses)
         scale = calc_scale(self.zoom, self.lens, self.width_px, self.height_px)
+        if frames.shape[-1] == 0:
+            # degenerate empty chunk: nothing to build or gather (the
+            # fused pipeline would reshape by B=0)
+            return np.empty(
+                (0, self.height_px, self.width_px),
+                np.uint32 if frames.dtype == np.uint32 else np.uint8)
         if self.lens.map_type == "forward":
             # forward-only lenses (10 of 31) rasterize on the host in
             # scan order (draw_quad, fisheye.c:2126-2338) — there is no

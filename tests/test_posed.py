@@ -294,3 +294,19 @@ def test_posed_kernel_and_sweep_reject_forward_lenses(setup):
         PosedRemapKernel(fwd, g, W, H, 1.0, platesize=S)
     with pytest.raises(ValueError, match="forward-only"):
         zoom_sweep_remap(fwd, g, [1.0], np.zeros((6, S, S), np.uint8), W, H)
+
+
+def test_render_posed_empty_batch(setup):
+    """A zero-frame chunk returns an empty [0, H, W] screen stack on
+    both the fused inverse path and the forward fallback (the pipeline
+    would otherwise reshape by B=0)."""
+    from blinky_tpu.api import Session
+
+    _, _, _, frames, _ = setup
+    empty = frames[..., :0]
+    for lens_cmd in (None, "f_lens eckert1"):
+        s = Session(W, H, platesize=S)
+        if lens_cmd:
+            s.cmd(lens_cmd)
+        out = s.render_posed(empty, np.zeros((0, 3)))
+        assert out.shape == (0, H, W) and out.dtype == np.uint8
