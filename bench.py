@@ -8,14 +8,57 @@ attached chip.
 """
 
 import json
+import os
 import sys
 
 TARGET = 10_000.0
 
 
+def device_alive(timeout_s=90.0, attempts=3, sleep_s=45.0) -> bool:
+    """Bounded TPU liveness probe, run in a subprocess.
+
+    When the axon relay tunnel is down the client init HANGS inside
+    ``make_c_api_client`` (it never raises), which would turn every
+    bench path into an unbounded stall — the headline's subprocess
+    fallback chain alone would burn 45 min of timeouts before hanging
+    in-process.  Probe in a killable child instead, with retries to
+    ride out a relay restart (~6 min bounded total)."""
+    import subprocess
+    import time
+
+    for i in range(attempts):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=timeout_s, check=True,
+            )
+            return True
+        except Exception:
+            if i + 1 < attempts:
+                print(f"device liveness probe {i + 1}/{attempts} failed; "
+                      "retrying", file=sys.stderr)
+                time.sleep(sleep_s)
+    return False
+
+
 def main() -> None:
     batch = 1024
     iters = 8
+    internal = any(
+        a.startswith(("--config", "--headline")) for a in sys.argv)
+    if (not internal                      # children: the parent probed
+            and os.environ.get("JAX_PLATFORMS") != "cpu"  # CPU runs don't
+            # need the relay (and the probe child would still init axon)
+            and not device_alive()):
+        print(json.dumps({
+            "metric": "warped_1080p_frames_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "frames/sec",
+            "vs_baseline": 0.0,
+            "error": "device backend unreachable (axon relay client init "
+                     "hangs); no measurement possible",
+        }))
+        sys.exit(1)
     if "--all" in sys.argv:
         # the full BASELINE.json config suite: one JSON line per config
         from blinky_tpu.bench.configs import run_all
@@ -37,8 +80,6 @@ def main() -> None:
     if "--sharded" in sys.argv:
         # multi-device scaling (virtual CPU mesh or a pod slice) plus the
         # single-chip B-scaling curve
-        import os
-
         import jax
 
         if os.environ.get("JAX_PLATFORMS") == "cpu":
