@@ -95,7 +95,20 @@ def rubix_grid_mask(px, py, platesize, numcells, cell_size, pad_size, xp):
             xp.fmod(uy, block_size) < pad_size)
 
 
-def inverse_grid(
+def inverse_grid(*args, **kwargs):
+    """See :func:`_inverse_grid_impl`.  On the NumPy backend the lens
+    math deliberately rides IEEE nan/inf (the Lua VM's C operators never
+    trap — ``fisheye.c`` masks invalid pixels afterwards), so suppress
+    NumPy's RuntimeWarnings for the duration instead of making every
+    library consumer ``np.seterr``."""
+    xp = kwargs.get("xp", args[9] if len(args) > 9 else None)
+    if xp is np:
+        with np.errstate(all="ignore"):
+            return _inverse_grid_impl(*args, **kwargs)
+    return _inverse_grid_impl(*args, **kwargs)
+
+
+def _inverse_grid_impl(
     lens: LensDef,
     globe: Globe,
     scale,
