@@ -46,9 +46,13 @@ def main() -> None:
     iters = 8
     internal = any(
         a.startswith(("--config", "--headline")) for a in sys.argv)
+    # only the --sharded branch actually FORCES the CPU platform via
+    # jax.config (the axon plugin ignores the JAX_PLATFORMS env var) —
+    # every other path touches the relay and needs the probe
+    cpu_run = ("--sharded" in sys.argv
+               and os.environ.get("JAX_PLATFORMS") == "cpu")
     if (not internal                      # children: the parent probed
-            and os.environ.get("JAX_PLATFORMS") != "cpu"  # CPU runs don't
-            # need the relay (and the probe child would still init axon)
+            and not cpu_run
             and not device_alive()):
         print(json.dumps({
             "metric": "warped_1080p_frames_per_sec_per_chip",

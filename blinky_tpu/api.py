@@ -936,7 +936,9 @@ class Session:
         ``kernels/posed.py``.  Static renders should use :meth:`render`
         (exact path).
         """
-        from blinky_tpu.kernels.posed import PosedRemapKernel, bases_from_pose_track
+        from blinky_tpu.kernels.posed import (
+            PosedRemapKernel, bases_from_pose_track, check_render_scale,
+        )
 
         if not (self.fisheye_enabled and self.lens_valid and self.globe_valid):
             raise ValueError("render_posed needs fisheye enabled and a valid lens/globe")
@@ -947,9 +949,19 @@ class Session:
         poses = np.asarray(poses, dtype=np.float64)
         bases = poses if poses.ndim == 3 else bases_from_pose_track(poses)
         scale = calc_scale(self.zoom, self.lens, self.width_px, self.height_px)
-        if frames.shape[-1] == 0:
+        B = frames.shape[-1]
+        if bases.shape != (B, 3, 3):
+            # same contract as PosedRemapKernel.__call__ — validated here
+            # too so the forward fallback and the B=0 return can't
+            # silently truncate a mismatched pose track
+            raise ValueError(
+                f"bases must be [B={B}, 3, 3], got {bases.shape}")
+        if B == 0:
             # degenerate empty chunk: nothing to build or gather (the
-            # fused pipeline would reshape by B=0)
+            # fused pipeline would reshape by B=0) — but bad arguments
+            # still fail like they would on a non-empty chunk
+            check_render_scale(self.width_px, self.height_px,
+                               int(render_scale))
             return np.empty(
                 (0, self.height_px, self.width_px),
                 np.uint32 if frames.dtype == np.uint32 else np.uint8)
@@ -983,13 +995,7 @@ class Session:
                is_rgba, int(render_scale))
         cached = getattr(self, "_posed_cache", None)
         if cached is None or cached[0] != key:
-            bg = self._background
-            if bg is None:
-                bg = np.zeros((self.height_px, self.width_px), np.uint8)
-            if is_rgba:
-                from blinky_tpu.kernels.remap import frames_to_rgba
-
-                bg = frames_to_rgba(bg, self.palette)
+            bg = self._posed_background(is_rgba)
             kernel = PosedRemapKernel(
                 self.lens, self.globe, self.width_px, self.height_px, scale,
                 platesize=S, numcells=self.rubix_numcells,
@@ -999,34 +1005,46 @@ class Session:
             self._posed_cache = (key, kernel)
         return self._posed_cache[1](frames, bases)
 
+    def _posed_background(self, is_rgba):
+        """The pose-playback background: session background (or zeros),
+        RGBA-decoded through the session palette for u32 sources.  One
+        recipe for the fused kernel and the forward fallback."""
+        bg = self._background
+        if bg is None:
+            bg = np.zeros((self.height_px, self.width_px), np.uint8)
+        if is_rgba:
+            from blinky_tpu.kernels.remap import frames_to_rgba
+
+            bg = np.asarray(frames_to_rgba(bg, self.palette))
+        return bg
+
     def _render_posed_forward(self, frames, bases, scale, k):
         """Pose playback for forward-only lenses: per-pose exact host
         rasterization + per-frame remap.
 
         Each pose composes its view basis into the forward build
         (``build_forward(view_basis=...)``, the same table a static
-        ``setviewangles`` render uses — pinned equal in
-        ``tests/test_posed.py``), so the result for pose ``b`` is
-        bit-identical to rendering frame ``b`` at those angles.
-        ``render_scale`` k builds the table at 1/k resolution and
-        nearest-upsamples under the upsampled validity mask, like the
-        fused device path.  Host-build-bound; the fused
-        :class:`PosedRemapKernel` path stays reserved for inverse
+        ``setviewangles`` render uses), so the result for pose ``b`` is
+        bit-identical to rendering frame ``b`` at those angles —
+        *when the session rubix state matches the source expansion*:
+        like the fused :class:`PosedRemapKernel` path, rubix rides the
+        SOURCE on posed renders (expanded raw||tinted layout = tinted,
+        raw = untinted; the session ``f_rubix`` flag is not consulted),
+        whereas a static :meth:`render` call applies the session flag.
+        Pinned in ``tests/test_posed.py``.  ``render_scale`` k builds
+        the table at 1/k resolution and nearest-upsamples under the
+        upsampled validity mask, like the fused device path.
+        Host-build-bound; the fused path stays reserved for inverse
         lenses where the builder vmaps.
         """
         from blinky_tpu.kernels.posed import check_render_scale
-        from blinky_tpu.kernels.remap import frames_to_rgba
 
         check_render_scale(self.width_px, self.height_px, k)
         W, H = self.width_px // k, self.height_px // k
         S = frames.shape[1]
         expanded = frames.shape[0] == 2 * MAX_PLATES
         is_rgba = frames.dtype == np.uint32
-        bg = self._background
-        if bg is None:
-            bg = np.zeros((self.height_px, self.width_px), np.uint8)
-        if is_rgba:
-            bg = np.asarray(frames_to_rgba(bg, self.palette))
+        bg = self._posed_background(is_rgba)
         out_dtype = np.uint32 if is_rgba else np.uint8
         outs = np.empty((len(bases), self.height_px, self.width_px),
                         out_dtype)

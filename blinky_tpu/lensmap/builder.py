@@ -95,17 +95,24 @@ def rubix_grid_mask(px, py, platesize, numcells, cell_size, pad_size, xp):
             xp.fmod(uy, block_size) < pad_size)
 
 
-def inverse_grid(*args, **kwargs):
+def inverse_grid(lens, globe, scale, width_px, height_px, platesize,
+                 numcells, cell_size, pad_size, xp, dtype,
+                 view_basis=None, row_range=None):
     """See :func:`_inverse_grid_impl`.  On the NumPy backend the lens
     math deliberately rides IEEE nan/inf (the Lua VM's C operators never
     trap — ``fisheye.c`` masks invalid pixels afterwards), so suppress
     NumPy's RuntimeWarnings for the duration instead of making every
     library consumer ``np.seterr``."""
-    xp = kwargs.get("xp", args[9] if len(args) > 9 else None)
     if xp is np:
         with np.errstate(all="ignore"):
-            return _inverse_grid_impl(*args, **kwargs)
-    return _inverse_grid_impl(*args, **kwargs)
+            return _inverse_grid_impl(
+                lens, globe, scale, width_px, height_px, platesize,
+                numcells, cell_size, pad_size, xp, dtype,
+                view_basis=view_basis, row_range=row_range)
+    return _inverse_grid_impl(
+        lens, globe, scale, width_px, height_px, platesize,
+        numcells, cell_size, pad_size, xp, dtype,
+        view_basis=view_basis, row_range=row_range)
 
 
 def _inverse_grid_impl(

@@ -310,3 +310,55 @@ def test_render_posed_empty_batch(setup):
             s.cmd(lens_cmd)
         out = s.render_posed(empty, np.zeros((0, 3)))
         assert out.shape == (0, H, W) and out.dtype == np.uint8
+
+
+def test_render_posed_batch_mismatch_raises(setup):
+    """A poses/frames batch mismatch raises on every posed path (the
+    forward fallback would otherwise silently truncate to len(poses))."""
+    from blinky_tpu.api import Session
+
+    _, _, _, frames, _ = setup
+    two = frames[..., :2]
+    for lens_cmd in (None, "f_lens eckert1"):
+        s = Session(W, H, platesize=S)
+        if lens_cmd:
+            s.cmd(lens_cmd)
+        with pytest.raises(ValueError, match="bases"):
+            s.render_posed(two, np.zeros((1, 3)))
+        with pytest.raises(ValueError, match="bases"):
+            s.render_posed(two, np.zeros((3, 3)))
+        with pytest.raises(ValueError, match="bases"):
+            s.render_posed(two[..., :0], np.zeros((5, 3)))
+
+
+def test_render_posed_empty_batch_still_validates(setup):
+    """B=0 returns the empty stack but bad arguments still fail like a
+    non-empty chunk would."""
+    from blinky_tpu.api import Session
+
+    _, _, _, frames, _ = setup
+    s = Session(W, H, platesize=S)
+    with pytest.raises(ValueError, match="render_scale"):
+        s.render_posed(frames[..., :0], np.zeros((0, 3)), render_scale=5)
+
+
+def test_render_posed_rubix_rides_the_source(setup):
+    """On posed paths rubix comes from the SOURCE (expanded = tinted,
+    raw = untinted); the session f_rubix flag is not consulted — on the
+    forward fallback exactly as on the fused path.  A raw u32 source
+    with f_rubix on therefore matches the static render with rubix
+    OFF (static rendering applies the session flag; posed does not)."""
+    from blinky_tpu.api import Session
+    from blinky_tpu.kernels.remap import frames_to_rgba
+
+    _, _, _, frames, _ = setup
+    s = Session(W, H, platesize=S)
+    s.cmd("f_lens eckert1")
+    s.cmd("f_rubix 1")
+    rgba = np.asarray(frames_to_rgba(frames[..., :1], s.palette))
+    out = s.render_posed(rgba, np.zeros((1, 3)))
+    s.cmd("setviewangles 0 0 0")
+    ref_plain = np.asarray(s.render(rgba[..., 0], rubix=False))
+    ref_tinted = np.asarray(s.render(rgba[..., 0], rubix=True))
+    np.testing.assert_array_equal(out[0], ref_plain)
+    assert (ref_plain != ref_tinted).any()  # the flag does change static
