@@ -284,15 +284,17 @@ class _ScalarFallback:
         return self._interp.get_global(name)
 
 
-def _vectorize_inverse(luafn, vinterp, fallback, traced=None):
+def _vectorize_inverse(luafn, vinterp, fallback, traced=None,
+                       vector_ok=True):
     """Wrap a Lua ``lens_inverse`` into the array contract
     ``(x, y) -> (vx, vy, vz, valid)`` with the LUAtoC nil protocol.
 
     jax inputs (the jitted device builder / render_posed tracing the
     lens) run through a fresh traced evaluator; NumPy array inputs go
     through the masked vectorized evaluator; scalar inputs (and scripts
-    that raise Unvectorizable) use the per-element scalar interpreter."""
-    state = {"vector_ok": True}
+    that raise Unvectorizable — *vector_ok=False* when that already
+    happened at load time) use the per-element scalar interpreter."""
+    state = {"vector_ok": vector_ok}
 
     def scalar(x, y):
         out = fallback.get("lens_inverse")(float(x), float(y))
@@ -333,8 +335,9 @@ def _vectorize_inverse(luafn, vinterp, fallback, traced=None):
     return inverse
 
 
-def _vectorize_forward(luafn, vinterp, fallback, traced=None):
-    state = {"vector_ok": True}
+def _vectorize_forward(luafn, vinterp, fallback, traced=None,
+                       vector_ok=True):
+    state = {"vector_ok": vector_ok}
 
     def scalar(x, y, z):
         out = fallback.get("lens_forward")(float(x), float(y), float(z))
@@ -381,30 +384,41 @@ def load_lua_lens(path, globe=None):
     path = Path(path)
     src = path.read_text()
     interp = VectorInterpreter(builtins=make_lua_builtins(globe, vector=True))
-    interp.run(src)
+    try:
+        interp.run(src)
+        reader, vector_ok = interp, True
+    except Unvectorizable:
+        # the script uses a scalar-authority construct at LOAD time
+        # (e.g. goto): the whole lens runs on the per-element scalar
+        # engine — still a working drop-in, just the slow tier
+        reader = Interpreter(builtins=make_lua_builtins(globe))
+        reader.run(src)
+        vector_ok = False
     fallback = _ScalarFallback(src, globe)
     traced = _TracedLua(src, globe)
 
     spec = {}
-    inv = interp.get_global("lens_inverse")
-    fwd = interp.get_global("lens_forward")
+    inv = reader.get_global("lens_inverse")
+    fwd = reader.get_global("lens_forward")
     if inv is not None:
         spec["lens_inverse"] = _vectorize_inverse(inv, interp, fallback,
-                                                  traced)
+                                                  traced,
+                                                  vector_ok=vector_ok)
     if fwd is not None:
         spec["lens_forward"] = _vectorize_forward(fwd, interp, fallback,
-                                                  traced)
+                                                  traced,
+                                                  vector_ok=vector_ok)
     # Lua->JAX: jittable iff the map driving the builder traces cleanly
     # (abstract probe, no compilation).  Forward-only lenses rasterize on
     # the host either way, so only the inverse map gates device builds.
     spec["jittable"] = (inv is None
                         or traced.probe("lens_inverse", 2, 3))
     for name in ("map", "onload"):
-        v = interp.get_global(name)
+        v = reader.get_global(name)
         if v is not None:
             spec[name] = v
     for name in ("max_fov", "max_vfov", "lens_width", "lens_height"):
-        v = interp.get_global(name)
+        v = reader.get_global(name)
         if isinstance(v, np.ndarray) and v.ndim == 0:
             v = float(v)
         if isinstance(v, (int, float)):
@@ -420,7 +434,16 @@ def load_lua_globe(path):
     path = Path(path)
     src = path.read_text()
     interp = VectorInterpreter(builtins=make_lua_builtins(None, vector=True))
-    interp.run(src)
+    vector_ok = True
+    try:
+        interp.run(src)
+    except Unvectorizable:
+        # scalar-authority construct at load time: re-run on the scalar
+        # engine (the globe_plate resolver then uses only the
+        # per-element fallback)
+        interp = Interpreter(builtins=make_lua_builtins(None))
+        interp.run(src)
+        vector_ok = False
 
     plates_t = interp.get_global("plates")
     if not isinstance(plates_t, LuaTable):
@@ -438,7 +461,7 @@ def load_lua_globe(path):
     resolver = None
     gp = interp.get_global("globe_plate")
     if gp is not None:
-        state = {"vector_ok": True}
+        state = {"vector_ok": vector_ok}
         fallback = _ScalarFallback(src, None)  # fresh interpreter: an
         # aborted vectorized run must not leak half-merged globals
 

@@ -369,6 +369,56 @@ class VectorInterpreter(Interpreter):
                 return f
 
             tbl.set(name, make_guard())
+        # Metatable installation and raw writes are table WRITES.  Under
+        # a lane mask: INSTALLING a uniform metatable on a table that
+        # never had one is the masked-constructor idiom
+        # (``setmetatable({...}, Class)`` per pixel) — inactive lanes
+        # see the same uniform install, exactly the fresh-slot
+        # table-write policy above.  CHANGING an existing metatable (or
+        # rawset) under a mask is a per-lane effect: refuse (scalar
+        # authority).  Both flag the while-lowering write log.
+        orig_setmeta = self.globals.vars["setmetatable"]
+
+        def vec_setmeta(t=None, mt_=None):
+            if self._active_lanes() is not None and not (
+                    isinstance(t, LuaTable) and t.metatable is None
+                    and isinstance(mt_, LuaTable)):
+                raise Unvectorizable("setmetatable under a lane mask")
+            if self._wlog is not None:
+                self._wlog_bad = True
+            return orig_setmeta(t, mt_)
+
+        self.globals.vars["setmetatable"] = vec_setmeta
+        orig_rawset = self.globals.vars["rawset"]
+
+        def vec_rawset(*a):
+            if self._active_lanes() is not None:
+                raise Unvectorizable("rawset under a lane mask")
+            if self._wlog is not None:
+                self._wlog_bad = True
+            return orig_rawset(*a)
+
+        self.globals.vars["rawset"] = vec_rawset
+        # String functions are scalar authority: the scalar path runs
+        # them once per LANE, so a lane-varying argument must trigger
+        # the scalar fallback (Unvectorizable), never a script error
+        # the scalar path wouldn't raise (e.g. string.format("%d", x)
+        # with per-lane x).
+        slib = self.globals.vars["string"]
+        for sname, sfn in list(slib.data.items()):
+            if not callable(sfn):
+                continue
+
+            def make_sguard(fn=sfn, name=sname):
+                def f(*a):
+                    if any(_is_arr(v) or isinstance(v, _MaybeNil)
+                           for v in a):
+                        raise Unvectorizable(
+                            f"string.{name} on a lane-varying value")
+                    return fn(*a)
+                return f
+
+            slib.set(sname, make_sguard())
         # refresh the alias globals (cos = math.cos, ..., init_lua preload)
         for name in ("cos", "sin", "tan", "asin", "acos", "atan", "atan2",
                      "sinh", "cosh", "tanh", "log", "log10", "abs", "sqrt",
@@ -447,6 +497,11 @@ class VectorInterpreter(Interpreter):
         if self._fuel < 0:
             raise LuaError("instruction budget exhausted (runaway loop?)")
         kind = st[0]
+        if kind == "goto":
+            # a goto fired from a masked arm would jump for ALL lanes;
+            # scripts using goto run on the scalar engine (the bridge's
+            # load-time fallback catches this)
+            raise Unvectorizable("goto (scalar authority)")
         if kind == "if":
             return self._exec_if(st, env)
         if kind == "while":
@@ -939,6 +994,10 @@ class VectorInterpreter(Interpreter):
             t = self.eval(tgt[1], env)
             if not isinstance(t, LuaTable):
                 raise LuaError("attempt to index a non-table value")
+            if t.metatable is not None:
+                # __newindex would fire per lane on the scalar path
+                raise Unvectorizable(
+                    "masked write to a table with a metatable")
             key = _scalar_key(self.eval(tgt[2], env))
             # merge with the old slot value; a fresh slot tracks the
             # out-of-mask lanes as per-lane nil (read later -> handled
@@ -1051,6 +1110,11 @@ class VectorInterpreter(Interpreter):
         1..n (else Unvectorizable, and the scalar fallback remains the
         authority).  This is what lets debug.lua's exact host build run
         whole-grid instead of one interpreter walk per pixel."""
+        if t.metatable is not None:
+            # a missing key would consult __index per lane on the
+            # scalar path — the gather can't reproduce that
+            raise Unvectorizable(
+                "lane-array read of a table with a metatable")
         arr = t.array()
         if len(arr) != len(t.data) or not all(
                 isinstance(v, (int, float)) and not isinstance(v, bool)
@@ -1133,7 +1197,7 @@ class VectorInterpreter(Interpreter):
         kind = e[0]
         if kind == "index":
             t = self.eval(e[1], env)
-            if not isinstance(t, LuaTable):
+            if not isinstance(t, (LuaTable, str)):
                 raise LuaError(f"attempt to index a non-table value ({e[1]})")
             key = self.eval(e[2], env)
             if isinstance(key, _MaybeNil) and _is_arr(key.value):
@@ -1143,14 +1207,21 @@ class VectorInterpreter(Interpreter):
                 # scalar authority) and is optimistic under tracing
                 key, _ = self._unwrap_arith(key)
             if _is_arr(key):
+                if not isinstance(t, LuaTable):
+                    raise Unvectorizable("lane-array index of a string")
                 return self._vector_table_read(t, key)
-            return t.get(_scalar_key(key))
+            # scalar key: through the base __index chain (metatables
+            # behave exactly like the scalar engine for uniform values)
+            return self._index_value(t, _scalar_key(key))
         if kind == "unop":
             if e[1] == "not":
                 uni, cv = self._truthy_ctx(self.eval(e[2], env))
                 return (not cv) if uni else ~cv
             if e[1] == "-":
-                v, vnil = self._unwrap_arith(self.eval(e[2], env))
+                v0 = self.eval(e[2], env)
+                if isinstance(v0, LuaTable):
+                    return self._unm_value(v0)  # __unm on a uniform table
+                v, vnil = self._unwrap_arith(v0)
                 with np.errstate(all="ignore"):
                     return _MaybeNil.wrap(-_as_float(v), vnil)
         if kind == "binop":
@@ -1217,14 +1288,21 @@ class VectorInterpreter(Interpreter):
             return super().eval(("binop", op, ("const", a), ("const", b)),
                                 self.globals)
         if op == "==" or op == "~=":
-            if a is None or b is None or isinstance(a, bool) or isinstance(b, bool):
-                eq = a is b if (isinstance(a, bool) or isinstance(b, bool)) \
-                    else (a is None and b is None)
-                return eq if op == "==" else not eq
+            prim = (type(None), bool, str, LuaTable, LuaFunction)
+            if isinstance(a, prim) or isinstance(b, prim):
+                # one side is a lane array (numbers); Lua == across
+                # types is false with no coercion (and nil/bool/table
+                # never equals a number) — uniformly False
+                return False if op == "==" else True
             eq = _as_float(a) == _as_float(b)
             return eq if op == "==" else ~eq
         if op == "..":
             raise Unvectorizable("string concat on arrays")
+        for v in (a, b):
+            if isinstance(v, LuaTable) and v.metatable is not None:
+                # the scalar path would fire an arithmetic/comparison
+                # metamethod per lane
+                raise Unvectorizable("metamethod arithmetic on arrays")
         a = _as_float(a)
         b = _as_float(b)
         if op == "<":

@@ -35,9 +35,26 @@ from __future__ import annotations
 
 import math
 
+from blinky_tpu import lua_patterns as _lpat
+
 
 class LuaError(ValueError):
     """Parse or runtime error in a Lua script."""
+
+
+def _lua_typename(v) -> str:
+    """Lua's type() name for a value (shared by diagnostics)."""
+    if v is None:
+        return "nil"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, (int, float)):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, LuaTable):
+        return "table"
+    return "function"
 
 
 # ---------------------------------------------------------------- lexer
@@ -311,13 +328,13 @@ class _Parser:
                 self.expect("kw", "end")
                 return ("do", body)
             if t[1] == "goto":
-                raise LuaError(
-                    f"line {t[2]}: 'goto' is outside the mini-Lua subset "
-                    "(docs/SCRIPTING.md documents the supported language)")
+                self.next()
+                return ("goto", self.expect("name")[1], t[2])
         if t[0] == "sym" and t[1] == "::":
-            raise LuaError(
-                f"line {t[2]}: labels ('::name::') are outside the "
-                "mini-Lua subset (docs/SCRIPTING.md)")
+            self.next()
+            name = self.expect("name")[1]
+            self.expect("sym", "::")
+            return ("label", name, t[2])
         # expression statement: call, or (multi-)assignment
         first = self.parse_prefix_expr()
         if self.check("sym", "=") or self.check("sym", ","):
@@ -493,12 +510,16 @@ class _Parser:
 
 class LuaTable:
     """A Lua table: number/string-keyed dict (numeric keys normalized so
-    ``t[1]`` and ``t[1.0]`` agree, as Lua 5.2 does)."""
+    ``t[1]`` and ``t[1.0]`` agree, as Lua 5.2 does).  ``get``/``set`` are
+    RAW accesses (rawget/rawset); metamethod dispatch (``__index``,
+    ``__newindex``, ...) lives in the interpreter, which is the only
+    place with the call machinery."""
 
-    __slots__ = ("data",)
+    __slots__ = ("data", "metatable")
 
     def __init__(self):
         self.data = {}
+        self.metatable = None
 
     @staticmethod
     def _norm(key, writing=False):
@@ -627,6 +648,62 @@ class _Break(Exception):
     pass
 
 
+class _Goto(Exception):
+    """In-flight ``goto``: caught by the innermost enclosing block that
+    defines the label (validated at parse time, so it never escapes the
+    function)."""
+
+    def __init__(self, label):
+        self.label = label
+
+
+def _validate_gotos(body):
+    """Parse-time goto/label validation for one function body (Lua 5.2
+    validates at parse: "no visible label ... for goto").  A label is
+    visible to gotos in its own block and nested blocks; function
+    bodies are separate scopes.  Duplicate labels in one block error."""
+
+    def block_unresolved(blk):
+        labels = set()
+        for st in blk[1]:
+            if isinstance(st, tuple) and st and st[0] == "label":
+                if st[1] in labels:
+                    raise LuaError(
+                        f"line {st[2]}: label '{st[1]}' already defined")
+                labels.add(st[1])
+        unresolved = []
+        for st in blk[1]:
+            unresolved.extend(node_unresolved(st))
+        return [g for g in unresolved if g[0] not in labels]
+
+    def node_unresolved(node):
+        if isinstance(node, list):
+            out = []
+            for x in node:
+                out.extend(node_unresolved(x))
+            return out
+        if not isinstance(node, tuple) or not node:
+            return []
+        k = node[0] if isinstance(node[0], str) else None
+        if k == "goto":
+            return [(node[1], node[2])]
+        if k == "function":  # a nested closure is its own goto scope
+            _validate_gotos(node[2])
+            return []
+        if k == "block":
+            return block_unresolved(node)
+        rest = node[1:] if k else node
+        out = []
+        for sub in rest:
+            out.extend(node_unresolved(sub))
+        return out
+
+    bad = block_unresolved(body)
+    if bad:
+        name, line = bad[0]
+        raise LuaError(f"line {line}: no visible label '{name}' for goto")
+
+
 class _Return(Exception):
     def __init__(self, vals):
         self.vals = vals
@@ -639,6 +716,16 @@ def _truthy(v):
 def _num(v, what="operand"):
     if isinstance(v, bool) or not isinstance(v, (int, float)):
         raise LuaError(f"attempt to perform arithmetic on a non-number {what}")
+    return float(v)
+
+
+def _arith_coerce(v):
+    """Number-or-None for the arithmetic fast path (no string->number
+    coercion: a numeric string in arithmetic stays a script error here —
+    the one deliberate divergence from liblua, keeping the scalar and
+    vectorized engines trivially bit-equal)."""
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return None
     return float(v)
 
 
@@ -844,6 +931,11 @@ class Interpreter:
             return "function"
 
         def _pairs(t):
+            h = self._getmm(t, "__pairs")  # 5.2's __pairs protocol
+            if h is not None:
+                out = self.call(h, [t])
+                out = (out + [None, None, None])[:3]
+                return tuple(out)
             if not isinstance(t, LuaTable):
                 raise LuaError("bad argument to 'pairs' (table expected)")
             # key order snapshotted (Lua's order is unspecified; this one
@@ -861,6 +953,11 @@ class Interpreter:
             return step, t, None
 
         def _ipairs(t):
+            h = self._getmm(t, "__ipairs")  # 5.2's __ipairs protocol
+            if h is not None:
+                out = self.call(h, [t])
+                out = (out + [None, None, None])[:3]
+                return tuple(out)
             if not isinstance(t, LuaTable):
                 raise LuaError("bad argument to 'ipairs' (table expected)")
 
@@ -914,10 +1011,79 @@ class Interpreter:
                 raise LuaError(f"{what} {why} (see docs/SCRIPTING.md)")
             return f
 
-        for name in ("setmetatable", "getmetatable", "rawget", "rawset",
-                     "rawequal", "rawlen"):
-            g[name] = _unsupported(
-                f"'{name}':", "metatables are outside the mini-Lua subset")
+        # ---- metatables (fisheye.c:278-280 links real liblua; scripts
+        # may use the full Lua 5.2 metamethod protocol)
+
+        def _setmetatable(t, mt_=None):
+            if not isinstance(t, LuaTable):
+                raise LuaError(
+                    "bad argument #1 to 'setmetatable' (table expected)")
+            if mt_ is not None and not isinstance(mt_, LuaTable):
+                raise LuaError("bad argument #2 to 'setmetatable' "
+                               "(nil or table expected)")
+            if (t.metatable is not None
+                    and t.metatable.get("__metatable") is not None):
+                raise LuaError("cannot change a protected metatable")
+            t.metatable = mt_
+            return t
+
+        def _getmetatable(v=None):
+            if isinstance(v, str):
+                return self._string_meta
+            if not isinstance(v, LuaTable) or v.metatable is None:
+                return None
+            prot = v.metatable.get("__metatable")
+            return prot if prot is not None else v.metatable
+
+        def _rawget(t, k=None):
+            if not isinstance(t, LuaTable):
+                raise LuaError(
+                    "bad argument #1 to 'rawget' (table expected)")
+            return t.get(k)
+
+        def _rawset(t, k=None, v=None):
+            if not isinstance(t, LuaTable):
+                raise LuaError(
+                    "bad argument #1 to 'rawset' (table expected)")
+            t.set(k, v)
+            return t
+
+        def _rawlen(v=None):
+            if isinstance(v, LuaTable):
+                return v.length()
+            if isinstance(v, str):
+                return float(len(v))
+            raise LuaError(
+                "bad argument #1 to 'rawlen' (table or string expected)")
+
+        def _next(t, key=None):
+            if not isinstance(t, LuaTable):
+                raise LuaError("bad argument #1 to 'next' (table expected)")
+            keys = list(t.data.keys())
+            if key is None:
+                idx = 0
+            else:
+                k = LuaTable._norm(key)
+                try:
+                    idx = keys.index(k) + 1
+                except ValueError:
+                    raise LuaError("invalid key to 'next'") from None
+            if idx >= len(keys):
+                return None
+            k2 = keys[idx]
+            return ((float(k2) if isinstance(k2, int) else k2), t.data[k2])
+
+        g["setmetatable"] = _setmetatable
+        g["getmetatable"] = _getmetatable
+        g["rawget"] = _guard("rawget", _rawget)
+        g["rawset"] = _guard("rawset", _rawset)
+        g["rawequal"] = lambda a=None, b=None: self._eq(a, b)
+        g["rawlen"] = _rawlen
+        g["next"] = _guard("next", _next)
+        # the string metatable liblua installs (getmetatable("") reads it)
+        self._string_meta = LuaTable()
+        self._string_meta.set("__index", g["string"])
+
         for fname in ("require", "dofile", "loadstring", "load", "loadfile",
                       "collectgarbage"):
             g[fname] = _unsupported(
@@ -936,10 +1102,10 @@ class Interpreter:
         g["tau"] = math.pi * 2
 
     def _make_string_lib(self) -> "LuaTable":
-        """The string library minus Lua patterns: format/sub/len/upper/
-        lower/rep/reverse/byte/char work; the pattern functions raise a
-        precise diagnostic (Lua patterns are not POSIX regexes, and a
-        wrong approximation would be worse than a clear boundary)."""
+        """The Lua 5.2 string library: format/sub/len/upper/lower/rep/
+        reverse/byte/char plus the pattern functions (find/match/gmatch/
+        gsub via :mod:`.lua_patterns` — the reference links real liblua,
+        ``fisheye.c:278-280``, so user scripts may use any of these)."""
         st = LuaTable()
 
         def _s(v, fname):
@@ -1031,23 +1197,93 @@ class Interpreter:
         st.set("char", _lua_guard(
             "char", lambda *a: "".join(chr(int(v)) for v in a)))
 
-        def _patterns(name):
-            def f(*a):
-                raise LuaError(
-                    f"'string.{name}': Lua pattern matching is outside the "
-                    "mini-Lua subset (see docs/SCRIPTING.md)")
-            return f
+        # ---- Lua patterns (find/match/gmatch/gsub), lua_patterns.py
 
-        for name in ("find", "match", "gmatch", "gsub"):
-            st.set(name, _patterns(name))
+        def _caps_out(caps):
+            """Captures -> Lua multi-value convention (tuple expands)."""
+            if len(caps) == 1:
+                return caps[0]
+            return tuple(caps)
+
+        def _find(v, p, init=1.0, plain=None):
+            r = _lpat.find(_s(v, "find"), _s(p, "find"), int(_num(init)),
+                           _truthy(plain))
+            if r is None:
+                return None
+            start, end, caps = r
+            return (float(start), float(end), *caps)
+
+        def _match_(v, p, init=1.0):
+            r = _lpat.match(_s(v, "match"), _s(p, "match"), int(_num(init)))
+            return None if r is None else _caps_out(r)
+
+        def _gmatch(v, p):
+            it = _lpat.gmatch(_s(v, "gmatch"), _s(p, "gmatch"))
+
+            def step(*_ignored):  # generic-for iterator protocol
+                self._fuel -= 1
+                if self._fuel < 0:
+                    raise LuaError(
+                        "instruction budget exhausted (runaway loop?)")
+                caps = next(it, None)
+                return None if caps is None else _caps_out(caps)
+
+            return step
+
+        def _coerce_repl(rv, fname):
+            """A table/function replacement value: nil/false keeps the
+            original match; otherwise string or number (liblua's
+            add_value)."""
+            if rv is None or rv is False:
+                return None
+            if isinstance(rv, str):
+                return rv
+            if isinstance(rv, float) and not isinstance(rv, bool):
+                return self._tostring(rv)
+            raise LuaError(f"invalid replacement value (a "
+                           f"{_lua_typename(rv)}) in '{fname}'")
+
+        def _gsub(v, p, repl, n=None):
+            s = _s(v, "gsub")
+            pp = _s(p, "gsub")
+            maxn = None if n is None else int(_num(n))
+            if isinstance(repl, float) and not isinstance(repl, bool):
+                repl = self._tostring(repl)
+            if isinstance(repl, str):
+                def value_of(whole, caps):
+                    return _lpat.expand_repl(repl, whole, caps,
+                                             self._tostring)
+            elif isinstance(repl, LuaTable):
+                def value_of(whole, caps):
+                    return _coerce_repl(repl.get(caps[0]), "gsub")
+            elif callable(repl):
+                def value_of(whole, caps):
+                    out = self.call(repl, list(caps))
+                    return _coerce_repl(out[0] if out else None, "gsub")
+            else:
+                raise LuaError("bad argument #3 to 'gsub' "
+                               "(string/function/table expected)")
+            return _lpat.gsub(s, pp, value_of, maxn)
+
+        st.set("find", _lua_guard("find", _find))
+        st.set("match", _lua_guard("match", _match_))
+        st.set("gmatch", _lua_guard("gmatch", _gmatch))
+        st.set("gsub", _lua_guard("gsub", _gsub))
         return st
 
     def _print(self, *args):
         self.printed.append("\t".join(self._tostring(a) for a in args))
         return None
 
-    @staticmethod
-    def _tostring(v):
+    def _tostring(self, v):
+        if isinstance(v, LuaTable):
+            h = self._getmm(v, "__tostring")
+            if h is not None:
+                out = self._call1(h, [v])
+                if not isinstance(out, str):
+                    raise LuaError("'__tostring' must return a string")
+                return out
+            return f"table: 0x{id(v):012x}"
         if v is None:
             return "nil"
         if v is True:
@@ -1056,12 +1292,15 @@ class Interpreter:
             return "false"
         if isinstance(v, float):
             return repr(v)
-        return str(v)
+        if isinstance(v, str):
+            return v
+        return f"function: 0x{id(v):012x}"
 
     # ---- public API
 
     def run(self, src: str) -> None:
         ast = _Parser(_tokenize(src)).parse_chunk()
+        _validate_gotos(ast)
         self._depth += 1
         if self._depth == 1:
             self._fuel = self.FUEL
@@ -1087,6 +1326,10 @@ class Interpreter:
                 self.exec_block(fn.body, env)
             except _Return as r:
                 return r.vals
+            except _Goto as gexc:  # unreachable post-validation; keep the
+                # sandbox contract (scripts only ever raise LuaError)
+                raise LuaError(
+                    f"no visible label '{gexc.label}' for goto") from None
             finally:
                 self._depth -= 1
             return []
@@ -1097,13 +1340,29 @@ class Interpreter:
             if isinstance(out, tuple):
                 return list(out)
             return [out]
+        if isinstance(fn, LuaTable):
+            h = self._getmm(fn, "__call")
+            if h is not None:
+                return self.call(h, [fn] + list(args))
+            raise LuaError("attempt to call a table value")
         raise LuaError(f"attempt to call a {type(fn).__name__} value")
 
     # ---- execution
 
     def exec_block(self, block, env):
-        for st in block[1]:
-            self.exec_stmt(st, env)
+        stmts = block[1]
+        i = 0
+        while i < len(stmts):
+            try:
+                self.exec_stmt(stmts[i], env)
+            except _Goto as g:
+                for j, st in enumerate(stmts):
+                    if st[0] == "label" and st[1] == g.label:
+                        i = j  # resume just after the label
+                        break
+                else:
+                    raise  # a label in an enclosing block
+            i += 1
 
     def exec_stmt(self, st, env):
         self._fuel -= 1
@@ -1200,6 +1459,10 @@ class Interpreter:
             raise _Break()
         elif kind == "do":
             self.exec_block(st[1], _Env(env))
+        elif kind == "label":
+            pass  # jump target only
+        elif kind == "goto":
+            raise _Goto(st[1])
         else:
             raise LuaError(f"unknown statement {kind}")
 
@@ -1211,7 +1474,7 @@ class Interpreter:
             t = self.eval(tgt[1], env)
             if not isinstance(t, LuaTable):
                 raise LuaError("attempt to index a non-table value")
-            t.set(self.eval(tgt[2], env), val)
+            self._setindex(t, self.eval(tgt[2], env), val)
         else:
             raise LuaError(f"cannot assign to {tgt[0]}")
 
@@ -1251,11 +1514,135 @@ class Interpreter:
             return list(scope.vars["..."])
         return [self.eval(e, env)]
 
+    # ---- metatables (the reference links real liblua, fisheye.c:278-280,
+    # so user scripts may use the full Lua 5.2 metamethod protocol)
+
+    @staticmethod
+    def _getmm(v, event):
+        """The metamethod for *event* on *v*, or None."""
+        if isinstance(v, LuaTable) and v.metatable is not None:
+            return v.metatable.get(event)
+        return None
+
+    def _call1(self, fn, args):
+        out = self.call(fn, args)
+        return out[0] if out else None
+
+    def _index_value(self, t, key, depth=0):
+        """``t[key]`` with ``__index`` chains (tables and strings)."""
+        if depth > 100:
+            raise LuaError("'__index' chain too long; possible loop")
+        if isinstance(t, LuaTable):
+            v = t.get(key)
+            if v is not None:
+                return v
+            h = self._getmm(t, "__index")
+            if h is None:
+                return None
+            if isinstance(h, LuaTable):
+                return self._index_value(h, key, depth + 1)
+            return self._call1(h, [t, key])
+        if isinstance(t, str):
+            # liblua gives strings a metatable with __index = string
+            st = self.globals.vars.get("string")
+            return st.get(key) if isinstance(st, LuaTable) else None
+        raise LuaError("attempt to index a non-table value")
+
+    def _setindex(self, t, key, val, depth=0):
+        """``t[key] = val`` with ``__newindex`` chains."""
+        if depth > 100:
+            raise LuaError("'__newindex' chain too long; possible loop")
+        if t.get(key) is None and t.metatable is not None:
+            h = t.metatable.get("__newindex")
+            if h is not None:
+                if isinstance(h, LuaTable):
+                    return self._setindex(h, key, val, depth + 1)
+                self.call(h, [t, key, val])
+                return
+        t.set(key, val)
+
+    _ARITH_EVENTS = {"+": "__add", "-": "__sub", "*": "__mul",
+                     "/": "__div", "%": "__mod", "^": "__pow"}
+
+    def _arith_event(self, op, a, b):
+        """Arithmetic on non-numbers: the __add family, else error."""
+        ev = self._ARITH_EVENTS[op]
+        h = self._getmm(a, ev) or self._getmm(b, ev)
+        if h is None:
+            bad = a if _arith_coerce(a) is None else b
+            raise LuaError("attempt to perform arithmetic on a "
+                           f"non-number operand ({_lua_typename(bad)})")
+        return self._call1(h, [a, b])
+
+    def _unm_value(self, v):
+        nv = _arith_coerce(v)
+        if nv is not None:
+            return -nv
+        h = self._getmm(v, "__unm")
+        if h is not None:
+            return self._call1(h, [v, v])  # 5.2 passes the operand twice
+        raise LuaError("attempt to perform arithmetic on a "
+                       f"non-number operand ({_lua_typename(v)})")
+
+    def _len_value(self, v):
+        if isinstance(v, LuaTable):
+            h = self._getmm(v, "__len")
+            if h is not None:
+                return self._call1(h, [v])
+            return v.length()
+        if isinstance(v, str):
+            return float(len(v))
+        raise LuaError("attempt to get length of a non-table value")
+
+    def _concat(self, a, b):
+        def ok(v):
+            return isinstance(v, str) or (isinstance(v, (int, float))
+                                          and not isinstance(v, bool))
+        if ok(a) and ok(b):
+            sa = a if isinstance(a, str) else self._tostring(a)
+            sb = b if isinstance(b, str) else self._tostring(b)
+            return sa + sb
+        h = self._getmm(a, "__concat") or self._getmm(b, "__concat")
+        if h is not None:
+            return self._call1(h, [a, b])
+        bad = b if ok(a) else a
+        raise LuaError(
+            f"attempt to concatenate a {_lua_typename(bad)} value")
+
+    def _less(self, a, b, strict):
+        both_num = (isinstance(a, (int, float)) and not isinstance(a, bool)
+                    and isinstance(b, (int, float))
+                    and not isinstance(b, bool))
+        if both_num or (isinstance(a, str) and isinstance(b, str)):
+            return (a < b) if strict else (a <= b)
+        ev = "__lt" if strict else "__le"
+        h = self._getmm(a, ev) or self._getmm(b, ev)
+        if h is not None:
+            return _truthy(self._call1(h, [a, b]))
+        if not strict:  # 5.2: a<=b falls back to not (b<a) through __lt
+            h = self._getmm(a, "__lt") or self._getmm(b, "__lt")
+            if h is not None:
+                return not _truthy(self._call1(h, [b, a]))
+        raise LuaError(f"attempt to compare {_lua_typename(a)} with "
+                       f"{_lua_typename(b)}")
+
+    def _eq_value(self, a, b):
+        if self._eq(a, b):
+            return True
+        if isinstance(a, LuaTable) and isinstance(b, LuaTable):
+            # 5.2: the handler fires only when both metatables name the
+            # SAME __eq (luaV_equalobj / get_equalTM)
+            h = self._getmm(a, "__eq")
+            if h is not None and h is self._getmm(b, "__eq"):
+                return _truthy(self._call1(h, [a, b]))
+        return False
+
     def _method(self, obj, name):
-        """Resolve ``obj:name`` — table methods, plus the string library
+        """Resolve ``obj:name`` — table methods (through ``__index``
+        chains — the Class metatable OOP idiom), plus the string library
         on string values (Lua's string metatable)."""
         if isinstance(obj, LuaTable):
-            fn = obj.get(name)
+            fn = self._index_value(obj, name)
         elif isinstance(obj, str):
             st = self.globals.vars.get("string")
             fn = st.get(name) if isinstance(st, LuaTable) else None
@@ -1277,9 +1664,9 @@ class Interpreter:
             return self.eval(e[1], env)
         if kind == "index":
             t = self.eval(e[1], env)
-            if not isinstance(t, LuaTable):
+            if not isinstance(t, (LuaTable, str)):
                 raise LuaError(f"attempt to index a non-table value ({e[1]})")
-            return t.get(self.eval(e[2], env))
+            return self._index_value(t, self.eval(e[2], env))
         if kind in ("call", "methcall", "vararg"):
             vals = self.eval_multi(e, env)
             return vals[0] if vals else None
@@ -1306,14 +1693,9 @@ class Interpreter:
             if e[1] == "not":
                 return not _truthy(self.eval(e[2], env))
             if e[1] == "-":
-                return -_num(self.eval(e[2], env))
+                return self._unm_value(self.eval(e[2], env))
             if e[1] == "#":
-                v = self.eval(e[2], env)
-                if isinstance(v, LuaTable):
-                    return v.length()
-                if isinstance(v, str):
-                    return float(len(v))
-                raise LuaError("attempt to get length of a non-table value")
+                return self._len_value(self.eval(e[2], env))
         if kind == "binop":
             op = e[1]
             if op == "and":
@@ -1325,19 +1707,23 @@ class Interpreter:
             a = self.eval(e[2], env)
             b = self.eval(e[3], env)
             if op == "==":
-                return self._eq(a, b)
+                return self._eq_value(a, b)
             if op == "~=":
-                return not self._eq(a, b)
+                return not self._eq_value(a, b)
             if op == "..":
-                return self._tostring(a) + self._tostring(b) \
-                    if not (isinstance(a, str) and isinstance(b, str)) else a + b
-            if op in ("<", ">", "<=", ">="):
-                if isinstance(a, str) and isinstance(b, str):
-                    pass  # string comparison is fine
-                else:
-                    a, b = _num(a), _num(b)
-                return {"<": a < b, ">": a > b, "<=": a <= b, ">=": a >= b}[op]
-            a, b = _num(a), _num(b)
+                return self._concat(a, b)
+            if op == "<":
+                return self._less(a, b, strict=True)
+            if op == "<=":
+                return self._less(a, b, strict=False)
+            if op == ">":
+                return self._less(b, a, strict=True)
+            if op == ">=":
+                return self._less(b, a, strict=False)
+            na, nb = _arith_coerce(a), _arith_coerce(b)
+            if na is None or nb is None:
+                return self._arith_event(op, a, b)
+            a, b = na, nb
             if op == "+":
                 return a + b
             if op == "-":

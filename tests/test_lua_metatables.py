@@ -1,0 +1,234 @@
+"""Lua 5.2 metatables in the mini-Lua engines.
+
+The reference links real liblua (``fisheye.c:278-280``), so user scripts
+may use the full metamethod protocol.  The scalar engine implements it;
+the vectorized engine runs metatabled code for UNIFORM values through
+the same base machinery and raises Unvectorizable (-> the bridge's
+scalar fallback) wherever a metamethod would have to fire per lane.
+"""
+
+import numpy as np
+import pytest
+
+from blinky_tpu.lua_vector import Unvectorizable, VectorInterpreter
+from blinky_tpu.minilua import LuaError, run_script
+
+
+def run(src):
+    return run_script(src, is_path=False)
+
+
+CLASS_SRC = '''
+Point = {}
+Point.__index = Point
+function Point.new(x, y) return setmetatable({x = x, y = y}, Point) end
+function Point:norm() return math.sqrt(self.x ^ 2 + self.y ^ 2) end
+Point.__add = function(a, b) return Point.new(a.x + b.x, a.y + b.y) end
+Point.__sub = function(a, b) return Point.new(a.x - b.x, a.y - b.y) end
+Point.__eq = function(a, b) return a.x == b.x and a.y == b.y end
+Point.__lt = function(a, b) return a:norm() < b:norm() end
+Point.__len = function(p) return 2 end
+Point.__unm = function(p) return Point.new(-p.x, -p.y) end
+Point.__call = function(p, k) return p.x * k end
+Point.__tostring = function(p) return "(" .. p.x .. "," .. p.y .. ")" end
+Point.__concat = function(a, b) return tostring(a) .. tostring(b) end
+'''
+
+
+def test_class_oop_protocol():
+    it = run(CLASS_SRC + '''
+p = Point.new(3, 4)
+q = Point.new(1, 2)
+n = p:norm()
+s = p + q
+d = p - q
+eq1 = p == Point.new(3, 4)
+eq2 = p == q
+ne = p ~= q
+lt = q < p
+le = q <= p            -- 5.2 falls back to not __lt(p, q)
+gt = p > q
+len1 = #p
+neg = (-p).x
+callv = p(10)
+str1 = tostring(p)
+cc = p .. q
+''')
+    g = it.get_global
+    assert g("n") == 5.0
+    assert (g("s").get("x"), g("s").get("y")) == (4.0, 6.0)
+    assert (g("d").get("x"), g("d").get("y")) == (2.0, 2.0)
+    assert g("eq1") is True and g("eq2") is False and g("ne") is True
+    assert g("lt") is True and g("le") is True and g("gt") is True
+    assert g("len1") == 2.0
+    assert g("neg") == -3.0
+    assert g("callv") == 30.0
+    assert g("str1") == "(3.0,4.0)"
+    assert g("cc") == "(3.0,4.0)(1.0,2.0)"
+
+
+def test_index_and_newindex_handlers():
+    it = run('''
+proxy = setmetatable({}, {
+  __index = function(t, k) return "d_" .. k end,
+  __newindex = function(t, k, v) rawset(t, k, v .. "!") end,
+})
+dv = proxy.foo
+proxy.bar = "hi"
+bar = rawget(proxy, "bar")
+-- chained __index through a table
+base = {greet = "hello"}
+mid = setmetatable({}, {__index = base})
+leaf = setmetatable({}, {__index = mid})
+chained = leaf.greet
+-- __index table miss stays nil
+missing = leaf.nope
+''')
+    g = it.get_global
+    assert g("dv") == "d_foo"
+    assert g("bar") == "hi!"
+    assert g("chained") == "hello"
+    assert g("missing") is None
+
+
+def test_protected_and_raw_api():
+    it = run('''
+prot = setmetatable({}, {__metatable = "locked"})
+gm = getmetatable(prot)
+ok, err = pcall(function() setmetatable(prot, {}) end)
+re = rawequal(prot, prot)
+rl = rawlen({10, 20, 30})
+rls = rawlen("abcd")
+k1, v1 = next({7})
+n2 = next({})
+sm = getmetatable("x").__index.upper("up")
+gmn = getmetatable(5)
+''')
+    g = it.get_global
+    assert g("gm") == "locked"
+    assert g("ok") is False and "protected" in g("err")
+    assert g("re") is True
+    assert g("rl") == 3.0 and g("rls") == 4.0
+    assert (g("k1"), g("v1")) == (1.0, 7.0)
+    assert g("n2") is None
+    assert g("sm") == "UP"
+    assert g("gmn") is None
+
+
+def test_pairs_metamethod():
+    it = run('''
+cnt = 0
+pt = setmetatable({}, {__pairs = function(t)
+  local i = 0
+  return function(s, c) i = i + 1; if i <= 3 then return i, i * 10 end end,
+         t, nil
+end})
+for k, v in pairs(pt) do cnt = cnt + v end
+''')
+    assert it.get_global("cnt") == 60.0
+
+
+def test_eq_requires_same_handler():
+    """5.2: __eq fires only when both operands share the handler."""
+    it = run('''
+a = setmetatable({}, {__eq = function() return true end})
+b = setmetatable({}, {__eq = function() return true end})
+eq = a == b      -- different handlers: primitive identity, false
+c = getmetatable(a)
+d = setmetatable({}, c)
+eq2 = a == d     -- same handler table: fires
+''')
+    assert it.get_global("eq") is False
+    assert it.get_global("eq2") is True
+
+
+def test_error_messages_without_handlers():
+    with pytest.raises(LuaError, match="arithmetic"):
+        run("x = {} + 1")
+    with pytest.raises(LuaError, match="concatenate"):
+        run("x = {} .. 'a'")
+    with pytest.raises(LuaError, match="compare"):
+        run("x = {} < 1")
+    with pytest.raises(LuaError, match="call a table"):
+        run("x = ({})()")
+    # concat of nil is an error now (liblua semantics), pcall-able
+    it = run("ok, err = pcall(function() return 'a' .. nil end)")
+    assert it.get_global("ok") is False
+
+
+def test_vector_engine_uniform_metatables():
+    """Uniform metatabled code runs on the vectorized engine (the base
+    machinery), bit-equal to the scalar engine."""
+    it = VectorInterpreter()
+    it.run(CLASS_SRC + '''
+function f(x)
+  local p = Point.new(3, 4)
+  return p:norm() + x + #p
+end
+''')
+    vals, nil = it.vcall(it.get_global("f"), [np.array([1.0, 2.0])])
+    assert nil is None
+    np.testing.assert_array_equal(vals[0], [8.0, 9.0])
+
+
+def test_vector_engine_refuses_per_lane_metamethods():
+    """Lane-varying values meeting metamethods raise Unvectorizable
+    (scalar authority), never a wrong answer."""
+    it = VectorInterpreter()
+    it.run(CLASS_SRC + '''
+function g(x)
+  local p = Point.new(x, x)   -- lane-varying field is fine (raw writes)
+  return (p + p).x            -- but __add on a table holding arrays...
+end
+function h(x)
+  local t = setmetatable({}, {__index = function(_, k) return 0 end})
+  return t[x]                 -- lane-array key into a metatabled table
+end
+''')
+    arr = np.array([1.0, 2.0])
+    # g: p + p where fields are arrays -> table operands stay uniform,
+    # the handler runs and returns arrays — allowed and correct:
+    vals, _ = it.vcall(it.get_global("g"), [arr])
+    np.testing.assert_array_equal(vals[0], [2.0, 4.0])
+    with pytest.raises(Unvectorizable):
+        it.vcall(it.get_global("h"), [arr])
+
+
+def test_vector_masked_metatable_write_refuses():
+    it = VectorInterpreter()
+    it.run('''
+t = setmetatable({}, {__newindex = function(t, k, v) rawset(t, k, v) end})
+function f(x)
+  if x > 0 then t.slot = x end
+  return x
+end
+''')
+    with pytest.raises(Unvectorizable):
+        it.vcall(it.get_global("f"), [np.array([-1.0, 1.0])])
+
+
+def test_lua_bridge_lens_with_metatables(tmp_path):
+    """End to end: a .lua lens organized with a metatable class still
+    loads and evaluates correctly (uniform metatables vectorize; the
+    scalar fallback covers the rest)."""
+    src = CLASS_SRC + '''
+max_fov = 360
+max_vfov = 180
+lens_width = 2 * pi
+lens_height = pi
+function lens_inverse(x, y)
+  if math.abs(x) > pi or math.abs(y) > pi / 2 then return nil end
+  local c = math.cos(y)
+  return c * math.sin(x), math.sin(y), c * math.cos(x)
+end
+'''
+    path = tmp_path / "metalens.lua"
+    path.write_text(src)
+    from blinky_tpu.lua_bridge import load_lua_lens
+
+    lens = load_lua_lens(path)
+    xs = np.array([0.0, 1.0, 4.0])
+    ys = np.array([0.0, 0.5, 0.0])
+    vx, vy, vz, ok = lens.inverse(xs, ys)
+    assert ok.tolist() == [True, True, False]
+    np.testing.assert_allclose(vy[:2], np.sin(ys[:2]))

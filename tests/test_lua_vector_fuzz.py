@@ -90,11 +90,26 @@ class _Gen:
                     arms.append(self.block(local_vars, indent + 1, depth + 1))
                 arms.append(f"{pad}end")
                 lines.append("\n".join(arms))
-            elif roll < 0.7 and depth < 2:
+            elif roll < 0.66 and depth < 2:
                 # bounded loop, optionally with a data-dependent break;
                 # round 3: sometimes a generic for over a literal table
-                # (ipairs iterator protocol + masked body/breaks)
+                # (ipairs iterator protocol + masked body/breaks); late
+                # round 3: sometimes the goto-continue idiom (the vector
+                # path must refuse goto cleanly — scalar authority)
                 name = f"v{self.r.integers(0, 6)}"
+                if self.r.random() < 0.2:
+                    body = [f"{pad}local {name} = {self.expr(local_vars)}",
+                            f"{pad}for i{depth} = 1, {self.r.integers(2, 5)} do",
+                            f"{pad}  if {self.cond(local_vars)} then "
+                            f"goto cont{depth} end",
+                            f"{pad}  {name} = {name} * 0.5 + "
+                            f"{self.expr(local_vars, 2)}",
+                            f"{pad}  ::cont{depth}::",
+                            f"{pad}end"]
+                    lines.append("\n".join(body))
+                    if name not in local_vars:
+                        local_vars.append(name)
+                    continue
                 if self.r.random() < 0.3:
                     consts = ", ".join(self.const()
                                        for _ in range(self.r.integers(2, 5)))
@@ -119,17 +134,38 @@ class _Gen:
                 lines.append("\n".join(body))
                 if name not in local_vars:
                     local_vars.append(name)
-            elif roll < 0.85 and allow_return:
-                if self.r.random() < 0.25:
-                    # all-nil returns mark the lanes nil for every slot
-                    # (round 3: `return nil, nil` too, like debug.lua)
-                    lines.append(f"{pad}return nil"
-                                 + (", nil" if self.r.random() < 0.4 else ""))
-                else:
-                    lines.append(f"{pad}return {self.expr(local_vars)}, "
-                                 f"{self.expr(local_vars)}")
-                break  # statements after return don't parse in a block
-            elif roll < 0.78:
+            elif roll < 0.72 and depth < 2:
+                # late round 3: metatable class arithmetic — uniform
+                # metatables must vectorize bit-equal through the base
+                # machinery (constructors inside masked branches use the
+                # fresh-install allowance); per-lane dispatch must
+                # refuse cleanly
+                name = f"v{self.r.integers(0, 6)}"
+                lines.append(
+                    f"{pad}local p{depth} = V.new({self.expr(local_vars)}, "
+                    f"{self.expr(local_vars, 2)})\n"
+                    f"{pad}local q{depth} = p{depth} + "
+                    f"V.new({self.const()}, {self.const()})\n"
+                    f"{pad}local {name} = q{depth}.a * 0.5 + (-q{depth}).b")
+                if name not in local_vars:
+                    local_vars.append(name)
+            elif roll < 0.76:
+                # late round 3: string library work — uniform args run
+                # identically on both engines; a lane-varying arg must
+                # hit the Unvectorizable wrapper (never a script error
+                # the scalar path wouldn't raise)
+                name = f"v{self.r.integers(0, 6)}"
+                arg = (self.expr(local_vars, 2)
+                       if self.r.random() < 0.3 else self.const())
+                lines.append(
+                    f'{pad}local s{depth} = string.format("%.2f", {arg})\n'
+                    f'{pad}local _, n{depth} = string.gsub(s{depth}, '
+                    f'"%d", "#")\n'
+                    f"{pad}local {name} = n{depth} + #s{depth} + "
+                    f"{self.expr(local_vars, 2)}")
+                if name not in local_vars:
+                    local_vars.append(name)
+            elif roll < 0.82:
                 # lane-varying DENSE-table read (round 3: vectorizes when
                 # every active key is an integer in range; the % keeps it
                 # in 1..3 most of the time, and the occasional wider
@@ -143,6 +179,16 @@ class _Gen:
                     f"{pad}if {name} == nil then {name} = 0.5 end")
                 if name not in local_vars:
                     local_vars.append(name)
+            elif roll < 0.94 and allow_return:
+                if self.r.random() < 0.25:
+                    # all-nil returns mark the lanes nil for every slot
+                    # (round 3: `return nil, nil` too, like debug.lua)
+                    lines.append(f"{pad}return nil"
+                                 + (", nil" if self.r.random() < 0.4 else ""))
+                else:
+                    lines.append(f"{pad}return {self.expr(local_vars)}, "
+                                 f"{self.expr(local_vars)}")
+                break  # statements after return don't parse in a block
             else:
                 # partial assignment + nil check (the _MaybeNil machinery)
                 name = f"g{self.r.integers(0, 3)}"
@@ -159,6 +205,13 @@ class _Gen:
         # a dense numeric table for the lane-varying-read branch
         lut = ("LUT = {" + ", ".join(self.const() for _ in range(3))
                + "}\n")
+        # a metatable class for the class-arithmetic branch (late r3)
+        lut += ("V = {}\nV.__index = V\n"
+                "function V.new(a, b) "
+                "return setmetatable({a = a, b = b}, V) end\n"
+                "V.__add = function(u, w) "
+                "return V.new(u.a + w.a, u.b + w.b) end\n"
+                "V.__unm = function(u) return V.new(-u.a, -u.b) end\n")
         if self.r.random() < 0.25:
             # round 3: a varargs helper (select + `...` destructuring)
             helper = ("function h(...)\n"

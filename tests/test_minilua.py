@@ -380,18 +380,11 @@ def test_long_strings_and_escapes():
 
 
 @pytest.mark.parametrize("src,needle", [
-    ("goto done", "'goto' is outside"),
-    ("::lbl::", "labels"),
-    ("setmetatable({}, {})", "metatables are outside"),
-    ("x = getmetatable({})", "metatables are outside"),
     ("io.write('x')", "'io' library is not available"),
     ("os.time()", "'os' library is not available"),
     ("coroutine.create(f)", "'coroutine' library is not available"),
     ("require('m')", "not available to sandboxed"),
     ("load('x = 1')", "not available to sandboxed"),
-    ("string.gsub('a', 'b', 'c')", "pattern matching is outside"),
-    ("x = string.match('a', 'b')", "pattern matching is outside"),
-    ("for w in string.gmatch('a b', '%a+') do end", "pattern matching"),
 ])
 def test_out_of_subset_diagnostics(src, needle):
     """VERDICT r2 task 6: out-of-subset constructs fail with a clean,
@@ -508,3 +501,133 @@ v2 = t[f]
     assert it.get_global("ok1") is False
     assert "index is nil" in it.get_global("e1")
     assert it.get_global("v1") == "byref" and it.get_global("v2") == 2.0
+
+
+def test_goto_continue_idiom_and_loops():
+    """Lua 5.2 goto/labels: the ::continue:: idiom, backward gotos,
+    forward jumps out of nested blocks, per-function scoping."""
+    it = run('''
+sum = 0
+for i = 1, 10 do
+  if i % 2 == 0 then goto continue end
+  sum = sum + i
+  ::continue::
+end
+n = 0
+::top::
+n = n + 1
+if n < 5 then goto top end
+state = "start"
+do
+  do goto done end
+end
+state = "skipped"
+::done::
+final = state
+function f(k)
+  local acc = 0
+  for i = 1, k do
+    if i == 3 then goto skip end
+    acc = acc + i
+    ::skip::
+  end
+  return acc
+end
+facc = f(5)
+''')
+    g = it.get_global
+    assert g("sum") == 25.0
+    assert g("n") == 5.0
+    assert g("final") == "start"
+    assert g("facc") == 12.0  # 1+2+4+5
+
+
+@pytest.mark.parametrize("src,needle", [
+    ("goto nowhere", "no visible label"),
+    # a label is not visible outside its own block
+    ("do ::x:: end goto x", "no visible label"),
+    # gotos cannot cross function boundaries
+    ("function f() goto out end ::out::", "no visible label"),
+    ("::a:: ::a::", "already defined"),
+])
+def test_goto_parse_time_validation(src, needle):
+    with pytest.raises(LuaError, match=needle):
+        run(src)
+
+
+def test_goto_runaway_burns_fuel():
+    with pytest.raises(LuaError, match="budget"):
+        run("::a:: goto a")
+
+
+def test_goto_script_falls_back_to_scalar_engine(tmp_path):
+    """A .lua lens using goto loads through the bridge's scalar
+    fallback (Unvectorizable at vector load) and still evaluates."""
+    import numpy as np
+
+    from blinky_tpu.lua_bridge import load_lua_lens
+
+    src = '''
+max_fov = 360
+max_vfov = 180
+lens_width = 2
+lens_height = 2
+-- top-level goto: the vectorized engine refuses, scalar runs it
+probe = 0
+::again::
+probe = probe + 1
+if probe < 3 then goto again end
+function lens_inverse(x, y)
+  local n = 0
+  ::more::
+  n = n + 1
+  if n < 2 then goto more end
+  return x, y, n - 1
+end
+'''
+    path = tmp_path / "gotolens.lua"
+    path.write_text(src)
+    lens = load_lua_lens(path)
+    assert lens.jittable is False  # scalar-only tier
+    xs = np.array([0.1, -0.2])
+    ys = np.array([0.3, 0.4])
+    vx, vy, vz, ok = lens.inverse(xs, ys)
+    np.testing.assert_allclose(vx, xs)
+    np.testing.assert_allclose(vz, [1.0, 1.0])
+    assert ok.all()
+
+
+def test_build_lensmap_routes_nonjittable_to_host(tmp_path):
+    """build_lensmap must not trace a scalar-only .lua lens even when
+    called directly with the default jax backend (the Session routing,
+    enforced at the library layer)."""
+    import numpy as np
+
+    from blinky_tpu import globes, lenses
+    from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+    from blinky_tpu.lua_bridge import load_lua_lens
+
+    src = '''
+max_fov = 360
+max_vfov = 180
+lens_width = 2 * pi
+lens_height = pi
+function lens_inverse(x, y)
+  if math.abs(x) > pi or math.abs(y) > pi/2 then goto invalid end
+  do return math.cos(y) * math.sin(x), math.sin(y), math.cos(y) * math.cos(x) end
+  ::invalid::
+  return nil
+end
+'''
+    path = tmp_path / "gotoeq.lua"
+    path.write_text(src)
+    g = globes.get("cube")
+    ld = load_lua_lens(path, g)
+    assert ld.jittable is False
+    lm = build_lensmap(ld, g, calc_scale(Zoom("contain"), ld, 96, 72),
+                       96, 72)  # default jax backend: must reroute
+    port = lenses.get("equirect", g)
+    lmp = build_lensmap(port, g, calc_scale(Zoom("contain"), port, 96, 72),
+                        96, 72, backend="numpy")
+    assert (np.asarray(lm.plate) == np.asarray(lmp.plate)).all()
+    assert (np.asarray(lm.valid) == np.asarray(lmp.valid)).all()
