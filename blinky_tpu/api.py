@@ -477,10 +477,16 @@ class Session:
         self._changed = True
         self._plain_cache = None
 
+    def _jittable(self) -> bool:
+        """Device builds need both the lens map and the globe's plate
+        resolver to trace (load-time probes in lua_bridge)."""
+        return (getattr(self.lens, "jittable", True)
+                and getattr(self.globe, "jittable", True))
+
     def _resolved_backend(self) -> str:
         """See the backend-policy note in ``__init__``."""
         if self.backend == "auto":
-            if self.view_angles is not None and getattr(self.lens, "jittable", True):
+            if self.view_angles is not None and self._jittable():
                 return "jax"
             # the rare non-jittable lens (a .lua script that fails the
             # trace probe, e.g. lane-varying table writes) takes the
@@ -766,7 +772,7 @@ class Session:
                 view_basis=self._view_basis(),
             )
             self._pending_build = pb
-            if getattr(self.lens, "jittable", True):
+            if self._jittable():
                 # instant f32 device preview (ms; drift docs/PERF.md §5)
                 self._lensmap = build_lensmap(
                     self.lens, self.globe, scale, self.width_px,
@@ -812,7 +818,7 @@ class Session:
             self._kernel = RemapKernel(self._lensmap, self.palette,
                                        self._background)
             self._pending_build = None
-        elif not getattr(self.lens, "jittable", True):
+        elif not self._jittable():
             # pixels-appearing preview: refresh the partial table
             self._lensmap = pb.partial()
             self._kernel = RemapKernel(self._lensmap, self.palette,
@@ -976,15 +982,16 @@ class Session:
             # (lenses/README.md, "Mapping").
             return self._render_posed_forward(frames, bases, scale,
                                               int(render_scale))
-        if not getattr(self.lens, "jittable", True):
+        if not self._jittable():
             # .lua drop-ins trace through the Lua->JAX evaluator and are
             # jittable like the ports (ALL 21 shipped inverse-capable
             # scripts incl. debug.lua); only scripts that genuinely need
             # per-lane control (e.g. lane-varying table writes) land here
             raise ValueError(
-                f"render_posed needs a jittable lens: '{self.lens_name}' "
-                "failed the trace probe (per-lane control flow) and runs "
-                "on the exact host builder only"
+                f"render_posed needs a jittable lens+globe: "
+                f"'{self.lens_name}'/'{self.globe_name}' failed the "
+                "trace probe (per-lane control flow) and runs on the "
+                "exact host builder only"
             )
         is_rgba = frames.dtype == np.uint32
         # keyed on a background GENERATION, not id(): a freed array's id

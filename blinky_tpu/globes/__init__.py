@@ -48,6 +48,10 @@ class Globe:
     dist: np.ndarray  # [n] f32 = 0.5 / tan(fov/2) (fisheye.c:1868)
     # Optional vectorized resolver (x, y, z, globe) -> plate index, -1 = none.
     plate_resolver: Optional[Callable] = None
+    # False when the resolver cannot trace (a scalar-only .lua
+    # globe_plate): device builds route to the exact host path, like
+    # LensDef.jittable does for lenses
+    jittable: bool = True
 
     @property
     def numplates(self) -> int:
@@ -58,6 +62,7 @@ def make_globe(
     name: str,
     plates: Sequence,
     plate_resolver: Optional[Callable] = None,
+    jittable: bool = True,
 ) -> Globe:
     """Validate and derive a :class:`Globe` from ``(forward, up, fov_deg)``
     triples, mirroring ``LUA_load_globe`` (``fisheye.c:1784-1875``)."""
@@ -83,6 +88,7 @@ def make_globe(
         fov_rad=fov_rad,
         dist=dist,
         plate_resolver=plate_resolver,
+        jittable=jittable,
     )
 
 

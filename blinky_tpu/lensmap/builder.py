@@ -345,11 +345,13 @@ def build_lensmap(
             lens, globe, scale, width_px, height_px, platesize,
             numcells, cell_size, pad_size, view_basis=view_basis,
         )
-    if backend != "numpy" and not getattr(lens, "jittable", True):
-        # a .lua lens whose inverse map cannot trace (load-time probe,
-        # lua_bridge.load_lua_lens) builds on the exact host path — same
-        # routing Session applies, enforced here so the library API
-        # cannot trace a scalar-only script by accident
+    if backend != "numpy" and not (getattr(lens, "jittable", True)
+                                   and getattr(globe, "jittable", True)):
+        # a .lua lens/globe whose map or plate resolver cannot trace
+        # (load-time probes, lua_bridge.load_lua_lens/globe) builds on
+        # the exact host path — same routing Session applies, enforced
+        # here so the library API cannot trace a scalar-only script by
+        # accident
         backend = "numpy"
     if backend == "numpy":
         out = inverse_grid(

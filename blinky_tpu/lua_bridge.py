@@ -515,4 +515,22 @@ def load_lua_globe(path):
                     state["vector_ok"] = False
             return vec(X, Y, Z)
 
-    return make_globe(path.stem, plates, plate_resolver=resolver)
+    # a globe is device-buildable iff its resolver traces (the lens-side
+    # LensDef.jittable analog): probe abstractly at load so the builder
+    # and Session can route scalar-only globes to the exact host path
+    # instead of letting Unvectorizable escape mid-trace
+    g_jittable = True
+    if resolver is not None:
+        if not vector_ok:
+            g_jittable = False
+        else:
+            import jax
+
+            try:
+                args = [jax.ShapeDtypeStruct((2, 3), np.float32)] * 3
+                jax.eval_shape(lambda x, y, z: resolver(x, y, z, None),
+                               *args)
+            except Exception:
+                g_jittable = False
+    return make_globe(path.stem, plates, plate_resolver=resolver,
+                      jittable=g_jittable)

@@ -382,7 +382,13 @@ class VectorInterpreter(Interpreter):
         def vec_setmeta(t=None, mt_=None):
             if self._active_lanes() is not None and not (
                     isinstance(t, LuaTable) and t.metatable is None
-                    and isinstance(mt_, LuaTable)):
+                    and isinstance(mt_, LuaTable)
+                    and t.vec_ctx is not None
+                    and self._same_mask_ctx(t.vec_ctx)):
+                # only a table CREATED under this exact mask context may
+                # be metatabled under the mask (the constructor idiom) —
+                # a pre-existing table would leak the install to
+                # inactive lanes
                 raise Unvectorizable("setmetatable under a lane mask")
             if self._wlog is not None:
                 self._wlog_bad = True
@@ -1193,8 +1199,33 @@ class VectorInterpreter(Interpreter):
             return v.value, v.nil_mask
         return v, None
 
+    def _mask_ctx(self):
+        """A snapshot of the current mask state by object identity
+        (strong refs — held by the table — keep the identity comparison
+        sound against id reuse)."""
+        fr = self._vframes[-1] if self._vframes else None
+        return (tuple(self._masks), fr,
+                fr.done if fr is not None else None,
+                tuple(lp.broke for lp in fr.loops) if fr is not None
+                else ())
+
+    def _same_mask_ctx(self, ctx):
+        cur = self._mask_ctx()
+        return (len(ctx[0]) == len(cur[0])
+                and all(a is b for a, b in zip(ctx[0], cur[0]))
+                and ctx[1] is cur[1] and ctx[2] is cur[2]
+                and len(ctx[3]) == len(cur[3])
+                and all(a is b for a, b in zip(ctx[3], cur[3])))
+
     def eval(self, e, env):
         kind = e[0]
+        if kind == "table":
+            t = super().eval(e, env)
+            if self._active_lanes() is not None:
+                # record the creation context for the masked
+                # setmetatable freshness check
+                t.vec_ctx = self._mask_ctx()
+            return t
         if kind == "index":
             t = self.eval(e[1], env)
             if not isinstance(t, (LuaTable, str)):
@@ -1288,10 +1319,22 @@ class VectorInterpreter(Interpreter):
             return super().eval(("binop", op, ("const", a), ("const", b)),
                                 self.globals)
         if op == "==" or op == "~=":
+            def _is_boolarr(v):
+                return _is_arr(v) and getattr(v, "dtype", None) == bool
+
+            if _is_boolarr(a) or _is_boolarr(b):
+                # bool lane arrays (comparison results) compare
+                # elementwise against bool values/arrays; against any
+                # other type Lua == is uniformly false
+                other = b if _is_boolarr(a) else a
+                if isinstance(other, bool) or _is_boolarr(other):
+                    eq = a == b
+                    return eq if op == "==" else ~eq
+                return False if op == "==" else True
             prim = (type(None), bool, str, LuaTable, LuaFunction)
             if isinstance(a, prim) or isinstance(b, prim):
-                # one side is a lane array (numbers); Lua == across
-                # types is false with no coercion (and nil/bool/table
+                # one side is a NUMERIC lane array; Lua == across types
+                # is false with no coercion (nil/bool/table/string
                 # never equals a number) — uniformly False
                 return False if op == "==" else True
             eq = _as_float(a) == _as_float(b)

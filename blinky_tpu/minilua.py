@@ -515,11 +515,15 @@ class LuaTable:
     ``__newindex``, ...) lives in the interpreter, which is the only
     place with the call machinery."""
 
-    __slots__ = ("data", "metatable")
+    __slots__ = ("data", "metatable", "vec_ctx")
 
     def __init__(self):
         self.data = {}
         self.metatable = None
+        # the vectorized engine records the mask context a table was
+        # constructed under (lua_vector's masked-setmetatable freshness
+        # check); always None on the scalar engine
+        self.vec_ctx = None
 
     @staticmethod
     def _norm(key, writing=False):
@@ -1073,13 +1077,17 @@ class Interpreter:
             k2 = keys[idx]
             return ((float(k2) if isinstance(k2, int) else k2), t.data[k2])
 
+        # deliberately NOT _guard-wrapped: an array/tracer key must keep
+        # raising TypeError (LuaTable._norm's contract — the vectorized
+        # bridge's fallback paths catch TypeError, and a LuaError here
+        # would abort the build instead of engaging the scalar walk)
         g["setmetatable"] = _setmetatable
         g["getmetatable"] = _getmetatable
-        g["rawget"] = _guard("rawget", _rawget)
-        g["rawset"] = _guard("rawset", _rawset)
+        g["rawget"] = _rawget
+        g["rawset"] = _rawset
         g["rawequal"] = lambda a=None, b=None: self._eq(a, b)
         g["rawlen"] = _rawlen
-        g["next"] = _guard("next", _next)
+        g["next"] = _next
         # the string metatable liblua installs (getmetatable("") reads it)
         self._string_meta = LuaTable()
         self._string_meta.set("__index", g["string"])
@@ -1205,7 +1213,9 @@ class Interpreter:
                 return caps[0]
             return tuple(caps)
 
-        def _find(v, p, init=1.0, plain=None):
+        def _find(v, p, init=None, plain=None):
+            # explicit nil init = default 1 (liblua's luaL_optinteger)
+            init = 1.0 if init is None else init
             r = _lpat.find(_s(v, "find"), _s(p, "find"), int(_num(init)),
                            _truthy(plain))
             if r is None:
@@ -1213,7 +1223,8 @@ class Interpreter:
             start, end, caps = r
             return (float(start), float(end), *caps)
 
-        def _match_(v, p, init=1.0):
+        def _match_(v, p, init=None):
+            init = 1.0 if init is None else init
             r = _lpat.match(_s(v, "match"), _s(p, "match"), int(_num(init)))
             return None if r is None else _caps_out(r)
 
@@ -1225,7 +1236,17 @@ class Interpreter:
                 if self._fuel < 0:
                     raise LuaError(
                         "instruction budget exhausted (runaway loop?)")
-                caps = next(it, None)
+                try:
+                    caps = next(it, None)
+                except LuaError:
+                    raise
+                except ValueError as e:
+                    # the generator evaluates lazily: a malformed
+                    # pattern only surfaces at the first iteration,
+                    # outside the _lua_guard wrapper — keep the sandbox
+                    # contract (scripts only ever raise LuaError)
+                    raise LuaError(
+                        f"bad argument to 'gmatch' ({e})") from None
                 return None if caps is None else _caps_out(caps)
 
             return step
@@ -1255,7 +1276,9 @@ class Interpreter:
                                              self._tostring)
             elif isinstance(repl, LuaTable):
                 def value_of(whole, caps):
-                    return _coerce_repl(repl.get(caps[0]), "gsub")
+                    # liblua looks up via lua_gettable: __index fires
+                    return _coerce_repl(
+                        self._index_value(repl, caps[0]), "gsub")
             elif callable(repl):
                 def value_of(whole, caps):
                     out = self.call(repl, list(caps))

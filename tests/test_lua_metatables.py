@@ -232,3 +232,121 @@ end
     vx, vy, vz, ok = lens.inverse(xs, ys)
     assert ok.tolist() == [True, True, False]
     np.testing.assert_allclose(vy[:2], np.sin(ys[:2]))
+
+
+def test_masked_setmetatable_preexisting_table_refuses():
+    """Code review (late r3): installing a metatable under a mask on a
+    table that pre-exists the mask would leak __index behavior to
+    inactive lanes — must refuse; the corpus replays the full program."""
+    it = VectorInterpreter()
+    it.run('''
+t = {}
+mt = {__index = function() return 7 end}
+function f(x)
+  if x > 0 then setmetatable(t, mt) end
+  local v = t.miss
+  if v == nil then v = 0 end
+  return v
+end
+''')
+    with pytest.raises(Unvectorizable):
+        it.vcall(it.get_global("f"), [np.array([-1.0, 1.0])])
+
+
+def test_masked_constructor_idiom_still_vectorizes():
+    """The fresh-table constructor (`setmetatable({...}, Class)`) inside
+    a masked region keeps the vector path — the table was created under
+    the SAME mask context (identity-compared), so no lane can observe a
+    difference."""
+    it = VectorInterpreter()
+    it.run('''
+C = {}
+C.__index = C
+function C.new(a) return setmetatable({a = a}, C) end
+function f(x)
+  if x > 99 then return nil end
+  local p = C.new(x + 1)
+  return p.a
+end
+''')
+    vals, nil = it.vcall(it.get_global("f"), [np.array([1.0, 2.0])])
+    np.testing.assert_array_equal(np.asarray(vals[0]), [2.0, 3.0])
+
+
+def test_rawget_lane_key_falls_back(tmp_path):
+    """Code review (late r3): raw* / next keep LuaTable._norm's
+    TypeError contract for array keys so the bridge engages the scalar
+    walk instead of aborting the build."""
+    src = '''
+max_fov = 360
+max_vfov = 180
+lens_width = 2
+lens_height = 2
+T = {}
+T[2] = 20
+function lens_inverse(x, y)
+  local v = rawget(T, math.floor(math.abs(x)) + 2)
+  if v == nil then v = 1 end
+  return x, y, v
+end
+'''
+    path = tmp_path / "rg.lua"
+    path.write_text(src)
+    from blinky_tpu.lua_bridge import load_lua_lens
+
+    lens = load_lua_lens(path)
+    _, _, vz, ok = lens.inverse(np.array([0.1, 1.5]), np.array([0.0, 0.0]))
+    assert vz.tolist() == [20.0, 1.0] and ok.all()
+
+
+def test_gsub_table_repl_consults_index_metamethod():
+    it = run('''
+rep = setmetatable({}, {__index = function(_, k) return "#" end})
+out = string.gsub("ab", "%a", rep)
+''')
+    assert it.get_global("out") == "##"
+
+
+def test_bool_lane_array_equality_is_elementwise():
+    """Code review (late r3): (x > 0) == true must compare per lane."""
+    it = VectorInterpreter()
+    it.run('''
+function f(x)
+  local b = (x > 0) == true
+  if b then return x * 2 end
+  return x
+end
+''')
+    vals, _ = it.vcall(it.get_global("f"), [np.array([-1.0, 1.0])])
+    np.testing.assert_array_equal(np.asarray(vals[0]), [-1.0, 2.0])
+
+
+def test_goto_globe_routes_to_host_builder(tmp_path):
+    """Code review (late r3): a globe whose globe_plate cannot trace
+    (goto) gets Globe.jittable=False and build_lensmap reroutes to the
+    exact host path instead of crashing mid-trace."""
+    gsrc = '''
+plates = {
+  {{0, 0, 1}, {0, 1, 0}, 100},
+  {{0, 0, -1}, {0, 1, 0}, 260},
+}
+function globe_plate(x, y, z)
+  if z >= 0.7 then goto sharp end
+  do return 1 end
+  ::sharp::
+  return 0
+end
+'''
+    path = tmp_path / "gglobe.lua"
+    path.write_text(gsrc)
+    from blinky_tpu import lenses
+    from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+    from blinky_tpu.lua_bridge import load_lua_globe
+
+    gg = load_lua_globe(path)
+    assert gg.jittable is False
+    pl = lenses.get("panini", gg)
+    lm = build_lensmap(pl, gg, calc_scale(Zoom("fov", 180), pl, 96, 72),
+                       96, 72)  # default jax backend: must reroute
+    used = np.asarray(lm.plates_used)
+    assert used[0] and used[1]

@@ -213,3 +213,27 @@ end
     assert np.allclose(vx, xs) and np.allclose(vy, ys)
     assert np.allclose(vz, [1.0, 1.0, 1.0])  # 100-999 -> 3 digits
     assert ok.all()
+
+
+def test_gmatch_lazy_pattern_error_is_pcallable():
+    """Code review (late r3): the malformed-pattern error fires at the
+    first ITERATION (gmatch is lazy) — it must still be a LuaError the
+    script can pcall, never a raw PatternError escaping the sandbox."""
+    it = run('''
+ok, err = pcall(function()
+  for w in string.gmatch("abc", "(") do end
+end)
+''')
+    assert it.get_global("ok") is False
+    assert "unfinished capture" in it.get_global("err")
+
+
+def test_explicit_nil_init_is_default():
+    """liblua's luaL_optinteger: string.find(s, p, nil, true) treats the
+    nil init as 1 (the common plain-find idiom)."""
+    it = run('''
+a, b = string.find("hello.world", ".", nil, true)
+m = string.match("xy", "y", nil)
+''')
+    assert (it.get_global("a"), it.get_global("b")) == (6.0, 6.0)
+    assert it.get_global("m") == "y"
