@@ -1308,7 +1308,16 @@ class VectorInterpreter(Interpreter):
                         bv, bnil = self._unwrap_arith(b)
                         nil = (anil if bnil is None else
                                bnil if anil is None else (anil | bnil))
-                        return _MaybeNil.wrap(self._binop(op, av, bv), nil)
+                        res = self._binop(op, av, bv)
+                        if isinstance(res, LuaTable):
+                            # a metamethod returned a table: _MaybeNil
+                            # wraps value arrays, not tables.  Safe to
+                            # return raw — _unwrap_arith already proved
+                            # no ACTIVE lane was nil on the np path, and
+                            # the traced path is optimistic-nil by the
+                            # pinned policy.
+                            return res
+                        return _MaybeNil.wrap(res, nil)
                     return self._binop(op, a, b)
         return super().eval(e, env)
 
@@ -1342,10 +1351,19 @@ class VectorInterpreter(Interpreter):
         if op == "..":
             raise Unvectorizable("string concat on arrays")
         for v in (a, b):
-            if isinstance(v, LuaTable) and v.metatable is not None:
-                # the scalar path would fire an arithmetic/comparison
-                # metamethod per lane
-                raise Unvectorizable("metamethod arithmetic on arrays")
+            if isinstance(v, LuaTable):
+                if op in self._ARITH_EVENTS:
+                    # an arithmetic metamethod is just a script function:
+                    # dispatch it through the normal (vector-aware) call
+                    # machinery — array operands flow elementwise, and
+                    # genuinely per-lane control inside the handler still
+                    # refuses.  Tables without a handler error exactly
+                    # like the scalar engine.
+                    return self._arith_event(op, a, b)
+                # comparison handlers return TRUTHINESS — the base _less
+                # collapses an array result to uniform True, so refuse
+                # (scalar authority)
+                raise Unvectorizable("metamethod comparison on arrays")
         a = _as_float(a)
         b = _as_float(b)
         if op == "<":

@@ -5,8 +5,9 @@ in `lua-scripts/lenses/` and EVERYTHING works on it — the one lensmap
 builder serves every lens (`fisheye.c:1659-1750`).  This example drives
 that promise end-to-end here:
 
-1. write a custom `.lua` lens (using the extended mini-Lua surface:
-   `ipairs`, varargs, `string.format`);
+1. write a custom `.lua` lens (using the full late-round-3 Lua 5.2
+   surface: `ipairs`, varargs, `string.format`, string PATTERNS for
+   config parsing, and a metatable class for the ray math);
 2. load it with the reference console vocabulary (plus round-3 `alias`);
 3. render the exact float64 host path;
 4. rotate the view — the SAME script traces through the jitted f32
@@ -37,12 +38,21 @@ STEPS = 6
 
 MY_LENS = """
 -- a panini-family lens with a tunable squeeze, exercising the round-3
--- mini-Lua surface (generic for, varargs, string.format)
+-- mini-Lua surface (generic for, varargs, string.format) plus the
+-- late-round-3 full-language surface: string patterns parse the
+-- defaults, a metatable class carries the ray math -- and the script
+-- still traces onto the jitted device builder (Lua->JAX)
 max_fov = 360
 max_vfov = 180
-onload = "f_fov 180"
+CONFIG = "profile: fov=180; squeeze=0.15"
+onload = "f_fov " .. string.match(CONFIG, "fov=(%d+)")
 
-squeeze = {1.0, 0.15}   -- base + harmonic weight
+squeeze = {1.0, tonumber(string.match(CONFIG, "squeeze=([%d%.]+)"))}
+
+Ray = {}
+Ray.__index = Ray
+function Ray.new(x, y, z) return setmetatable({x = x, y = y, z = z}, Ray) end
+Ray.__mul = function(r, s) return Ray.new(r.x * s, r.y * s, r.z * s) end
 
 function wsum(...)
   local t = 0
@@ -72,8 +82,11 @@ function lens_inverse(x, y)
   local S_ = (d + clon) / (d + 1)
   local lon = math.atan2(x / (d + 1), S_ * clon)
   if math.abs(lon) > math.pi / 2 * 2 then return nil end
-  local vy = y * S_
-  return math.sin(lon) * S_, vy, math.cos(lon) * S_
+  -- a metatabled Ray scaled through __mul (constructed inside the
+  -- masked region above: the fresh-install allowance keeps this on
+  -- the vectorized/traced path)
+  local r = Ray.new(math.sin(lon), y, math.cos(lon)) * S_
+  return r.x, r.y, r.z
 end
 """
 

@@ -350,3 +350,46 @@ end
                        96, 72)  # default jax backend: must reroute
     used = np.asarray(lm.plates_used)
     assert used[0] and used[1]
+
+
+def test_arith_metamethod_with_lane_array_operand():
+    """table OP lane-array dispatches the handler like any script call
+    (elementwise through the vector machinery), bit-equal to per-lane
+    scalar dispatch."""
+    from blinky_tpu.minilua import Interpreter
+
+    src = CLASS_SRC + '''
+function f(x)
+  local p = Point.new(2, 3)
+  local q = p + Point.new(x, -x)   -- table + table holding lanes
+  local r = Point.new(q.x, q.y)
+  return r.x * 1 + r.y
+end
+'''
+    si = Interpreter()
+    si.run(src)
+    vi = VectorInterpreter()
+    vi.run(src)
+    X = np.array([-1.5, 0.0, 2.0])
+    scalar = [si.call(si.get_global("f"), [float(v)])[0] for v in X]
+    vals, _ = vi.vcall(vi.get_global("f"), [X])
+    np.testing.assert_array_equal(np.asarray(vals[0]), scalar)
+
+
+def test_mul_metamethod_scalar_array():
+    """Ray * lane-array (the examples/lua_drop_in.py idiom) stays on
+    the vector path and traces (probe) for the device builder."""
+    src = '''
+Ray = {}
+Ray.__index = Ray
+function Ray.new(x, y) return setmetatable({x = x, y = y}, Ray) end
+Ray.__mul = function(r, s) return Ray.new(r.x * s, r.y * s) end
+function f(x)
+  local r = Ray.new(2, 4) * x
+  return r.x + r.y
+end
+'''
+    it = VectorInterpreter()
+    it.run(src)
+    vals, _ = it.vcall(it.get_global("f"), [np.array([0.5, 2.0])])
+    np.testing.assert_array_equal(np.asarray(vals[0]), [3.0, 12.0])

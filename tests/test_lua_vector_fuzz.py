@@ -141,12 +141,17 @@ class _Gen:
                 # fresh-install allowance); per-lane dispatch must
                 # refuse cleanly
                 name = f"v{self.r.integers(0, 6)}"
+                # half the time: table OP lane-array (the __mul handler
+                # dispatches through the vector call machinery)
+                tail = (f"(q{depth} * {self.expr(local_vars, 2)}).a"
+                        if self.r.random() < 0.5 else
+                        f"q{depth}.a * 0.5 + (-q{depth}).b")
                 lines.append(
                     f"{pad}local p{depth} = V.new({self.expr(local_vars)}, "
                     f"{self.expr(local_vars, 2)})\n"
                     f"{pad}local q{depth} = p{depth} + "
                     f"V.new({self.const()}, {self.const()})\n"
-                    f"{pad}local {name} = q{depth}.a * 0.5 + (-q{depth}).b")
+                    f"{pad}local {name} = {tail}")
                 if name not in local_vars:
                     local_vars.append(name)
             elif roll < 0.76:
@@ -211,6 +216,8 @@ class _Gen:
                 "return setmetatable({a = a, b = b}, V) end\n"
                 "V.__add = function(u, w) "
                 "return V.new(u.a + w.a, u.b + w.b) end\n"
+                "V.__mul = function(u, s) "
+                "return V.new(u.a * s, u.b * s) end\n"
                 "V.__unm = function(u) return V.new(-u.a, -u.b) end\n")
         if self.r.random() < 0.25:
             # round 3: a varargs helper (select + `...` destructuring)
