@@ -922,7 +922,8 @@ class Session:
         rubix = self.rubix_enabled if rubix is None else rubix
         return self._kernel(frames, rubix=rubix, decode_rgb=decode_rgb)
 
-    def render_posed(self, frames, poses, render_scale: int = 1):
+    def render_posed(self, frames, poses, render_scale=1,
+                     target_fps: float = 60.0):
         """Per-frame-pose playback: every frame gets its own view rotation.
 
         ``frames``: [P, S, S, B] (u8 plates, the expanded [12, ...] rubix
@@ -934,6 +935,14 @@ class Session:
         the per-pose lensmap is built at 1/k size and nearest-upsampled
         on device, cutting the per-index gather wall (docs/PERF.md §6)
         by ~k².  The full-res background stays crisp.
+
+        ``render_scale="auto"`` is dynamic resolution: the fused
+        pipeline is probed at two scales on this device (cached per
+        lens/size), a ``cost(k) = a + b/k²`` model is fitted, and the
+        SMALLEST k predicted to sustain ``target_fps`` is used (native
+        resolution when the chip can hold it; the measured per-index
+        wall is docs/PERF.md §6).  Forward-only and non-jittable lenses
+        resolve "auto" to 1 (their host path has no fused probe).
 
         One fused device call builds B lensmaps (vmapped f32 builder) and
         gathers each frame through its own — the framework analog of the
@@ -966,11 +975,18 @@ class Session:
             # degenerate empty chunk: nothing to build or gather (the
             # fused pipeline would reshape by B=0) — but bad arguments
             # still fail like they would on a non-empty chunk
-            check_render_scale(self.width_px, self.height_px,
-                               int(render_scale))
+            if render_scale != "auto":
+                check_render_scale(self.width_px, self.height_px,
+                                   int(render_scale))
             return np.empty(
                 (0, self.height_px, self.width_px),
                 np.uint32 if frames.dtype == np.uint32 else np.uint8)
+        if render_scale == "auto":
+            if (self.lens.map_type == "forward" or not self._jittable()):
+                render_scale = 1  # no fused pipeline to probe
+            else:
+                render_scale = self._auto_render_scale(
+                    frames, bases, scale, float(target_fps))
         if self.lens.map_type == "forward":
             # forward-only lenses (10 of 31) rasterize on the host in
             # scan order (draw_quad, fisheye.c:2126-2338) — there is no
@@ -1011,6 +1027,83 @@ class Session:
             )
             self._posed_cache = (key, kernel)
         return self._posed_cache[1](frames, bases)
+
+    def _auto_render_scale(self, frames, bases, scale, target_fps):
+        """Dynamic resolution for pose playback: probe the fused
+        pipeline at two scales (tiny 2-pose chunk, min-of-2 timings),
+        fit ``cost(k) = a + b/k²`` (a = dispatch/build floor, b = the
+        per-index gather wall, docs/PERF.md §6), and pick the SMALLEST
+        valid k predicted to sustain *target_fps* — native resolution
+        whenever the chip can hold it, the reference's quality<->speed
+        axis otherwise.  Probes are cached per (lens, globe, zoom,
+        size, source) so a playback session calibrates once."""
+        import time
+
+        from blinky_tpu.kernels.posed import (
+            PosedRemapKernel, check_render_scale,
+        )
+
+        S = frames.shape[1]
+        is_rgba = frames.dtype == np.uint32
+        candidates = []
+        for k in (1, 2, 3, 4, 6, 8):
+            try:
+                check_render_scale(self.width_px, self.height_px, k)
+            except ValueError:
+                continue
+            candidates.append(k)
+        if not candidates:
+            return 1
+        if len(candidates) == 1:
+            return candidates[0]
+        key = (id(self.lens), id(self.globe), scale, self.width_px,
+               self.height_px, S, is_rgba, self.rubix_numcells,
+               self.rubix_cell_size, self.rubix_pad_size,
+               getattr(self, "_background_gen", 0))
+        cache = getattr(self, "_auto_scale_probes", None)
+        if cache is not None and cache[0] == key:
+            cost1, cost_hi, k_hi = cache[1]
+        else:
+            import jax
+
+            from blinky_tpu.utils.timing import device_fetch_sync
+
+            k_hi = candidates[-1]
+            bg = self._posed_background(is_rgba)
+            # device-resident probe operands + one-element sync: the
+            # measurement must see the PIPELINE, not host<->relay
+            # transfers (PERF §6's measurement trap)
+            pf = jax.device_put(np.ascontiguousarray(frames[..., :2]))
+            pb = jax.device_put(
+                np.ascontiguousarray(bases[:2]).astype(np.float32))
+
+            def probe(k):
+                kernel = PosedRemapKernel(
+                    self.lens, self.globe, self.width_px, self.height_px,
+                    scale, platesize=S, numcells=self.rubix_numcells,
+                    cell_size=self.rubix_cell_size,
+                    pad_size=self.rubix_pad_size, background=bg,
+                    render_scale=k,
+                )
+                best = np.inf
+                device_fetch_sync(kernel(pf, pb))  # compile + warm
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    device_fetch_sync(kernel(pf, pb))
+                    best = min(best, (time.perf_counter() - t0) / 2)
+                return best  # seconds per pose
+
+            cost1 = probe(1)
+            cost_hi = probe(k_hi)
+            self._auto_scale_probes = (key, (cost1, cost_hi, k_hi))
+        # cost(k) = a + b/k²  from the two probe points
+        b = max(0.0, (cost1 - cost_hi) / (1.0 - 1.0 / (k_hi * k_hi)))
+        a = max(0.0, cost1 - b)
+        budget = 1.0 / target_fps if target_fps > 0 else np.inf
+        for k in candidates:
+            if a + b / (k * k) <= budget:
+                return k
+        return candidates[-1]
 
     def _posed_background(self, is_rgba):
         """The pose-playback background: session background (or zeros),

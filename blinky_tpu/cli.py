@@ -273,12 +273,14 @@ def cmd_reproject(args) -> int:
     from blinky_tpu.kernels.posed import check_render_scale
 
     k = args.pose_scale
-    try:
-        check_render_scale(args.width, args.height, k)
-    except ValueError as e:
-        print(f"error: --pose-scale: {e}")
-        return 2
-    if k > 1 and poses is None:
+    if k != "auto":
+        try:
+            k = int(k)
+            check_render_scale(args.width, args.height, k)
+        except ValueError as e:
+            print(f"error: --pose-scale: {e}")
+            return 2
+    if (k == "auto" or k > 1) and poses is None:
         print("--pose-scale applies to --follow-poses only; ignored")
     if args.format == "gif" and not 0 <= args.gif_delay <= 0xFFFF:
         print("error: --gif-delay must be 0..65535 centiseconds")
@@ -313,7 +315,7 @@ def cmd_reproject(args) -> int:
             out = np.moveaxis(
                 np.asarray(sess.render_posed(batch_frames,
                                              np.asarray(poses)[pidx],
-                                             render_scale=args.pose_scale)),
+                                             render_scale=k)),
                 0, -1,
             )
         elif args.aa > 1:
@@ -646,10 +648,12 @@ def main(argv=None) -> int:
                    help="rotate the view within the recorded plates (deg)")
     p.add_argument("--follow-poses", action="store_true",
                    help="track the demo's pose stream (per batch)")
-    p.add_argument("--pose-scale", type=int, default=1, metavar="K",
+    p.add_argument("--pose-scale", default="1", metavar="K",
                    help="per-frame-pose quality<->speed knob: build each "
                         "pose's lensmap at 1/K size and upsample on device "
-                        "(~K^2 x the sustained fps; docs/PERF.md section 6)")
+                        "(~K^2 x the sustained fps; docs/PERF.md section 6). "
+                        "'auto' probes the device and picks the smallest K "
+                        "sustaining 60 fps (dynamic resolution)")
     p.add_argument("--aa", type=int, default=1, metavar="K",
                    help="supersample factor: render at Kx and box-average "
                         "down (true-color output)")

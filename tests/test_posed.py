@@ -362,3 +362,46 @@ def test_render_posed_rubix_rides_the_source(setup):
     ref_tinted = np.asarray(s.render(rgba[..., 0], rubix=True))
     np.testing.assert_array_equal(out[0], ref_plain)
     assert (ref_plain != ref_tinted).any()  # the flag does change static
+
+
+def test_render_posed_auto_render_scale():
+    """render_scale="auto" (dynamic resolution): probes the fused
+    pipeline and picks the smallest k sustaining target_fps.  The
+    extremes are deterministic: an infinite budget picks native (k=1),
+    an impossible budget picks the largest valid k — and each output is
+    bit-identical to the explicit render_scale run."""
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.cubemap import synthetic_cubemap
+
+    W, H, S, B = 64, 48, 48, 3
+    sess = Session(W, H, platesize=S)
+    sess.cmd("f_lens panini")
+    sess.cmd("f_fov 180")
+    frames = np.repeat(synthetic_cubemap(S)[..., None], B, axis=-1)
+    poses = np.stack([np.zeros(B), np.linspace(0, 40, B), np.zeros(B)], 1)
+
+    # huge budget -> native resolution
+    auto1 = np.asarray(sess.render_posed(frames, poses,
+                                         render_scale="auto",
+                                         target_fps=1e-6))
+    ref1 = np.asarray(sess.render_posed(frames, poses, render_scale=1))
+    np.testing.assert_array_equal(auto1, ref1)
+
+    # impossible budget -> the largest valid candidate (64x48 -> k=8)
+    autoN = np.asarray(sess.render_posed(frames, poses,
+                                         render_scale="auto",
+                                         target_fps=1e9))
+    refN = np.asarray(sess.render_posed(frames, poses, render_scale=8))
+    np.testing.assert_array_equal(autoN, refN)
+
+    # probe calibration is cached: a second auto call reuses it
+    assert sess._auto_scale_probes is not None
+    again = np.asarray(sess.render_posed(frames, poses,
+                                         render_scale="auto",
+                                         target_fps=1e-6))
+    np.testing.assert_array_equal(again, ref1)
+
+    # empty chunk accepts "auto" too
+    empty = sess.render_posed(frames[..., :0], poses[:0],
+                              render_scale="auto")
+    assert empty.shape == (0, H, W)
