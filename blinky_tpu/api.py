@@ -937,12 +937,14 @@ class Session:
         by ~k².  The full-res background stays crisp.
 
         ``render_scale="auto"`` is dynamic resolution: the fused
-        pipeline is probed at two scales on this device (cached per
-        lens/size), a ``cost(k) = a + b/k²`` model is fitted, and the
-        SMALLEST k predicted to sustain ``target_fps`` is used (native
-        resolution when the chip can hold it; the measured per-index
-        wall is docs/PERF.md §6).  Forward-only and non-jittable lenses
-        resolve "auto" to 1 (their host path has no fused probe).
+        pipeline is probed on this device (cached per lens/size), a
+        ``chunk_cost(B, k) = d + B(c + b/k²)`` model is fitted, and the
+        SMALLEST k predicted to sustain ``target_fps`` at THIS chunk
+        size is used (native resolution when the chip can hold it; the
+        measured per-index wall is docs/PERF.md §6).  Forward-only
+        lenses resolve "auto" to 1 (their exact host path has no fused
+        pipeline to probe); non-jittable lenses raise like any other
+        ``render_posed`` call.
 
         One fused device call builds B lensmaps (vmapped f32 builder) and
         gathers each frame through its own — the framework analog of the
@@ -982,8 +984,11 @@ class Session:
                 (0, self.height_px, self.width_px),
                 np.uint32 if frames.dtype == np.uint32 else np.uint8)
         if render_scale == "auto":
-            if (self.lens.map_type == "forward" or not self._jittable()):
-                render_scale = 1  # no fused pipeline to probe
+            if self.lens.map_type == "forward":
+                render_scale = 1  # exact host path: nothing to probe
+            elif not self._jittable():
+                render_scale = 1  # falls into the ValueError below,
+                # like every render_posed call on a non-jittable lens
             else:
                 render_scale = self._auto_render_scale(
                     frames, bases, scale, float(target_fps))
@@ -1029,14 +1034,24 @@ class Session:
         return self._posed_cache[1](frames, bases)
 
     def _auto_render_scale(self, frames, bases, scale, target_fps):
-        """Dynamic resolution for pose playback: probe the fused
-        pipeline at two scales (tiny 2-pose chunk, min-of-2 timings),
-        fit ``cost(k) = a + b/k²`` (a = dispatch/build floor, b = the
-        per-index gather wall, docs/PERF.md §6), and pick the SMALLEST
-        valid k predicted to sustain *target_fps* — native resolution
-        whenever the chip can hold it, the reference's quality<->speed
-        axis otherwise.  Probes are cached per (lens, globe, zoom,
-        size, source) so a playback session calibrates once."""
+        """Dynamic resolution for pose playback.
+
+        Probes the fused pipeline (device-resident operands, min-of-2
+        timings, one-element sync — PERF §6's measurement trap) at
+        three points: (B=2, k=1), (B=8, k=1) and (B=2, k=max), fits
+
+            chunk_cost(B, k) = d + B * (c + b/k²)
+
+        (d = per-DISPATCH floor, c = per-pose fixed work, b = the
+        per-index gather wall), and picks the SMALLEST valid k whose
+        predicted per-pose cost at the CALLER's chunk size B sustains
+        *target_fps* — native resolution when the chip holds it, the
+        reference's quality<->speed axis otherwise.  Batched playback
+        amortizes d over its chunk, so auto stays at finer resolution
+        there than a single-pose caller gets.  Probes are cached per
+        (lens, globe, size, source kind) — timings do not depend on the
+        zoom value (scale is a dynamic jit argument), so f_fov changes
+        reuse the calibration."""
         import time
 
         from blinky_tpu.kernels.posed import (
@@ -1044,6 +1059,7 @@ class Session:
         )
 
         S = frames.shape[1]
+        B = frames.shape[-1]
         is_rgba = frames.dtype == np.uint32
         candidates = []
         for k in (1, 2, 3, 4, 6, 8):
@@ -1056,13 +1072,13 @@ class Session:
             return 1
         if len(candidates) == 1:
             return candidates[0]
-        key = (id(self.lens), id(self.globe), scale, self.width_px,
+        key = (id(self.lens), id(self.globe), self.width_px,
                self.height_px, S, is_rgba, self.rubix_numcells,
                self.rubix_cell_size, self.rubix_pad_size,
                getattr(self, "_background_gen", 0))
         cache = getattr(self, "_auto_scale_probes", None)
         if cache is not None and cache[0] == key:
-            cost1, cost_hi, k_hi = cache[1]
+            t21, t81, t2h, k_hi = cache[1]
         else:
             import jax
 
@@ -1070,14 +1086,14 @@ class Session:
 
             k_hi = candidates[-1]
             bg = self._posed_background(is_rgba)
-            # device-resident probe operands + one-element sync: the
-            # measurement must see the PIPELINE, not host<->relay
-            # transfers (PERF §6's measurement trap)
-            pf = jax.device_put(np.ascontiguousarray(frames[..., :2]))
-            pb = jax.device_put(
-                np.ascontiguousarray(bases[:2]).astype(np.float32))
+            base_f = np.ascontiguousarray(frames[..., :1])
+            base_b = np.ascontiguousarray(bases[:1]).astype(np.float32)
+            pf = {n: jax.device_put(np.repeat(base_f, n, axis=-1))
+                  for n in (2, 8)}
+            pb = {n: jax.device_put(np.repeat(base_b, n, axis=0))
+                  for n in (2, 8)}
 
-            def probe(k):
+            def probe(n, k):
                 kernel = PosedRemapKernel(
                     self.lens, self.globe, self.width_px, self.height_px,
                     scale, platesize=S, numcells=self.rubix_numcells,
@@ -1086,22 +1102,26 @@ class Session:
                     render_scale=k,
                 )
                 best = np.inf
-                device_fetch_sync(kernel(pf, pb))  # compile + warm
+                device_fetch_sync(kernel(pf[n], pb[n]))  # compile + warm
                 for _ in range(2):
                     t0 = time.perf_counter()
-                    device_fetch_sync(kernel(pf, pb))
-                    best = min(best, (time.perf_counter() - t0) / 2)
-                return best  # seconds per pose
+                    device_fetch_sync(kernel(pf[n], pb[n]))
+                    best = min(best, time.perf_counter() - t0)
+                return best  # seconds per CHUNK
 
-            cost1 = probe(1)
-            cost_hi = probe(k_hi)
-            self._auto_scale_probes = (key, (cost1, cost_hi, k_hi))
-        # cost(k) = a + b/k²  from the two probe points
-        b = max(0.0, (cost1 - cost_hi) / (1.0 - 1.0 / (k_hi * k_hi)))
-        a = max(0.0, cost1 - b)
+            t21 = probe(2, 1)
+            t81 = probe(8, 1)
+            t2h = probe(2, k_hi)
+            self._auto_scale_probes = (key, (t21, t81, t2h, k_hi))
+        # solve d + B(c + b/k²) from the three probe points
+        cb = max(0.0, (t81 - t21) / 6.0)        # c + b (per pose, k=1)
+        d = max(0.0, t21 - 2.0 * cb)            # per-dispatch floor
+        b = max(0.0, (t21 - t2h) / (2.0 * (1.0 - 1.0 / (k_hi * k_hi))))
+        b = min(b, cb)
+        c = cb - b
         budget = 1.0 / target_fps if target_fps > 0 else np.inf
         for k in candidates:
-            if a + b / (k * k) <= budget:
+            if d / B + c + b / (k * k) <= budget:
                 return k
         return candidates[-1]
 

@@ -63,6 +63,7 @@ from blinky_tpu.minilua import (
     _Break,
     _Env,
     _Return,
+    _truthy,
 )
 
 
@@ -1198,6 +1199,17 @@ class VectorInterpreter(Interpreter):
                 raise Unvectorizable("arithmetic on nil lanes")
             return v.value, v.nil_mask
         return v, None
+
+    def _mm_truth(self, v):
+        """A comparison metamethod (__lt/__le/__eq) returning a LANE
+        array cannot collapse to one bool (table-vs-table comparisons
+        take the scalar fast path, so the operand-level array refusal
+        in _binop never sees them) — refuse; the scalar walk is the
+        authority."""
+        if _is_arr(v) or isinstance(v, _MaybeNil) or _is_traced(v):
+            raise Unvectorizable(
+                "lane-array comparison metamethod result")
+        return _truthy(v)
 
     def _mask_ctx(self):
         """A snapshot of the current mask state by object identity

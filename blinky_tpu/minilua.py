@@ -48,8 +48,8 @@ def _lua_typename(v) -> str:
         return "nil"
     if isinstance(v, bool):
         return "boolean"
-    if isinstance(v, (int, float)):
-        return "number"
+    if isinstance(v, (int, float)) or hasattr(v, "dtype"):
+        return "number"  # incl. lane arrays/tracers: per-lane numbers
     if isinstance(v, str):
         return "string"
     if isinstance(v, LuaTable):
@@ -1592,7 +1592,12 @@ class Interpreter:
         ev = self._ARITH_EVENTS[op]
         h = self._getmm(a, ev) or self._getmm(b, ev)
         if h is None:
-            bad = a if _arith_coerce(a) is None else b
+            # name the truly non-numeric operand (a lane array/tracer
+            # counts as a number — the scalar engine would blame the
+            # table/nil/string side)
+            def _nonnum(v):
+                return _arith_coerce(v) is None and not hasattr(v, "dtype")
+            bad = a if _nonnum(a) else b
             raise LuaError("attempt to perform arithmetic on a "
                            f"non-number operand ({_lua_typename(bad)})")
         return self._call1(h, [a, b])
@@ -1632,6 +1637,12 @@ class Interpreter:
         raise LuaError(
             f"attempt to concatenate a {_lua_typename(bad)} value")
 
+    def _mm_truth(self, v):
+        """Truthiness of a comparison-metamethod result.  The vectorized
+        engine overrides this: a lane-array result must not collapse to
+        one uniform bool."""
+        return _truthy(v)
+
     def _less(self, a, b, strict):
         both_num = (isinstance(a, (int, float)) and not isinstance(a, bool)
                     and isinstance(b, (int, float))
@@ -1641,11 +1652,11 @@ class Interpreter:
         ev = "__lt" if strict else "__le"
         h = self._getmm(a, ev) or self._getmm(b, ev)
         if h is not None:
-            return _truthy(self._call1(h, [a, b]))
+            return self._mm_truth(self._call1(h, [a, b]))
         if not strict:  # 5.2: a<=b falls back to not (b<a) through __lt
             h = self._getmm(a, "__lt") or self._getmm(b, "__lt")
             if h is not None:
-                return not _truthy(self._call1(h, [b, a]))
+                return not self._mm_truth(self._call1(h, [b, a]))
         raise LuaError(f"attempt to compare {_lua_typename(a)} with "
                        f"{_lua_typename(b)}")
 
@@ -1657,7 +1668,7 @@ class Interpreter:
             # SAME __eq (luaV_equalobj / get_equalTM)
             h = self._getmm(a, "__eq")
             if h is not None and h is self._getmm(b, "__eq"):
-                return _truthy(self._call1(h, [a, b]))
+                return self._mm_truth(self._call1(h, [a, b]))
         return False
 
     def _method(self, obj, name):

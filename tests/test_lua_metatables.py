@@ -393,3 +393,42 @@ end
     it.run(src)
     vals, _ = it.vcall(it.get_global("f"), [np.array([0.5, 2.0])])
     np.testing.assert_array_equal(np.asarray(vals[0]), [3.0, 12.0])
+
+
+def test_comparison_metamethod_lane_result_refuses():
+    """Code review (late r3 second pass): table-vs-table __lt whose
+    handler returns a lane array must refuse — _truthy would collapse
+    it to uniform True."""
+    from blinky_tpu.minilua import Interpreter
+
+    src = '''
+P = {}
+P.__index = P
+function P.new(v) return setmetatable({v = v}, P) end
+P.__lt = function(a, b) return a.v < b.v end
+function f(x)
+  local r = 2.0
+  if P.new(x) < P.new(0.0) then r = 1.0 end
+  return r
+end
+'''
+    si = Interpreter()
+    si.run(src)
+    assert [si.call(si.get_global("f"), [v])[0]
+            for v in (-1.0, 1.0)] == [1.0, 2.0]
+    vi = VectorInterpreter()
+    vi.run(src)
+    with pytest.raises(Unvectorizable):
+        vi.vcall(vi.get_global("f"), [np.array([-1.0, 1.0, -3.0])])
+    # uniform operands still fire the handler like the scalar engine
+    vals, _ = vi.vcall(vi.get_global("f"), [-1.0])
+    assert vals[0] == 1.0
+
+
+def test_arith_error_blames_the_nonnumeric_operand():
+    """lane-array + handlerless table must blame the TABLE (the scalar
+    engine's diagnostic), not typename the array."""
+    it = VectorInterpreter()
+    it.run("t = {}\nfunction f(x) return x + t end")
+    with pytest.raises(LuaError, match=r"\(table\)"):
+        it.vcall(it.get_global("f"), [np.array([1.0, 2.0])])
