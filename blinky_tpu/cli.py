@@ -253,7 +253,9 @@ def cmd_reproject(args) -> int:
         sess.cmd(c)
     if args.pose:
         p, y, r = (float(v) for v in args.pose.split(","))
-        sess.cmd(f"setviewangles {p} {y} {r}")
+        # fixed-point text: the console's Q_atof has no exponent syntax
+        # ('1e-05' would parse as 1.0)
+        sess.cmd(f"setviewangles {p:.9f} {y:.9f} {r:.9f}")
     poses = demo.get("poses") if args.follow_poses else None
     if poses is not None and len(poses) == 0:
         poses = None
@@ -403,7 +405,9 @@ def cmd_sweep(args) -> int:
         return 2
     if src is None:
         src = synthetic_cubemap(sess.platesize)
-    if args.rubix:
+    # honor rubix turned on via --cmd too, like cmd_reproject
+    want_rubix = bool(args.rubix or sess.rubix_enabled)
+    if want_rubix:
         # expand once to the raw||tinted layout: rubix then rides the
         # static gather indices with zero per-frame cost (the plain-source
         # per-element tint LUT is catastrophic on v5e — kernels/remap.py)
@@ -457,7 +461,7 @@ def cmd_sweep(args) -> int:
         shots = []
         for v in values:
             sess.cmd(f"{zoom_cmd} {v:.6g}")
-            shots.append(np.asarray(sess.render(src, rubix=args.rubix)))
+            shots.append(np.asarray(sess.render(src, rubix=want_rubix)))
             clock.tick(1)
     out = Path(args.out)
     out.write_bytes(encode_gif(np.stack(shots, axis=-1), sess.palette,

@@ -33,6 +33,10 @@ def read_pak_directory(data: bytes) -> dict:
     for i in range(dir_len // _ENTRY.size):
         raw_name, off, size = _ENTRY.unpack_from(data, dir_off + i * _ENTRY.size)
         name = raw_name.split(b"\x00", 1)[0].decode("latin-1")
+        if off < 0 or size < 0:
+            # a negative offset/size would slice from the END of the
+            # buffer — the ValueError-on-malformed-input contract
+            raise ValueError(f"corrupt PAK entry {name!r} bounds")
         entries[name] = (off, size)
     return entries
 
@@ -46,7 +50,7 @@ def read_pak_entry(pak_path, name: str) -> bytes:
         raise KeyError(f"{name!r} not in {pak_path} "
                        f"({len(entries)} entries)")
     off, size = entries[name]
-    if off + size > len(data):
+    if off < 0 or size < 0 or off + size > len(data):
         raise ValueError("corrupt PAK entry bounds")
     return data[off : off + size]
 

@@ -81,13 +81,16 @@ async function refresh() {
     const r = await fetch('/frame.png?i=' + i + fl, {cache:'no-store'});
     const blob = await r.blob();
     const url = URL.createObjectURL(blob);
+    // revoke via BOTH handlers: an error response (403/500 text) never
+    // fires onload, and at 20 Hz an unrevoked URL per poll is a leak
     img.onload = () => URL.revokeObjectURL(url);
+    img.onerror = () => URL.revokeObjectURL(url);
     img.src = url;
     hud.textContent = r.headers.get('X-Status') || '';
   } finally { busy = false; }
 }
 async function state() {
-  const s = await (await fetch('/state')).json();
+  const s = await (await fetch('/state?t=%TOKEN%')).json();
   n = Math.max(1, s.frames);
   if (s.has_poses) document.getElementById('followbox').style.display = '';
   logLines(s.console);
@@ -247,7 +250,8 @@ class Viewer:
                                                 delay_cs=delay)
                         self._send(200, gif, "image/gif")
                     elif url.path == "/state":
-                        self._send(200, viewer.state_json(),
+                        drain = q.get("t", [""])[0] == viewer.token
+                        self._send(200, viewer.state_json(drain=drain),
                                    "application/json")
                     else:
                         self._send(404, b"not found", "text/plain")
@@ -273,14 +277,15 @@ class Viewer:
         --follow-poses``), expand u32 sources for rubix, render."""
         sess = self.session
         if follow and self.poses is not None:
-            p, y, r = (float(v) for v in
+            # format without exponent notation: the console's Q_atof has
+            # no 'e' syntax (faithful to the C), so '6.1e-05' would parse
+            # as 6.1 — round through the same fixed-point text the
+            # command carries, keeping the no-op equality check stable
+            # across 20 Hz polls
+            p, y, r = (float(f"{float(v):.9f}") for v in
                        self.poses[min(i, len(self.poses) - 1)])
-            # skip the no-op command: setviewangles always flags a
-            # rebuild, and the page polls at 20 Hz even when paused
-            # (str(float) round-trips exactly, so the equality check
-            # stays stable across polls)
             if sess.view_angles != (p, y, r):
-                sess.cmd(f"setviewangles {p} {y} {r}")
+                sess.cmd(f"setviewangles {p:.9f} {y:.9f} {r:.9f}")
         # rubix on a u32 source: the kernel tints AFTER the gather
         # (kernels.remap.remap_gather_tint_impl) — no per-frame host
         # expansion needed
@@ -340,9 +345,13 @@ class Viewer:
         self._drained = len(self.session.console)
         return lines
 
-    def state_json(self) -> bytes:
+    def state_json(self, drain: bool = True) -> bytes:
+        """Session state as JSON.  ``drain=False`` keeps the console
+        cursor: draining is a mutation, so the handler only drains for
+        the token-bearing page (a drive-by cross-origin GET must not
+        consume console lines the real page would then miss)."""
         sess = self.session
-        lines = self.drain_console()
+        lines = self.drain_console() if drain else []
         return json.dumps({
             "frames": len(self.frames),
             "has_poses": self.poses is not None,

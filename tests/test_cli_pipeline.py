@@ -282,3 +282,25 @@ def test_sweep_fisheye_disabled_takes_per_step_path(tmp_path):
     # the plain view ignores f_fov: every step identical
     np.testing.assert_array_equal(frames[..., 0], frames[..., 1])
     np.testing.assert_array_equal(frames[..., 0], frames[..., 2])
+
+
+def test_sweep_honors_session_rubix(tmp_path):
+    """Review (late r3): `sweep --cmd f_rubix` (rubix enabled through
+    the console rather than --rubix) must render the tinted grid."""
+    from blinky_tpu.cli import main
+    from blinky_tpu.io.gif import decode_gif
+
+    plain = tmp_path / "plain.gif"
+    tinted = tmp_path / "tinted.gif"
+    args = ["sweep", "--width", "64", "--height", "48", "--steps", "3",
+            "--start", "140", "--stop", "220"]
+    assert main(args + ["--out", str(plain)]) == 0
+    assert main(args + ["--cmd", "f_rubix", "--out", str(tinted)]) == 0
+    f_plain, _, _ = decode_gif(plain.read_bytes())
+    f_tinted, _, _ = decode_gif(tinted.read_bytes())
+    assert (f_plain != f_tinted).any()
+    # ...and matches the explicit --rubix path bit-exactly
+    explicit = tmp_path / "explicit.gif"
+    assert main(args + ["--rubix", "--out", str(explicit)]) == 0
+    np.testing.assert_array_equal(
+        decode_gif(explicit.read_bytes())[0], f_tinted)

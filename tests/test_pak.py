@@ -46,3 +46,22 @@ def test_pak_corrupt_directory_bounds(tmp_path):
     data = struct.pack("<4sii", b"PACK", -4, 64)
     with pytest.raises(ValueError, match="corrupt PAK"):
         read_pak_directory(data)
+
+
+def test_pak_negative_entry_bounds(tmp_path):
+    """Review (late r3): a directory entry with a NEGATIVE offset/size
+    must raise ValueError — a Python slice from a negative offset would
+    silently return bytes from the END of the file."""
+    import struct
+
+    import pytest
+
+    body = b"PAYLOADBYTES"
+    # one 64-byte entry with off=-100, size=50
+    entry = struct.pack("<56sii", b"gfx/palette.lmp", -100, 50)
+    header = struct.pack("<4sii", b"PACK", len(b"PACK\x00" * 0) + 12 + len(body), 64)
+    data = b"PACK" + struct.pack("<ii", 12 + len(body), 64) + body + entry
+    pak = tmp_path / "neg.pak"
+    pak.write_bytes(data)
+    with pytest.raises(ValueError):
+        read_pak_directory(pak.read_bytes())

@@ -274,3 +274,50 @@ def test_record_gif_is_exact_during_pending_build():
         np.testing.assert_array_equal(
             got[..., k], np.asarray(ref.render(frames[k])),
             err_msg=f"frame {k} not exact")
+
+
+def test_state_drains_console_only_with_token():
+    """Draining the console is a mutation: /state without the page
+    token returns state but must NOT consume pending console lines
+    (a drive-by cross-origin GET would make them vanish from the real
+    page's log)."""
+    import json
+
+    sess = Session(64, 48, platesize=32)
+    v = Viewer(sess, np.stack([synthetic_cubemap(32)]))
+    v.start()
+    try:
+        sess.cmd("echo hello-from-test")
+        _, _, body = _get(v, "/state")  # tokenless: no drain
+        assert json.loads(body)["console"] == []
+        _, _, body = _get(v, f"/state?t={v.token}")
+        lines = json.loads(body)["console"]
+        assert any("hello-from-test" in ln for ln in lines)
+        # drained now: a second token-bearing poll sees nothing new
+        _, _, body = _get(v, f"/state?t={v.token}")
+        assert json.loads(body)["console"] == []
+    finally:
+        v.stop()
+
+
+def test_follow_small_angles_fixed_point():
+    """Pose components in exponent range must not mis-parse through the
+    console (Q_atof has no 'e' syntax): a ~1e-5-degree pose renders as
+    ~zero, identical to the zero pose, and the no-op guard holds."""
+    sess = Session(64, 48, platesize=32)
+    frames = np.stack([synthetic_cubemap(32)] * 2)
+    poses = np.array([[0.0, 0.0, 0.0], [6.104e-05, 0.0, 0.0]], np.float32)
+    v = Viewer(sess, frames, poses=poses)
+    v.start()
+    try:
+        _get(v, "/frame.png?i=1&follow=1")
+        # exponent text would have parsed as 6.104 degrees; fixed-point
+        # keeps the pitch at ~6e-5
+        assert abs(sess.view_angles[0] - 6.104e-05) < 1e-7
+        # the no-op guard is stable: polling the same frame again does
+        # not re-issue setviewangles (no rebuild flagged)
+        va = sess.view_angles
+        _get(v, "/frame.png?i=1&follow=1")
+        assert sess.view_angles == va
+    finally:
+        v.stop()
