@@ -29,6 +29,23 @@ def _ms(t0):
     return round((time.perf_counter() - t0) * 1000, 2)
 
 
+
+def _bench_subprocess(flag: str, quick: bool = False) -> dict:
+    """Run ONE bench.py measurement in its own process and parse the
+    last JSON line.  Big-HBM configs isolate per-process because after
+    a device OOM, later allocations in the same process cascade-fail
+    (CLAUDE.md); a crash must not take the rest of the suite."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    bench = str(Path(__file__).resolve().parents[2] / "bench.py")
+    args = [sys.executable, bench, flag] + (["--quick"] if quick else [])
+    r = subprocess.run(args, capture_output=True, text=True,
+                       timeout=1200, check=True)
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
 def config0_saveglobe_roundtrip():
     """panini+cube 640x480: export plates as PCX, reload, remap one frame;
     verify the remap against direct NumPy indexing of the lensmap."""
@@ -150,16 +167,10 @@ def config4_batched_demo(quick=False):
     # (measured: rubix 27.4k @1536, RGBA 17.1k @640, rubix+RGBA 12.4k
     # @384 — docs/PERF.md §7).  These batches sit near the HBM edge, so
     # each runs in its OWN process (same rationale as config6).
-    import json as _json
-    import subprocess
-    import sys as _sys
-    from pathlib import Path as _Path
-
     # ...and texel-compacted (kernels.remap.compact_texels): the source
     # keeps exactly the 1.70M unique referenced texels, making rubix free
     # in source bytes (measured: rubix 33.4k @4224, RGBA 20.7k @1024,
     # rubix+RGBA 20.7k @1024 — docs/PERF.md §7)
-    bench = str(_Path(__file__).resolve().parents[2] / "bench.py")
     rowcrop = {}
     for key, flag in (("rubix_rowcrop_fps", "--config-rowcrop-rubix"),
                       ("rgba_rowcrop_fps", "--config-rowcrop-rgba"),
@@ -168,12 +179,7 @@ def config4_batched_demo(quick=False):
                       ("rgba_texels_fps", "--config-rowcrop-txrgba"),
                       ("rubix_rgba_texels_fps", "--config-rowcrop-txboth")):
         try:
-            args = [_sys.executable, bench, flag] + (
-                ["--quick"] if quick else [])
-            r = subprocess.run(args, capture_output=True, text=True,
-                               timeout=1200, check=True)
-            rowcrop[key] = round(
-                _json.loads(r.stdout.strip().splitlines()[-1])["fps"], 1)
+            rowcrop[key] = round(_bench_subprocess(flag, quick)["fps"], 1)
         except Exception as e:
             rowcrop[key] = None
             rowcrop[key.replace("_fps", "_error")] = type(e).__name__
@@ -238,21 +244,11 @@ def config6_4k(quick=False):
     task 5).  Each measurement runs in its OWN process: after a device
     OOM, later allocations in the same process cascade-fail
     (CLAUDE.md), and a crash must not take the rest of the suite."""
-    import json as _json
-    import subprocess
-    import sys as _sys
-    from pathlib import Path as _Path
-
-    bench = str(_Path(__file__).resolve().parents[2] / "bench.py")
     out = dict(config=6, name="4K batched reprojection")
     for key, flag in (("plain_fps", "--config4k-plain"),
                       ("rubix_fps", "--config4k-rubix")):
         try:
-            args = [_sys.executable, bench, flag] + (
-                ["--quick"] if quick else [])
-            r = subprocess.run(args, capture_output=True, text=True,
-                              timeout=1200, check=True)
-            parsed = _json.loads(r.stdout.strip().splitlines()[-1])
+            parsed = _bench_subprocess(flag, quick)
             out[key] = round(parsed["fps"], 1)
             out[key.replace("_fps", "_config")] = parsed["config"]
         except Exception as e:
@@ -269,11 +265,6 @@ def config7_equirect(quick=False):
     gathered tile row and runs ~15x slower (docs/PERF.md §9).  The
     B=128 pano batch peaks ~11 GB HBM, so each variant runs in its OWN
     process (post-OOM allocs cascade-fail, CLAUDE.md)."""
-    import json as _json
-    import subprocess
-    import sys as _sys
-    from pathlib import Path as _Path
-
     if quick:
         from blinky_tpu.bench.throughput import run_equirect_throughput
 
@@ -290,7 +281,6 @@ def config7_equirect(quick=False):
             ms_per_batch=round(plain["ms_per_batch"], 1),
         )
 
-    bench = str(_Path(__file__).resolve().parents[2] / "bench.py")
     out = dict(config=7,
                name="equirect 360-video end-to-end (4096x2048 -> 720p)")
     for key, flag in (("bilinear_fps", "--config-eq-plain"),
@@ -299,10 +289,7 @@ def config7_equirect(quick=False):
                       ("bilinear_texels_fps", "--config-eq-texels"),
                       ("bilinear_rubix_texels_fps", "--config-eq-txrubix")):
         try:
-            r = subprocess.run([_sys.executable, bench, flag],
-                               capture_output=True, text=True,
-                               timeout=1200, check=True)
-            parsed = _json.loads(r.stdout.strip().splitlines()[-1])
+            parsed = _bench_subprocess(flag)
             out[key] = round(parsed["fps"], 1)
             if key == "bilinear_fps":
                 out["ms_per_batch"] = round(parsed["ms_per_batch"], 1)

@@ -199,6 +199,11 @@ class PosedRemapKernel:
         bg = self.background
         if frames.dtype == jnp.uint32 and bg.dtype != jnp.uint32:
             raise ValueError("RGBA frames need an RGBA (uint32) background")
+        if frames.dtype != jnp.uint32 and bg.dtype == jnp.uint32:
+            # the reverse mismatch would silently promote the u8 screen
+            # to a nonsense uint32 mix of indices and packed RGBA
+            raise ValueError("u8 frames need a u8 (palette-index) "
+                             "background, got uint32")
         fn = _compiled_posed_pipeline(
             self.lens, self.globe, self.width_px, self.height_px,
             self.platesize, expanded, self.dtype, self.render_scale,
@@ -325,6 +330,9 @@ def zoom_sweep_remap(lens, globe, scales, frame, width_px, height_px,
     bg = jnp.asarray(np.asarray(background).reshape(height_px, width_px))
     if frame.dtype == jnp.uint32 and bg.dtype != jnp.uint32:
         raise ValueError("RGBA frames need an RGBA (uint32) background")
+    if frame.dtype != jnp.uint32 and bg.dtype == jnp.uint32:
+        raise ValueError("u8 frames need a u8 (palette-index) background, "
+                         "got uint32")
     fn = _compiled_sweep_pipeline(
         lens, globe, int(width_px), int(height_px), S, expanded, dtype)
     return fn(

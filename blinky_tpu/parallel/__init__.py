@@ -57,6 +57,12 @@ def shard_kernel(kernel: RemapKernel, mesh: Mesh) -> RemapKernel:
     k.background = jax.device_put(kernel.background, rows)
     k._background_rgba = (None if kernel._background_rgba is None
                           else jax.device_put(kernel._background_rgba, rows))
+    # drop (not carry unsharded) the post-gather tint cache: it is
+    # lensmap-shaped and would mix shardings if a sharded consumer of
+    # the interactive tint path ever materializes it — let the copy
+    # rebuild it row-consistently on first use
+    if getattr(kernel, "_tint_rgb_mask", None) is not None:
+        k._tint_rgb_mask = None
     if kernel.tint_lut is not None:
         rep = NamedSharding(mesh, P())
         k.tint_lut = jax.device_put(kernel.tint_lut, rep)
@@ -146,7 +152,16 @@ def remap_sharded(kernel: RemapKernel, frames, mesh: Mesh, rubix: bool = False,
     from blinky_tpu.palette import MAX_PLATES
 
     frames = shard_frames(frames, mesh)
-    kernel = shard_kernel(kernel, mesh)
+    # reshard the static lensmap operands ONCE per (kernel, mesh): a
+    # per-frame-batch playback loop must not re-upload ~10 MB of
+    # indices through the relay on every call
+    cached = getattr(kernel, "_sharded_for", None)
+    if cached is not None and cached[0] is mesh:
+        kernel = cached[1]
+    else:
+        skernel = shard_kernel(kernel, mesh)
+        kernel._sharded_for = (mesh, skernel)
+        kernel = skernel
     expanded = frames.shape[0] == 2 * MAX_PLATES
     is_rgba = frames.dtype == jnp.uint32
     if expanded or is_rgba:
@@ -163,6 +178,12 @@ def remap_sharded(kernel: RemapKernel, frames, mesh: Mesh, rubix: bool = False,
                 raise ValueError("RGB decode needs a palette")
             out = jnp.take(kernel.rgb_lut, out.astype(jnp.int32), axis=0)
         return out
+    if (rubix and kernel.tint_lut is None) or (
+            decode_rgb and kernel.rgb_lut is None):
+        # same contract as RemapKernel.__call__ — a 1-element dummy LUT
+        # would silently clip every lookup to entry 0
+        raise ValueError("remap_sharded needs a palette for rubix/RGB "
+                         "decode")
     return _remap(
         frames,
         kernel.flat_idx,

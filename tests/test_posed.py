@@ -405,3 +405,23 @@ def test_render_posed_auto_render_scale():
     empty = sess.render_posed(frames[..., :0], poses[:0],
                               render_scale="auto")
     assert empty.shape == (0, H, W)
+
+
+def test_posed_background_dtype_guards():
+    """Review (late r3): BOTH background/frames dtype mismatches raise
+    (u8 frames with a u32 background silently promoted to garbage)."""
+    from blinky_tpu.kernels.posed import PosedRemapKernel
+    from blinky_tpu import globes, lenses
+    from blinky_tpu.io.cubemap import synthetic_cubemap
+    from blinky_tpu.lensmap import Zoom, calc_scale
+
+    g = globes.get("cube")
+    lens = lenses.get("panini", g)
+    scale = calc_scale(Zoom("fov", 180), lens, 64, 48)
+    bg_u32 = np.zeros((48, 64), np.uint32)
+    k = PosedRemapKernel(lens, g, 64, 48, scale, platesize=48,
+                         background=bg_u32)
+    frames = np.repeat(synthetic_cubemap(48)[..., None], 2, axis=-1)
+    bases = np.tile(np.eye(3)[None], (2, 1, 1))
+    with pytest.raises(ValueError, match="u8 frames"):
+        k(frames, bases)

@@ -225,3 +225,50 @@ def test_sharded_builder_accepts_lua_lens():
             np.asarray(getattr(lm_sh, f)), np.asarray(getattr(lm_port, f)),
             err_msg=f"{f} vs port")
     assert len(lm_sh.flat_idx.sharding.device_set) == 8
+
+
+def test_remap_sharded_requires_palette_for_luts():
+    """Review (late r3): rubix/RGB decode on a palette-less kernel must
+    raise (a 1-element dummy LUT silently clips every lookup to 0)."""
+    import pytest
+
+    from blinky_tpu import globes, lenses, parallel
+    from blinky_tpu.io.cubemap import synthetic_cubemap
+    from blinky_tpu.kernels.remap import RemapKernel
+    from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+
+    mesh8 = parallel.make_mesh(n_data=4, n_space=2)
+    g = globes.get("cube")
+    lens = lenses.get("panini", g)
+    lm = build_lensmap(lens, g, calc_scale(Zoom("fov", 180), lens, 64, 48),
+                       64, 48, backend="numpy")
+    k = RemapKernel(lm)  # no palette
+    frames = np.repeat(synthetic_cubemap(48)[..., None], 8, axis=-1)
+    with pytest.raises(ValueError, match="palette"):
+        parallel.remap_sharded(k, frames, mesh8, decode_rgb=True)
+    with pytest.raises(ValueError, match="palette"):
+        parallel.remap_sharded(k, frames, mesh8, rubix=True)
+
+
+def test_remap_sharded_caches_sharded_kernel():
+    """Review (late r3): the static lensmap operands reshard once per
+    (kernel, mesh), not on every per-batch call."""
+    from blinky_tpu import globes, lenses, parallel
+    from blinky_tpu.io.cubemap import synthetic_cubemap
+    from blinky_tpu.kernels.remap import RemapKernel
+    from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+    from blinky_tpu.palette import default_palette
+
+    mesh8 = parallel.make_mesh(n_data=4, n_space=2)
+    g = globes.get("cube")
+    lens = lenses.get("panini", g)
+    lm = build_lensmap(lens, g, calc_scale(Zoom("fov", 180), lens, 64, 48),
+                       64, 48, backend="numpy")
+    k = RemapKernel(lm, default_palette())
+    frames = np.repeat(synthetic_cubemap(48)[..., None], 8, axis=-1)
+    out1 = np.asarray(parallel.remap_sharded(k, frames, mesh8))
+    cached = k._sharded_for
+    assert cached[0] is mesh8
+    out2 = np.asarray(parallel.remap_sharded(k, frames, mesh8))
+    assert k._sharded_for is cached  # reused, not rebuilt
+    np.testing.assert_array_equal(out1, out2)
