@@ -578,7 +578,8 @@ class Session:
         if len(argv) < 2:
             self._print("f_saveglobe <name> [full flag=0]: screenshot the globe plates")
             return
-        with_margins = _c_int(_atof(argv[2])) if len(argv) >= 3 else 0
+        # with_margins = Q_atoi(Cmd_Argv(2)), fisheye.c:1130
+        with_margins = _atoi(argv[2]) if len(argv) >= 3 else 0
         self.save_request = (argv[1][:32], with_margins)
 
     def _cmd_dumppal(self, argv):
@@ -600,12 +601,26 @@ class Session:
                 self.bindings.pop(key, None)
 
     def _cmd_bind(self, argv):
-        if len(argv) >= 3:
-            self.bindings[argv[1]] = argv[2]
+        """``Key_Bind_f`` (``common/keys.c:661-703``): exactly
+        ``bind <key>`` (query) or ``bind <key> <command>`` (set — one
+        quoted token, the reference rejects argc > 3)."""
+        if len(argv) not in (2, 3):
+            self._print("bind <key> [command] : attach a command to a key")
+            return
+        if len(argv) == 2:
+            if argv[1] in self.bindings:
+                self._print(f'"{argv[1]}" = "{self.bindings[argv[1]]}"')
+            else:
+                self._print(f'"{argv[1]}" is not bound')
+            return
+        self.bindings[argv[1]] = argv[2]
 
     def _cmd_unbind(self, argv):
-        if len(argv) >= 2:
-            self.bindings.pop(argv[1], None)
+        """``Key_Unbind_f`` (``common/keys.c:674-690``)."""
+        if len(argv) != 2:
+            self._print("unbind <key> : remove commands from a key")
+            return
+        self.bindings.pop(argv[1], None)
 
     def _cmd_stuffcmds(self, argv):
         """``Cmd_StuffCmds_f`` (``common/cmd.c:236-296``): re-exec the

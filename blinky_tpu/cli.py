@@ -217,7 +217,11 @@ def cmd_serve(args) -> int:
     sess = Session(args.width, args.height, platesize=frames.shape[2],
                    palette=pal, echo=True, cmdline_cmds=args.cmd,
                    **_script_dirs(args))
-    sess.cmd("f_shortcutkeys")  # toggle ON: the reference's lens/globe key binds
+    # the shipped game config (game/id1/config.cfg:6-8): shortcut keys on,
+    # "0" re-toggles them, "r" toggles the rubix grid
+    sess.cmd("f_shortcutkeys")
+    sess.cmd("bind 0 f_shortcutkeys")
+    sess.cmd("bind r f_rubix")
     for c in args.cmd:
         sess.cmd(c)
     viewer = Viewer(sess, frames, poses=poses, host=args.host, port=args.port)

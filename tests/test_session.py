@@ -101,6 +101,28 @@ def test_unbindall_and_config_leads_with_it(tmp_path, sess):
     assert s2.bindings == {}
 
 
+def test_bind_query_and_arity(sess):
+    """Key_Bind_f (keys.c:661-703): ``bind <key>`` prints the binding
+    (or "is not bound"); argc outside 2..3 prints usage and changes
+    nothing; ``unbind`` needs exactly one key (keys.c:674-690)."""
+    sess.cmd('bind 3 "f_lens hammer"')
+    sess.cmd("bind 3")
+    assert sess.console[-1] == '"3" = "f_lens hammer"'
+    sess.cmd("bind 4")
+    assert sess.console[-1] == '"4" is not bound'
+    sess.cmd("bind")
+    assert sess.console[-1].startswith("bind <key> [command]")
+    # argc > 3 is rejected by the reference (keys.c:669-672), even
+    # though the join loop below the guard could have handled it
+    sess.cmd("bind 5 f_fov 90")
+    assert sess.console[-1].startswith("bind <key> [command]")
+    assert "5" not in sess.bindings
+    sess.cmd("unbind")
+    assert sess.console[-1].startswith("unbind <key>")
+    sess.cmd("unbind 3")
+    assert "3" not in sess.bindings
+
+
 def test_stuffcmds_reapplies_cmdline(tmp_path):
     """Cmd_StuffCmds_f (cmd.c:236-296): a config saying ``stuffcmds``
     lets command-line ``--cmd`` overrides win over its own settings
