@@ -616,7 +616,7 @@ class Session:
         self.bindings[argv[1]] = argv[2]
 
     def _cmd_unbind(self, argv):
-        """``Key_Unbind_f`` (``common/keys.c:674-690``)."""
+        """``Key_Unbind_f`` (``common/keys.c:628-644``)."""
         if len(argv) != 2:
             self._print("unbind <key> : remove commands from a key")
             return

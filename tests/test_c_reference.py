@@ -23,6 +23,7 @@ Pinned bit-exactly against the real C output:
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -170,17 +171,21 @@ def test_inverse_lensmap_bitexact_vs_c_1080p(harness, workdir):
     size — the whole 2.07 Mpix table, including the elliptic-function
     lens (quincuncial's static-AGM ``ellipj``)."""
     W, H = 1920, 1080
-    for lens_name, ztype, fov in [("panini", "fov", 180),
-                                  ("quincuncial", "contain", 0),
-                                  # every other ITERATIVE inverse lens:
-                                  # texel-boundary flips from 1-ulp drift
-                                  # in solver loops only surface at
-                                  # production sizes (the quincuncial
-                                  # association bug, CLAUDE.md r2)
-                                  ("winkeltripel", "contain", 0),
-                                  ("vandergrinten", "contain", 0),
-                                  ("mollweide", "contain", 0),
-                                  ("eckert4", "contain", 0)]:
+    configs = [("panini", "fov", 180),
+               ("quincuncial", "contain", 0),
+               # the other lenses whose inverse runs a solver LOOP
+               # (winkeltripel 2-D Newton with early break, eckert4
+               # memoized-row Newton): loop ulp drift only flips texel
+               # boundaries at production sizes (the quincuncial
+               # association bug, CLAUDE.md r2)
+               ("winkeltripel", "contain", 0),
+               ("eckert4", "contain", 0)]
+    if os.environ.get("BLINKY_C_PIN_ALL"):
+        # closed-form but branch/TOL-guarded inverses — deep tier only
+        # (each adds a 2.07-Mpix exact host build + C run, ~8 s)
+        configs += [("vandergrinten", "contain", 0),
+                    ("mollweide", "contain", 0)]
+    for lens_name, ztype, fov in configs:
         c = cref.c_lensmap(
             harness, workdir / "lm_1080.bin", lens_name, "cube", W, H,
             ztype, fov,

@@ -104,7 +104,7 @@ def test_unbindall_and_config_leads_with_it(tmp_path, sess):
 def test_bind_query_and_arity(sess):
     """Key_Bind_f (keys.c:661-703): ``bind <key>`` prints the binding
     (or "is not bound"); argc outside 2..3 prints usage and changes
-    nothing; ``unbind`` needs exactly one key (keys.c:674-690)."""
+    nothing; ``unbind`` needs exactly one key (keys.c:628-644)."""
     sess.cmd('bind 3 "f_lens hammer"')
     sess.cmd("bind 3")
     assert sess.console[-1] == '"3" = "f_lens hammer"'
