@@ -29,7 +29,13 @@ from blinky_tpu import palette as palette_mod
 from blinky_tpu.io.cubemap import save_globe_pcx
 from blinky_tpu.kernels.remap import RemapKernel
 from blinky_tpu.palette import MAX_PLATES
-from blinky_tpu.lensmap import Zoom, ZoomError, build_lensmap, calc_scale
+from blinky_tpu.lensmap import (
+    Zoom,
+    ZoomError,
+    build_lensmap,
+    calc_scale,
+    device_builder_warm,
+)
 
 HELP_TEXT = """-----------------------------
 Welcome to the FISHEYE ADDON!
@@ -695,33 +701,43 @@ class Session:
         cached on (name, globe GENERATION, script mtime).  Reusing the
         same object also keeps the jitted builder's compile cache warm —
         a zoom/pose change must not retrace the lens (and a ``.lua``
-        drop-in's traced re-run is seconds, not ms).  The generation
-        counter, not ``id(globe)``: a freed Globe's id can be reused and
-        silently hit a stale entry (same pitfall as ``_posed_cache``)."""
+        drop-in's traced re-run is seconds, not ms).  The cache holds
+        EVERY lens visited this session (bounded), not just the last
+        one, so switching away and back (shortcut keys 1-9) returns the
+        same LensDef identity — re-switches keep the compiled device
+        builder instead of retracing.  The generation counter, not
+        ``id(globe)``: a freed Globe's id can be reused and silently hit
+        a stale entry (same pitfall as ``_posed_cache``)."""
         try:
-            key = None
+            cache = getattr(self, "_lens_cache", None)
+            if cache is None:
+                cache = self._lens_cache = {}
+
+            def _hit(key, load):
+                lens = cache.get(key)
+                if lens is None:
+                    lens = load()
+                    if len(cache) >= 64:  # matches the builder lru bound
+                        cache.pop(next(iter(cache)))
+                    cache[key] = lens
+                self.lens = lens
+                return True
+
             ggen = getattr(self, "_globe_gen", 0)
             if self.lens_name in lenses_mod.BUILTIN_LENSES:
-                key = (self.lens_name, ggen, None)
-                cached = getattr(self, "_lens_cache", None)
-                if cached is not None and cached[0] == key:
-                    self.lens = cached[1]
-                    return True
-                self.lens = lenses_mod.get(self.lens_name, self.globe)
-                self._lens_cache = (key, self.lens)
-                return True
+                return _hit(
+                    (self.lens_name, ggen, None),
+                    lambda: lenses_mod.get(self.lens_name, self.globe),
+                )
             for d in self.lens_dirs:
                 for ext in (".py", ".lua"):  # .lua = reference drop-ins
                     p = d / f"{self.lens_name}{ext}"
                     if p.exists():
-                        key = (str(p), ggen, p.stat().st_mtime_ns)
-                        cached = getattr(self, "_lens_cache", None)
-                        if cached is not None and cached[0] == key:
-                            self.lens = cached[1]
-                            return True
-                        self.lens = lenses_mod.load_lens_module(p, self.globe)
-                        self._lens_cache = (key, self.lens)
-                        return True
+                        return _hit(
+                            (str(p), ggen, p.stat().st_mtime_ns),
+                            lambda: lenses_mod.load_lens_module(
+                                p, self.globe),
+                        )
         except Exception as e:  # loader diagnostics, fisheye.c:1671-1677
             self._print(f"could not load lens: {e}")
         return False
@@ -787,8 +803,15 @@ class Session:
                 view_basis=self._view_basis(),
             )
             self._pending_build = pb
-            if self._jittable():
-                # instant f32 device preview (ms; drift docs/PERF.md §5)
+            if self._jittable() and device_builder_warm(
+                    self.lens, self.globe, self.width_px, self.height_px,
+                    self.platesize):
+                # instant f32 device preview (ms; drift docs/PERF.md §5).
+                # WARM builders only: a cold jit compile blocks seconds
+                # to minutes through the relay — exactly the stall the
+                # time-sliced path exists to avoid — so a cold lens
+                # paints the growing partial table instead (the
+                # reference's pixels-appearing UX, fisheye.c:306-322)
                 self._lensmap = build_lensmap(
                     self.lens, self.globe, scale, self.width_px,
                     self.height_px, self.platesize,
@@ -797,9 +820,11 @@ class Session:
                     pad_size=self.rubix_pad_size, backend="jax",
                     view_basis=self._view_basis(),
                 )
+                self._preview_is_partial = False
             else:
                 pb.step(self.build_budget_s)  # first slice right away
                 self._lensmap = pb.partial()
+                self._preview_is_partial = True
             self._kernel = RemapKernel(self._lensmap, self.palette,
                                        self._background)
             self._changed = False
@@ -833,7 +858,7 @@ class Session:
             self._kernel = RemapKernel(self._lensmap, self.palette,
                                        self._background)
             self._pending_build = None
-        elif not self._jittable():
+        elif getattr(self, "_preview_is_partial", False):
             # pixels-appearing preview: refresh the partial table
             self._lensmap = pb.partial()
             self._kernel = RemapKernel(self._lensmap, self.palette,
@@ -845,6 +870,32 @@ class Session:
         pending, else None."""
         pb = self._pending_build
         return None if pb is None else pb.progress
+
+    def warm_device_builder(self) -> bool:
+        """Compile + execute the f32 device builder for the active
+        lens/globe at this session's shapes, paying the cold jit compile
+        NOW so the first interactive pose change (drag-look) or preview
+        doesn't stall on it.  Returns True if a device builder is now
+        warm (inverse-mapped, traceable lens only — forward lenses
+        rasterize on the host and have no device builder)."""
+        if not (self.lens_valid and self.globe_valid):
+            return False
+        self.lens_valid = self._load_lens()
+        if not (self.lens_valid and self._jittable()
+                and self.lens.map_type == "inverse"):
+            return False
+        try:
+            scale = calc_scale(self.zoom, self.lens, self.width_px,
+                               self.height_px)
+        except ZoomError:
+            scale = 1.0  # any scale: it is a dynamic jit argument
+        build_lensmap(
+            self.lens, self.globe, scale, self.width_px, self.height_px,
+            self.platesize, numcells=self.rubix_numcells,
+            cell_size=self.rubix_cell_size, pad_size=self.rubix_pad_size,
+            backend="jax", view_basis=self._view_basis(),
+        )
+        return True
 
     @property
     def lensmap(self):

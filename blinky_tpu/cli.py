@@ -224,6 +224,15 @@ def cmd_serve(args) -> int:
     sess.cmd("bind r f_rubix")
     for c in args.cmd:
         sess.cmd(c)
+    if not args.no_warm:
+        # pay the cold compiles before serving so the first interactive
+        # action is ms, not a cold-jit stall: the device builder (drag-
+        # look / preview) AND one throwaway render (the gather kernel +
+        # axon client init — ~45 s cold in a fresh process, then cached)
+        print("warming the device builder and remap kernel (first-ever "
+              "compile can take a minute; cached afterwards) ...")
+        sess.warm_device_builder()
+        np.asarray(sess.render(frames[0]))
     viewer = Viewer(sess, frames, poses=poses, host=args.host, port=args.port)
     print(f"serving {len(frames)} frame(s) at {viewer.address} — Ctrl-C to stop")
     try:
@@ -684,6 +693,9 @@ def main(argv=None) -> int:
                    help="synthetic cubemap platesize when no --demo")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8666)
+    p.add_argument("--no-warm", action="store_true",
+                   help="skip the startup device-builder compile for the "
+                        "active lens (first drag-look will pay it instead)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("gallery", help="render every lens to an image dir")

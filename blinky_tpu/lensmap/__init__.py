@@ -8,4 +8,8 @@ index, a validity mask, and a compact tint plane, all static per
 """
 
 from blinky_tpu.lensmap.zoom import Zoom, ZoomError, calc_scale  # noqa: F401
-from blinky_tpu.lensmap.builder import LensMap, build_lensmap  # noqa: F401
+from blinky_tpu.lensmap.builder import (  # noqa: F401
+    LensMap,
+    build_lensmap,
+    device_builder_warm,
+)

@@ -310,6 +310,21 @@ def _compiled_inverse_builder(lens, globe, width_px, height_px, platesize, dtype
     return jax.jit(build)
 
 
+def device_builder_warm(lens, globe, width_px, height_px, platesize,
+                        dtype=None) -> bool:
+    """True once the jitted inverse builder for this (lens, globe, shape)
+    has EXECUTED in this process — i.e. a device build now costs ms, not
+    a cold jit compile (seconds to minutes for solver-loop lenses through
+    the axon relay).  Consumers (Session's time-sliced preview) use this
+    to avoid blocking an interactive path on a first compile."""
+    if platesize is None:
+        platesize = min(width_px, height_px)
+    fn = _compiled_inverse_builder(
+        lens, globe, width_px, height_px, platesize, dtype or jnp.float32
+    )
+    return getattr(fn, "_executed", False)
+
+
 def build_lensmap(
     lens: LensDef,
     globe: Globe,
@@ -377,6 +392,7 @@ def build_lensmap(
             jnp.asarray(pad_size, dtype=dtype),
             tuple(jnp.asarray(v, dtype=dtype) for v in view_basis),
         )
+        fn._executed = True  # compile paid: device_builder_warm now True
     return LensMap(
         width_px=width_px,
         height_px=height_px,

@@ -102,6 +102,35 @@ def test_session_time_sliced_build_swaps_to_exact():
     np.testing.assert_array_equal(out, np.asarray(blocking.render(frames)))
 
 
+def test_preview_prefers_partial_until_device_warm():
+    """The f32 device preview is used only once its jit compile is paid
+    (a cold compile blocks seconds-to-minutes through the relay — the
+    very stall the time-sliced path exists to avoid): a first switch
+    paints the growing partial table; after warm_device_builder() the
+    same lens previews on the device."""
+    frames = synthetic_cubemap(32)
+    sess = Session(64, 48, platesize=32, build_budget_s=0.0005)
+    sess.cmd("f_lens winkeltripel")
+    sess.render(frames)
+    assert sess._preview_is_partial  # cold: no device compile on this path
+    assert sess.build_progress is not None
+    # the partial preview gains rows as slices land (pixels appear)
+    rows0 = np.asarray(sess._lensmap.valid).any(axis=1).sum()
+    for _ in range(200):
+        sess.render(frames)
+        if sess.build_progress is None:
+            break
+        if np.asarray(sess._lensmap.valid).any(axis=1).sum() > rows0:
+            break
+    assert (sess.build_progress is None
+            or np.asarray(sess._lensmap.valid).any(axis=1).sum() > rows0)
+    # pay the compile; a rebuild of the SAME LensDef now device-previews
+    assert sess.warm_device_builder()
+    sess.cmd("f_fov 140")  # zoom change: same lens object, new build
+    sess.render(frames)
+    assert not sess._preview_is_partial
+
+
 def test_session_lensmap_property_finishes_pending_build():
     """Direct lensmap access demands the exact table (parity consumers):
     it must finish the pending sliced build synchronously."""

@@ -451,6 +451,20 @@ def test_echo(sess):
     sess.cmd("wait")  # no frame loop here: accepted as a no-op
 
 
+def test_lens_switch_back_reuses_lensdef():
+    """The LensDef cache holds every lens visited this session: cycling
+    through the shortcut lenses and back returns the SAME object, so the
+    compiled device builder (keyed on lens identity) survives
+    re-switches instead of retracing."""
+    sess = Session(64, 48, backend="numpy")
+    sess.cmd("f_lens hammer")
+    lens_a = sess.lens
+    sess.cmd("f_lens stereographic")
+    assert sess.lens is not lens_a
+    sess.cmd("f_lens hammer")
+    assert sess.lens is lens_a
+
+
 def test_lens_cache_keyed_on_globe_generation():
     """Review round 3: the LensDef cache keys on a globe GENERATION, not
     id(globe) — every globe switch invalidates it even if a freed

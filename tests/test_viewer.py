@@ -222,6 +222,9 @@ def test_viewer_lens_switch_time_sliced():
     frames = synthetic_cubemap(48)[None]
     v = Viewer(sess, frames)
     assert sess.build_budget_s == pytest.approx(1 / 60)
+    # shrink the slice so the tiny 96x72 exact build spans several
+    # frames (at 1/60 s it lands within ~2 slices — instant-exact)
+    sess.build_budget_s = 2e-4
     v.start()
     try:
         _get(v, "/cmd?c=f_lens%20winkeltripel")
