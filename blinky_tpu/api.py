@@ -989,7 +989,7 @@ class Session:
         return self._kernel(frames, rubix=rubix, decode_rgb=decode_rgb)
 
     def render_posed(self, frames, poses, render_scale=1,
-                     target_fps: float = 60.0):
+                     target_fps: float = 60.0, exact: bool = False):
         """Per-frame-pose playback: every frame gets its own view rotation.
 
         ``frames``: [P, S, S, B] (u8 plates, the expanded [12, ...] rubix
@@ -1007,21 +1007,29 @@ class Session:
         ``chunk_cost(B, k) = d + B(c + b/k²)`` model is fitted, and the
         SMALLEST k predicted to sustain ``target_fps`` at THIS chunk
         size is used (native resolution when the chip can hold it; the
-        measured per-index wall is docs/PERF.md §6).  Forward-only
-        lenses resolve "auto" to 1 (their exact host path has no fused
-        pipeline to probe); non-jittable lenses raise like any other
-        ``render_posed`` call.
+        measured per-index wall is docs/PERF.md §6).
 
-        One fused device call builds B lensmaps (vmapped f32 builder) and
-        gathers each frame through its own — the framework analog of the
-        reference recomposing plate cameras from ``viewangles`` every
-        frame (``F_RenderView``, ``fisheye.c:750,777-792``); see
-        ``kernels/posed.py``.  Static renders should use :meth:`render`
-        (exact path).
+        The default path is the static-ray recomposition
+        (``kernels/static_ray.py``): one per-pixel camera-ray table per
+        (lens, zoom, size) — the reference's own pose/lensmap decoupling
+        (``fisheye.c:750,2427-2450`` vs ``2346-2397``) — then per pose a
+        lens-free rotate + plate-resolve + gather, fused on device for
+        ALL 31 lenses (forward-only and scalar-only ``.lua`` scripts
+        included; their table reconstructs texel-center rays from the
+        exact host build).  For inverse lenses this matches the vmapped
+        f32 builder exactly; for forward-only lenses the table
+        quantizes rays to texel centers.
+
+        ``exact=True`` opts into the per-pose exact host path instead
+        (one float64 host build per pose — forward rasterization in C
+        scan order, or the exact inverse builder): bit-identical to
+        static ``setviewangles`` renders, host-build-bound.  Static
+        renders should use :meth:`render` (exact by default).
         """
         from blinky_tpu.kernels.posed import (
-            PosedRemapKernel, bases_from_pose_track, check_render_scale,
+            bases_from_pose_track, check_render_scale,
         )
+        from blinky_tpu.kernels.static_ray import StaticRayPosedKernel
 
         if not (self.fisheye_enabled and self.lens_valid and self.globe_valid):
             raise ValueError("render_posed needs fisheye enabled and a valid lens/globe")
@@ -1050,36 +1058,14 @@ class Session:
                 (0, self.height_px, self.width_px),
                 np.uint32 if frames.dtype == np.uint32 else np.uint8)
         if render_scale == "auto":
-            if self.lens.map_type == "forward":
-                render_scale = 1  # exact host path: nothing to probe
-            elif not self._jittable():
-                render_scale = 1  # falls into the ValueError below,
-                # like every render_posed call on a non-jittable lens
+            if exact:
+                render_scale = 1  # per-pose host builds: nothing to probe
             else:
                 render_scale = self._auto_render_scale(
                     frames, bases, scale, float(target_fps))
-        if self.lens.map_type == "forward":
-            # forward-only lenses (10 of 31) rasterize on the host in
-            # scan order (draw_quad, fisheye.c:2126-2338) — there is no
-            # vmappable inverse expression to fuse on device, so pose
-            # playback pays one exact host build per pose.  Slow but
-            # uniform: every shipped lens plays poses, as the
-            # reference's one builder serves every lens (fisheye.c:
-            # 730-746) with forward mapping as its documented slow path
-            # (lenses/README.md, "Mapping").
-            return self._render_posed_forward(frames, bases, scale,
-                                              int(render_scale))
-        if not self._jittable():
-            # .lua drop-ins trace through the Lua->JAX evaluator and are
-            # jittable like the ports (ALL 21 shipped inverse-capable
-            # scripts incl. debug.lua); only scripts that genuinely need
-            # per-lane control (e.g. lane-varying table writes) land here
-            raise ValueError(
-                f"render_posed needs a jittable lens+globe: "
-                f"'{self.lens_name}'/'{self.globe_name}' failed the "
-                "trace probe (per-lane control flow) and runs on the "
-                "exact host builder only"
-            )
+        if exact:
+            return self._render_posed_exact(frames, bases, scale,
+                                            int(render_scale))
         is_rgba = frames.dtype == np.uint32
         # keyed on a background GENERATION, not id(): a freed array's id
         # can be reused and silently hit a stale cache entry
@@ -1090,14 +1076,35 @@ class Session:
         cached = getattr(self, "_posed_cache", None)
         if cached is None or cached[0] != key:
             bg = self._posed_background(is_rgba)
-            kernel = PosedRemapKernel(
+            kernel = StaticRayPosedKernel(
                 self.lens, self.globe, self.width_px, self.height_px, scale,
                 platesize=S, numcells=self.rubix_numcells,
                 cell_size=self.rubix_cell_size, pad_size=self.rubix_pad_size,
                 background=bg, render_scale=int(render_scale),
+                lensmap=self._reusable_static_lensmap(scale, S,
+                                                      int(render_scale)),
             )
             self._posed_cache = (key, kernel)
         return self._posed_cache[1](frames, bases)
+
+    def _reusable_static_lensmap(self, scale, platesize, render_scale):
+        """The session's already-built static lensmap, when it is usable
+        as the source of a forward-lens ray table: finished (no pending
+        sliced build), current (no pending rebuild), built at this exact
+        (scale, size, platesize) with no view rotation composed in, and
+        the posed grid is full-resolution.  Saves the one-time host
+        rasterization when a static render already paid it."""
+        lm = self._lensmap
+        if (lm is None or self._changed or self._pending_build is not None
+                or render_scale != 1 or self._view_basis() is not None
+                or getattr(self, "_preview_is_partial", False)):
+            return None
+        if (lm.width_px, lm.height_px, lm.platesize) != (
+                self.width_px, self.height_px, platesize):
+            return None
+        if lm.scale != float(scale):
+            return None
+        return lm
 
     def _auto_render_scale(self, frames, bases, scale, target_fps):
         """Dynamic resolution for pose playback.
@@ -1117,12 +1124,13 @@ class Session:
         there than a single-pose caller gets.  Probes are cached per
         (lens, globe, size, source kind) — timings do not depend on the
         zoom value (scale is a dynamic jit argument), so f_fov changes
-        reuse the calibration."""
+        reuse the calibration.  Probing builds the static-ray tables for
+        k=1 and k=max (for forward-only lenses: two one-time host
+        rasterizations, cached with the calibration)."""
         import time
 
-        from blinky_tpu.kernels.posed import (
-            PosedRemapKernel, check_render_scale,
-        )
+        from blinky_tpu.kernels.posed import check_render_scale
+        from blinky_tpu.kernels.static_ray import StaticRayPosedKernel
 
         S = frames.shape[1]
         B = frames.shape[-1]
@@ -1160,12 +1168,13 @@ class Session:
                   for n in (2, 8)}
 
             def probe(n, k):
-                kernel = PosedRemapKernel(
+                kernel = StaticRayPosedKernel(
                     self.lens, self.globe, self.width_px, self.height_px,
                     scale, platesize=S, numcells=self.rubix_numcells,
                     cell_size=self.rubix_cell_size,
                     pad_size=self.rubix_pad_size, background=bg,
                     render_scale=k,
+                    lensmap=self._reusable_static_lensmap(scale, S, k),
                 )
                 best = np.inf
                 device_fetch_sync(kernel(pf[n], pb[n]))  # compile + warm
@@ -1204,24 +1213,25 @@ class Session:
             bg = np.asarray(frames_to_rgba(bg, self.palette))
         return bg
 
-    def _render_posed_forward(self, frames, bases, scale, k):
-        """Pose playback for forward-only lenses: per-pose exact host
-        rasterization + per-frame remap.
+    def _render_posed_exact(self, frames, bases, scale, k):
+        """Pose playback on the per-pose exact host path
+        (``render_posed(exact=True)``): one float64 host build per pose —
+        forward scan-order rasterization for forward-only lenses, the
+        exact inverse builder otherwise — + per-frame remap.
 
-        Each pose composes its view basis into the forward build
-        (``build_forward(view_basis=...)``, the same table a static
-        ``setviewangles`` render uses), so the result for pose ``b`` is
-        bit-identical to rendering frame ``b`` at those angles —
-        *when the session rubix state matches the source expansion*:
-        like the fused :class:`PosedRemapKernel` path, rubix rides the
-        SOURCE on posed renders (expanded raw||tinted layout = tinted,
-        raw = untinted; the session ``f_rubix`` flag is not consulted),
-        whereas a static :meth:`render` call applies the session flag.
-        Pinned in ``tests/test_posed.py``.  ``render_scale`` k builds
-        the table at 1/k resolution and nearest-upsamples under the
-        upsampled validity mask, like the fused device path.
-        Host-build-bound; the fused path stays reserved for inverse
-        lenses where the builder vmaps.
+        Each pose composes its view basis into the build
+        (``view_basis=...``, the same table a static ``setviewangles``
+        render uses), so the result for pose ``b`` is bit-identical to
+        rendering frame ``b`` at those angles — *when the session rubix
+        state matches the source expansion*: like the fused device
+        paths, rubix rides the SOURCE on posed renders (expanded
+        raw||tinted layout = tinted, raw = untinted; the session
+        ``f_rubix`` flag is not consulted), whereas a static
+        :meth:`render` call applies the session flag.  Pinned in
+        ``tests/test_posed.py``.  ``render_scale`` k builds the table at
+        1/k resolution and nearest-upsamples under the upsampled
+        validity mask, like the fused device path.  Host-build-bound;
+        the default static-ray path serves every lens on device.
         """
         from blinky_tpu.kernels.posed import check_render_scale
 
@@ -1241,6 +1251,7 @@ class Session:
                 numcells=self.rubix_numcells,
                 cell_size=self.rubix_cell_size,
                 pad_size=self.rubix_pad_size,
+                backend="numpy",
                 view_basis=(basis[0], basis[1], basis[2]),
             )
             kern = RemapKernel(lm, self.palette, zero_bg)

@@ -201,10 +201,14 @@ def config4_batched_demo(quick=False):
 
 def config5_pose_playback(quick=False):
     """Pose-tracked playback, both granularities: chunked (one lensmap per
-    chunk — smooth pan/tilt fast path) and true per-frame poses (fused
-    vmapped builder + per-pose gather, kernels/posed.py)."""
+    chunk — smooth pan/tilt fast path) and true per-frame poses — the
+    round-4 static-ray recomposition (the default render_posed path,
+    kernels/static_ray.py), the vmapped-builder pipeline it superseded
+    (kernels/posed.py, kept as the regression comparison), and the
+    forward-only-lens datapoints (VERDICT r3 task 7)."""
     from blinky_tpu.bench.throughput import (
-        run_per_frame_pose_throughput, run_pose_tracked_throughput,
+        run_forward_posed_throughput, run_per_frame_pose_throughput,
+        run_pose_tracked_throughput, run_static_ray_pose_throughput,
     )
 
     # chunk size trades pose granularity for throughput; the per-chunk
@@ -216,6 +220,10 @@ def config5_pose_playback(quick=False):
                                           iters=3 if quick else 8)
     per_frame = run_per_frame_pose_throughput(batch=8 if quick else 16,
                                               reps=2 if quick else 3)
+    static_ray = run_static_ray_pose_throughput(batch=8 if quick else 16,
+                                                reps=2 if quick else 3)
+    fwd_kw = dict(batch=4, reps=2) if quick else dict(batch=16, reps=3)
+    forward = run_forward_posed_throughput(**fwd_kw)
     # the B=1024 datapoint sits at the documented u8 HBM ceiling, so it
     # runs LAST and guarded: an OOM there must lose only this number,
     # not the measurements above (post-OOM allocs cascade-fail, CLAUDE.md)
@@ -231,10 +239,16 @@ def config5_pose_playback(quick=False):
         chunked_fps=round(chunked["fps"], 1),
         chunked_fps_1024=None if chunked_max is None
         else round(chunked_max["fps"], 1),
-        per_frame_fps=round(per_frame["fps"], 1),
-        per_frame_ms=round(per_frame["ms_per_frame"], 2),
-        per_frame_fps_scale2=round(per_frame["fps_scale2"], 1),
-        per_frame_ms_scale2=round(per_frame["ms_per_frame_scale2"], 2),
+        per_frame_fps=round(static_ray["fps"], 1),
+        per_frame_ms=round(static_ray["ms_per_frame"], 2),
+        per_frame_fps_scale2=round(static_ray["fps_scale2"], 1),
+        per_frame_ms_scale2=round(static_ray["ms_per_frame_scale2"], 2),
+        builder_fused_fps=round(per_frame["fps"], 1),
+        builder_fused_fps_scale2=round(per_frame["fps_scale2"], 1),
+        forward_fps=round(forward["fps"], 1),
+        forward_table_ms=round(forward["table_ms"], 1),
+        forward_exact_fps=round(forward["exact_fps"], 3),
+        forward_exact_ms=round(forward["exact_ms_per_frame"], 1),
     )
 
 

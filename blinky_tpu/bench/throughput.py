@@ -678,6 +678,113 @@ def run_per_frame_pose_throughput(
     )
 
 
+def run_static_ray_pose_throughput(
+    width=1920, height=1080, platesize=1080, batch=16, reps=3,
+    lens_name="panini", globe_name="cube", fov=180,
+):
+    """Per-frame poses through the static-ray recomposition
+    (kernels/static_ray.py, round 4): the ray table is built once, each
+    pose is rotate + plate-resolve + gather with NO lens math — the
+    per-pose cost the vmapped builder path paid (~6.5 ms at 1080p,
+    docs/PERF.md §6) drops to the elementwise resolve + the per-index
+    gather wall."""
+    from blinky_tpu.kernels.posed import bases_from_pose_track
+    from blinky_tpu.kernels.static_ray import StaticRayPosedKernel
+
+    g = globes.get(globe_name)
+    lens = lenses.get(lens_name, g)
+    scale = calc_scale(Zoom("fov", fov), lens, width, height)
+    frames = device_source(platesize, batch, False, False)
+    poses = np.stack([
+        np.linspace(-20, 20, batch),
+        np.linspace(0, 90, batch),
+        np.zeros(batch),
+    ], axis=1)
+    bases = bases_from_pose_track(poses)
+    t0 = time.perf_counter()
+    k = StaticRayPosedKernel(lens, g, width, height, scale,
+                             platesize=platesize)
+    table_ms = (time.perf_counter() - t0) * 1000
+    _sync(k(frames, bases))  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _sync(k(frames, bases))
+    dt = (time.perf_counter() - t0) / reps
+    k2 = StaticRayPosedKernel(lens, g, width, height, scale,
+                              platesize=platesize, render_scale=2)
+    _sync(k2(frames, bases))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _sync(k2(frames, bases))
+    dt2 = (time.perf_counter() - t0) / reps
+    return dict(
+        config=(f"static-ray poses {lens_name}+{globe_name} "
+                f"{width}x{height} chunk={batch}"),
+        fps=batch / dt,
+        ms_per_frame=dt / batch * 1000,
+        fps_scale2=batch / dt2,
+        ms_per_frame_scale2=dt2 / batch * 1000,
+        table_ms=table_ms,
+    )
+
+
+def run_forward_posed_throughput(
+    width=1920, height=1080, platesize=1080, batch=16, reps=3,
+    exact_poses=1, lens_name="eckert1", globe_name="cube",
+):
+    """Forward-only lens pose playback at 1080p (VERDICT r3 task 7: the
+    previously-unpublished datapoint).  Measures BOTH paths:
+
+    * ``exact_fps`` — the per-pose exact host rasterization
+      (``Session.render_posed(exact=True)``), the only path rounds 1-3
+      had for the 10 forward-only lenses (host-build-bound);
+    * ``fps`` — the round-4 static-ray device path: one host
+      rasterization total (``table_ms``) builds the ray table, then
+      every pose is lens-free on device."""
+    from blinky_tpu.api import Session
+    from blinky_tpu.kernels.posed import bases_from_pose_track
+    from blinky_tpu.kernels.static_ray import StaticRayPosedKernel
+
+    g = globes.get(globe_name)
+    lens = lenses.get(lens_name, g)
+    scale = calc_scale(Zoom("contain"), lens, width, height)
+    frames = device_source(platesize, batch, False, False)
+    poses = np.stack([
+        np.linspace(-20, 20, batch),
+        np.linspace(0, 90, batch),
+        np.zeros(batch),
+    ], axis=1)
+    bases = bases_from_pose_track(poses)
+
+    # exact host fallback: one pose is enough to publish the rate (each
+    # pose is a full forward rasterization + remap on the host)
+    sess = Session(width, height, platesize=platesize)
+    sess.cmd(f"f_lens {lens_name}")
+    t0 = time.perf_counter()
+    sess.render_posed(frames[..., :exact_poses], poses[:exact_poses],
+                      exact=True)
+    exact_dt = (time.perf_counter() - t0) / exact_poses
+
+    t0 = time.perf_counter()
+    k = StaticRayPosedKernel(lens, g, width, height, scale,
+                             platesize=platesize)
+    table_ms = (time.perf_counter() - t0) * 1000
+    _sync(k(frames, bases))  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _sync(k(frames, bases))
+    dt = (time.perf_counter() - t0) / reps
+    return dict(
+        config=(f"forward-lens poses {lens_name}+{globe_name} "
+                f"{width}x{height} chunk={batch}"),
+        fps=batch / dt,
+        ms_per_frame=dt / batch * 1000,
+        exact_fps=1.0 / exact_dt,
+        exact_ms_per_frame=exact_dt * 1000,
+        table_ms=table_ms,
+    )
+
+
 def run_build_bench(width=1920, height=1080, lens_name="stereographic",
                     globe_name="cube", fovs=(90, 120, 150, 180, 210, 240, 270),
                     device_iters=16):

@@ -63,6 +63,64 @@ def flat_gather_safe(batch: int, n_per_frame: int) -> bool:
     return batch * n_per_frame < 2**31
 
 
+def prep_posed_inputs(frames, bases, platesize, dtype, background):
+    """Validate + flatten a posed call's inputs (shared by the fused
+    vmapped-builder kernel and the static-ray kernel,
+    :mod:`blinky_tpu.kernels.static_ray`).
+
+    Returns ``(src [B, N], bases [B, 3, 3], expanded)`` where ``src`` is
+    the batch-major flattened source (pose ``b`` gathers from its own
+    frame).
+    """
+    frames = jnp.asarray(frames)
+    if frames.dtype not in (jnp.uint8, jnp.uint32):
+        frames = frames.astype(jnp.uint8)
+    P, S, _, B = frames.shape
+    if S != platesize:
+        raise ValueError(f"frames platesize {S} != kernel platesize {platesize}")
+    expanded = P == 2 * MAX_PLATES
+    if not expanded and P != MAX_PLATES:
+        frames = jnp.concatenate(
+            [frames, jnp.zeros((MAX_PLATES - P,) + frames.shape[1:], frames.dtype)],
+            axis=0,
+        )
+    bases = jnp.asarray(bases, dtype=dtype)  # [B, 3, 3] (fwd, rgt, up)
+    if bases.shape != (B, 3, 3):
+        raise ValueError(f"bases must be [B={B}, 3, 3], got {bases.shape}")
+    src = jnp.transpose(frames, (3, 0, 1, 2)).reshape(B, -1)
+    if frames.dtype == jnp.uint32 and background.dtype != jnp.uint32:
+        raise ValueError("RGBA frames need an RGBA (uint32) background")
+    if frames.dtype != jnp.uint32 and background.dtype == jnp.uint32:
+        # the reverse mismatch would silently promote the u8 screen
+        # to a nonsense uint32 mix of indices and packed RGBA
+        raise ValueError("u8 frames need a u8 (palette-index) "
+                         "background, got uint32")
+    return src, bases, expanded
+
+
+def gather_posed(src, idx, valid, background, k, flat_gather):
+    """The posed pipelines' shared gather tail: per-pose index tables ->
+    screens.  ``idx``/``valid`` are [B, H/k, W/k]; returns [B, H, W]
+    (nearest-upsampled when the render_scale ``k`` > 1), background where
+    invalid.  ``flat_gather`` picks the flat global element gather
+    (measured 10.06 vs 12.5 ns/index on v5e, docs/PERF.md §6) when the
+    int32 index space allows it."""
+    B = src.shape[0]
+    H, W = idx.shape[1], idx.shape[2]
+    if flat_gather and flat_gather_safe(B, src.shape[1]):
+        N = src.shape[1]
+        gi = (jnp.arange(B, dtype=jnp.int32)[:, None] * N
+              + idx.reshape(B, -1)).reshape(-1)
+        out = jnp.take(src.reshape(-1), gi, mode="clip").reshape(B, H, W)
+    else:
+        out = jnp.take_along_axis(
+            src, idx.reshape(B, -1), axis=1, mode="clip").reshape(B, H, W)
+    if k > 1:
+        out = jnp.repeat(jnp.repeat(out, k, axis=1), k, axis=2)
+        valid = jnp.repeat(jnp.repeat(valid, k, axis=1), k, axis=2)
+    return jnp.where(valid, out, background)
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled_posed_pipeline(lens, globe, width_px, height_px, platesize,
                              expanded, dtype, render_scale=1,
@@ -114,19 +172,8 @@ def _compiled_posed_pipeline(lens, globe, width_px, height_px, platesize,
         )(bases_fwd, bases_rgt, bases_up,
           scale, numcells, cell_size, pad_size)
         B = src.shape[0]
-        if flat_gather and flat_gather_safe(B, src.shape[1]):
-            N = src.shape[1]
-            gi = (jnp.arange(B, dtype=jnp.int32)[:, None] * N
-                  + idx.reshape(B, -1)).reshape(-1)
-            out = jnp.take(src.reshape(-1), gi, mode="clip").reshape(B, H, W)
-        else:
-            out = jnp.take_along_axis(
-                src, idx.reshape(B, -1), axis=1, mode="clip").reshape(B, H, W)
-        valid = valid.reshape(B, H, W)
-        if k > 1:
-            out = jnp.repeat(jnp.repeat(out, k, axis=1), k, axis=2)
-            valid = jnp.repeat(jnp.repeat(valid, k, axis=1), k, axis=2)
-        return jnp.where(valid, out, background)
+        return gather_posed(src, idx.reshape(B, H, W), valid.reshape(B, H, W),
+                            background, k, flat_gather)
 
     return jax.jit(run)
 
@@ -179,37 +226,14 @@ class PosedRemapKernel:
             background.reshape(self.height_px, self.width_px))
 
     def __call__(self, frames, bases):
-        frames = jnp.asarray(frames)
-        if frames.dtype not in (jnp.uint8, jnp.uint32):
-            frames = frames.astype(jnp.uint8)
-        P, S, _, B = frames.shape
-        if S != self.platesize:
-            raise ValueError(f"frames platesize {S} != kernel platesize {self.platesize}")
-        expanded = P == 2 * MAX_PLATES
-        if not expanded and P != MAX_PLATES:
-            frames = jnp.concatenate(
-                [frames, jnp.zeros((MAX_PLATES - P,) + frames.shape[1:], frames.dtype)],
-                axis=0,
-            )
-        bases = jnp.asarray(bases, dtype=self.dtype)  # [B, 3, 3] (fwd, rgt, up)
-        if bases.shape != (B, 3, 3):
-            raise ValueError(f"bases must be [B={B}, 3, 3], got {bases.shape}")
-        # batch-major flattened source: pose b gathers from its own frame
-        src = jnp.transpose(frames, (3, 0, 1, 2)).reshape(B, -1)
-        bg = self.background
-        if frames.dtype == jnp.uint32 and bg.dtype != jnp.uint32:
-            raise ValueError("RGBA frames need an RGBA (uint32) background")
-        if frames.dtype != jnp.uint32 and bg.dtype == jnp.uint32:
-            # the reverse mismatch would silently promote the u8 screen
-            # to a nonsense uint32 mix of indices and packed RGBA
-            raise ValueError("u8 frames need a u8 (palette-index) "
-                             "background, got uint32")
+        src, bases, expanded = prep_posed_inputs(
+            frames, bases, self.platesize, self.dtype, self.background)
         fn = _compiled_posed_pipeline(
             self.lens, self.globe, self.width_px, self.height_px,
             self.platesize, expanded, self.dtype, self.render_scale,
         )
         return fn(
-            src, bg, bases[:, 0], bases[:, 1], bases[:, 2],
+            src, self.background, bases[:, 0], bases[:, 1], bases[:, 2],
             jnp.asarray(self.scale, self.dtype),
             jnp.asarray(self.numcells, self.dtype),
             jnp.asarray(self.cell_size, self.dtype),

@@ -115,44 +115,25 @@ def inverse_grid(lens, globe, scale, width_px, height_px, platesize,
         view_basis=view_basis, row_range=row_range)
 
 
-def _inverse_grid_impl(
-    lens: LensDef,
-    globe: Globe,
-    scale,
-    width_px: int,
-    height_px: int,
-    platesize: int,
-    numcells,
-    cell_size,
-    pad_size,
-    xp,
-    dtype,
-    view_basis=None,
-    row_range=None,
-):
-    """The full inverse-path lensmap computation over the pixel grid.
-
-    ``row_range=(r0, r1)`` computes only screen rows ``r0..r1`` (the
-    resumable-build cursor, ``fisheye.c:306-322``): every per-pixel
-    quantity is elementwise in the pixel's absolute coordinates, so a
-    row block is bit-identical to the same rows of a full build
-    (``plates_used`` then covers just the block — callers OR blocks
-    together).
+def lens_ray_grid(lens, scale, width_px, height_px, xp, dtype,
+                  row_range=None):
+    """The pose-invariant half of the inverse build: pixel grid ->
+    pre-rotation camera-frame ray.
 
     Per pixel (``resume_lensmap_inverse``, ``fisheye.c:2084-2124``):
     screen -> lens plane (note the C integer division ``width_px/2``),
-    ``lens_inverse`` -> ray -> normalize (``fisheye.c:1562``) -> plate by
-    max-dot or custom resolver -> plate uv -> truncated pixel coords with
-    bounds rejection (``fisheye.c:1963-1992``) -> tint via the rubix grid.
+    then ``lens_inverse`` -> unnormalized camera-frame ray + validity.
+    This is the only stage that touches lens math — the reference's own
+    pose/lensmap decoupling (a view rotation never rebuilds the lensmap,
+    ``fisheye.c:750,2427-2450`` vs ``2346-2397``) holds here too: the
+    returned ray grid depends only on (lens, zoom scale, size), so pose
+    playback can rotate + re-resolve these rays per frame with no lens
+    math at all (:mod:`blinky_tpu.kernels.static_ray`).
 
-    ``view_basis``: optional (forward, right, up) 3-vectors rotating the
-    view within *recorded* plates — the framework's analog of the
-    reference re-rendering plates with a composed camera basis
-    (``F_RenderView``, ``fisheye.c:750,777-792``).  With live rendering
-    the rotation happens upstream; with recorded cubemaps it composes
-    into the lensmap ray: ``ray' = rx*right + ry*up + rz*forward``.
+    Returns ``(vx, vy, vz, lens_valid)`` with ``lens_valid`` broadcast to
+    the grid shape (ray components keep whatever broadcast shape the lens
+    emitted — consumers that store them call ``broadcast_to``).
     """
-    S = platesize
     half_w = width_px // 2  # C int division, fisheye.c:2105
     half_h = height_px // 2  # fisheye.c:2100
     scale = xp.asarray(scale, dtype=dtype)
@@ -168,7 +149,29 @@ def _inverse_grid_impl(
 
     vx, vy, vz, lens_valid = lens.inverse(X, Y)
     lens_valid = xp.broadcast_to(xp.asarray(lens_valid), shape)
+    return vx, vy, vz, lens_valid
 
+
+def rays_to_lensmap(globe, vx, vy, vz, lens_valid, platesize,
+                    numcells, cell_size, pad_size, xp, dtype,
+                    view_basis=None):
+    """The lens-independent half of the inverse build: camera-frame rays
+    -> gather table.
+
+    Rotate (optional ``view_basis``) -> f32 normalize (``fisheye.c:1562``)
+    -> plate by max-dot or custom resolver -> plate uv -> truncated pixel
+    coords with bounds rejection (``fisheye.c:1963-1992``) -> tint via
+    the rubix grid.  Identical for all lenses — the per-pose path of the
+    static-ray posed pipeline is exactly this function.
+
+    ``view_basis``: optional (forward, right, up) 3-vectors rotating the
+    view within *recorded* plates — the framework's analog of the
+    reference re-rendering plates with a composed camera basis
+    (``F_RenderView``, ``fisheye.c:750,777-792``).  With live rendering
+    the rotation happens upstream; with recorded cubemaps it composes
+    into the lensmap ray: ``ray' = rx*right + ry*up + rz*forward``.
+    """
+    S = platesize
     if view_basis is not None:
         # rotate the camera-frame ray into the recording frame (same
         # composition as the per-plate basis mix, fisheye.c:777-792),
@@ -283,6 +286,42 @@ def _inverse_grid_impl(
         flat_idx=flat_idx,
         plates_used=used,
     )
+
+
+def _inverse_grid_impl(
+    lens: LensDef,
+    globe: Globe,
+    scale,
+    width_px: int,
+    height_px: int,
+    platesize: int,
+    numcells,
+    cell_size,
+    pad_size,
+    xp,
+    dtype,
+    view_basis=None,
+    row_range=None,
+):
+    """The full inverse-path lensmap computation over the pixel grid:
+    :func:`lens_ray_grid` (lens math) then :func:`rays_to_lensmap`
+    (rotation + plate resolve + uv + tint) — split exactly at the
+    ``view_basis`` rotation so the static-ray posed pipeline
+    (:mod:`blinky_tpu.kernels.static_ray`) reuses the second half
+    verbatim.
+
+    ``row_range=(r0, r1)`` computes only screen rows ``r0..r1`` (the
+    resumable-build cursor, ``fisheye.c:306-322``): every per-pixel
+    quantity is elementwise in the pixel's absolute coordinates, so a
+    row block is bit-identical to the same rows of a full build
+    (``plates_used`` then covers just the block — callers OR blocks
+    together).
+    """
+    vx, vy, vz, lens_valid = lens_ray_grid(
+        lens, scale, width_px, height_px, xp, dtype, row_range=row_range)
+    return rays_to_lensmap(
+        globe, vx, vy, vz, lens_valid, platesize,
+        numcells, cell_size, pad_size, xp, dtype, view_basis=view_basis)
 
 
 @functools.lru_cache(maxsize=64)

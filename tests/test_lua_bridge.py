@@ -198,9 +198,11 @@ def test_lua_lens_view_rotation_takes_device_builder(tmp_path):
 
 def test_untraceable_lua_lens_stays_on_host_builder(tmp_path):
     """A script that genuinely needs per-lane scalar control (here a
-    lane-varying table WRITE) fails the trace probe, stays on the exact
-    f64 host builder, and render_posed refuses it with a clear
-    diagnostic.  (debug.lua no longer qualifies — its numplates tables
+    lane-varying table WRITE) fails the trace probe and stays on the
+    exact f64 host builder; render_posed still works — the static-ray
+    path (round 4) evaluates the lens math ONCE on the host into a ray
+    table and poses rotate it on device, so even scalar-only scripts
+    play poses.  (debug.lua no longer qualifies — its numplates tables
     trace via the dense-table read since late round 3.)"""
     from blinky_tpu.api import Session
     from blinky_tpu.io.cubemap import synthetic_cubemap
@@ -228,8 +230,15 @@ end
     assert sess._resolved_backend() == "numpy"
     frames = synthetic_cubemap(sess.platesize)
     assert np.asarray(sess.render(frames)).shape == (36, 48)
-    with pytest.raises(ValueError, match="jittable"):
-        sess.render_posed(frames[..., None], np.zeros((1, 3)))
+    # round 4: the host-built ray table makes poses work here too; the
+    # identity pose matches the static render up to the documented f32
+    # table boundary (the rays truncate to f32 like the device builder)
+    sess.cmd("setviewangles")
+    posed = np.asarray(sess.render_posed(frames[..., None],
+                                         np.zeros((1, 3))))
+    assert posed.shape == (1, 36, 48)
+    static = np.asarray(sess.render(frames))
+    assert (posed[0] != static).mean() < 0.05
 
 
 def test_debug_lua_traces_on_device(tmp_path):

@@ -240,10 +240,14 @@ def test_posed_kernel_input_validation(setup):
 
 
 def test_render_posed_forward_lens_matches_static(setup):
-    """Forward-only lenses (no inverse fn — 10 of 31) play poses through
-    the per-pose exact host rasterization fallback: pose b bit-equals a
-    static render at those view angles (both drive the same
-    build_forward(view_basis=...) table)."""
+    """Forward-only lenses (no inverse fn — 10 of 31) with
+    ``exact=True`` play poses through the per-pose exact host
+    rasterization: pose b bit-equals a static render at those view
+    angles (both drive the same build_forward(view_basis=...) table).
+    The DEFAULT path (static-ray recomposition) matches the identity
+    pose's static render up to texel-center re-resolution on plate
+    seams, and rotated poses drift from exact only by that
+    quantization."""
     from blinky_tpu.api import Session
 
     _, _, _, frames, _ = setup
@@ -251,17 +255,28 @@ def test_render_posed_forward_lens_matches_static(setup):
     frames3 = frames[..., :3]
     s = Session(W, H, platesize=S)
     s.cmd("f_lens eckert1")
-    out = s.render_posed(frames3, np.asarray(poses))
+    out = s.render_posed(frames3, np.asarray(poses), exact=True)
     assert out.shape == (3, H, W) and out.dtype == np.uint8
     for b, (p, y, r) in enumerate(poses):
         s.cmd(f"setviewangles {p} {y} {r}")
         ref = np.asarray(s.render(frames3[..., b]))
         np.testing.assert_array_equal(out[b], ref)
+    # the default device path (static-ray): the IDENTITY pose bit-equals
+    # the exact rasterized render (each texel-center ray re-resolves to
+    # its own texel); rotated poses are the nearest-ray reprojection of
+    # the rasterized map — they differ from per-pose re-rasterization
+    # where quad scan-order ownership disagrees with nearest-ray
+    # (quantified in tests/test_static_ray.py)
+    s.cmd("setviewangles")
+    dev = np.asarray(s.render_posed(frames3, np.asarray(poses)))
+    assert dev.shape == (3, H, W) and dev.dtype == np.uint8
+    np.testing.assert_array_equal(dev[0], out[0])
 
 
 def test_render_posed_forward_rubix_and_scale(setup):
-    """Expanded rubix sources and render_scale work through the forward
-    fallback (same contracts as the fused inverse path)."""
+    """Expanded rubix sources and render_scale work through both the
+    exact fallback and the default static-ray path (same contracts as
+    the inverse lenses)."""
     from blinky_tpu.api import Session
 
     _, _, _, frames, _ = setup
@@ -271,15 +286,56 @@ def test_render_posed_forward_rubix_and_scale(setup):
     s = Session(W, H, platesize=S)
     s.cmd("f_lens sinusoidal")
     s.cmd("f_rubix 1")
-    out = s.render_posed(exp, poses)
+    out = s.render_posed(exp, poses, exact=True)
     assert out.shape == (2, H, W)
     for b, (p, y, r) in enumerate(poses):
         s.cmd(f"setviewangles {p} {y} {r}")
         ref = np.asarray(s.render(exp[..., b]))
         np.testing.assert_array_equal(out[b], ref)
     s.cmd("setviewangles")
-    out2 = s.render_posed(exp, poses, render_scale=2)
+    out2 = s.render_posed(exp, poses, exact=True, render_scale=2)
     assert out2.shape == (2, H, W)
+    # default static-ray path accepts the same sources/knobs.  The RAW
+    # gather plane is identity-exact (test_static_ray.py); the rubix
+    # TINT plane is recomputed from the final (px, py) per pose, so the
+    # C rasterizer's "an on-grid overwrite keeps the previous texel's
+    # tint" quirk (fisheye.c:1955-1958, forward_raster.py:154) is not
+    # reproduced.  Pin: pixels whose STORED tint equals the recomputed
+    # one (everything except those overwrites) bit-match at identity.
+    from blinky_tpu.lensmap.builder import TINT_NONE, rubix_grid_mask
+
+    dev = np.asarray(s.render_posed(exp, poses))
+    assert dev.shape == (2, H, W)
+    s.cmd("setviewangles")
+    lm = s.lensmap.to_numpy()
+    recomputed = np.where(
+        lm.valid & ~rubix_grid_mask(lm.px, lm.py, S, 10.0, 4.0, 1.0, np),
+        lm.plate, TINT_NONE).astype(np.uint8)
+    agree = lm.tint == recomputed
+    assert agree.mean() > 0.7  # the quirk is bounded, not the rule
+    np.testing.assert_array_equal(dev[0][agree], out[0][agree])
+    dev2 = np.asarray(s.render_posed(exp, poses, render_scale=2))
+    assert dev2.shape == (2, H, W)
+
+
+def test_render_posed_exact_inverse_matches_static(setup):
+    """``exact=True`` on an INVERSE lens runs the per-pose float64 host
+    builder — bit-identical to static setviewangles renders (the same
+    guarantee the forward fallback always had)."""
+    from blinky_tpu.api import Session
+
+    _, _, _, frames, _ = setup
+    poses = [(0.0, 0.0, 0.0), (5.0, -12.0, 0.0)]
+    frames2 = frames[..., :2]
+    # backend="numpy": static setviewangles renders normally take the
+    # f32 device builder (the auto policy); force the exact host one so
+    # both sides of the pin are the float64 builder
+    s = Session(W, H, platesize=S, backend="numpy")
+    out = s.render_posed(frames2, np.asarray(poses), exact=True)
+    for b, (p, y, r) in enumerate(poses):
+        s.cmd(f"setviewangles {p} {y} {r}")
+        ref = np.asarray(s.render(frames2[..., b]))
+        np.testing.assert_array_equal(out[b], ref)
 
 
 def test_posed_kernel_and_sweep_reject_forward_lenses(setup):
