@@ -55,11 +55,12 @@ def check_render_scale(width_px: int, height_px: int, k: int) -> None:
 
 
 def flat_gather_safe(batch: int, n_per_frame: int) -> bool:
-    """Whether the flat global gather's ``b*N + idx`` fits int32.  Past
-    2**31 source ELEMENTS (e.g. the expanded 1080p u8 layout at B>=154,
-    12*1080*1080*154) the base index wraps negative and ``mode="clip"``
-    would silently read element 0 for every pose past the wrap — those
-    sources take the batch-preserving ``take_along_axis`` instead."""
+    """Whether a flat global gather's ``b*N + idx`` would fit int32.
+    Round 4 retired the flat form — the per-pose unrolled gathers that
+    replaced it (:func:`gather_posed`) keep every index inside one
+    frame, so the wrap hazard this guarded is structurally gone — but
+    the predicate stays as the documented boundary (and its test) for
+    anyone reintroducing a flattened index space."""
     return batch * n_per_frame < 2**31
 
 
@@ -98,20 +99,30 @@ def prep_posed_inputs(frames, bases, platesize, dtype, background):
     return src, bases, expanded
 
 
-def gather_posed(src, idx, valid, background, k, flat_gather):
+def gather_posed(src, idx, valid, background, k, local_gather):
     """The posed pipelines' shared gather tail: per-pose index tables ->
     screens.  ``idx``/``valid`` are [B, H/k, W/k]; returns [B, H, W]
     (nearest-upsampled when the render_scale ``k`` > 1), background where
-    invalid.  ``flat_gather`` picks the flat global element gather
-    (measured 10.06 vs 12.5 ns/index on v5e, docs/PERF.md §6) when the
-    int32 index space allows it."""
+    invalid.
+
+    ``local_gather`` picks B unrolled per-pose element gathers, each
+    reading only its own frame: the chip's per-index gather cost grows
+    with the gather operand's footprint (measured round 4 on v5e at
+    2.07M indices/pose, B=16: per-pose 9.46 ns/index vs 10.88 flat
+    global vs 13.1 lane-minor take_along_axis; index locality is
+    irrelevant — sequential == random — so the win is purely operand
+    size; docs/PERF.md §6).  It also removes the flat form's
+    ``b*N + idx`` int32-wrap hazard: every index stays inside one frame.
+    The sharded path keeps the batch-preserving ``take_along_axis``
+    (False): slicing pose ``b`` out of a DP-sharded axis would defeat
+    the SPMD partitioner."""
     B = src.shape[0]
     H, W = idx.shape[1], idx.shape[2]
-    if flat_gather and flat_gather_safe(B, src.shape[1]):
-        N = src.shape[1]
-        gi = (jnp.arange(B, dtype=jnp.int32)[:, None] * N
-              + idx.reshape(B, -1)).reshape(-1)
-        out = jnp.take(src.reshape(-1), gi, mode="clip").reshape(B, H, W)
+    if local_gather:
+        out = jnp.stack([
+            jnp.take(src[b], idx[b].reshape(-1), mode="clip")
+            for b in range(B)
+        ]).reshape(B, H, W)
     else:
         out = jnp.take_along_axis(
             src, idx.reshape(B, -1), axis=1, mode="clip").reshape(B, H, W)
@@ -124,7 +135,7 @@ def gather_posed(src, idx, valid, background, k, flat_gather):
 @functools.lru_cache(maxsize=32)
 def _compiled_posed_pipeline(lens, globe, width_px, height_px, platesize,
                              expanded, dtype, render_scale=1,
-                             flat_gather=True):
+                             local_gather=True):
     """One executable per (lens, globe, shape, source-kind): takes the
     dynamic zoom scale, rubix params, a [B, 3] basis triple and the
     [B, N] flattened sources.
@@ -139,12 +150,9 @@ def _compiled_posed_pipeline(lens, globe, width_px, height_px, platesize,
     (k*lx' - w/2)*scale), and the full-res background stays crisp under
     the upsampled validity mask.
 
-    ``flat_gather``: the per-pose gathers collapse into ONE flat global
-    element gather (`take` of `[B*N]` with `b*N + idx`) — measured
-    10.1 ns/index vs 12.5 for the batched `take_along_axis`/vmapped
-    form on v5e (38.6 -> 47.9 fps at 1080p B=16).  The sharded path
-    keeps the batch-preserving form (False): flattening across the
-    DP-sharded pose axis would defeat the SPMD partitioner."""
+    ``local_gather``: see :func:`gather_posed` — unrolled per-pose
+    element gathers (the round-4 fast form) vs the batch-preserving
+    ``take_along_axis`` the sharded path needs."""
     S = platesize
     k = int(render_scale)
     W, H = width_px // k, height_px // k
@@ -173,7 +181,7 @@ def _compiled_posed_pipeline(lens, globe, width_px, height_px, platesize,
           scale, numcells, cell_size, pad_size)
         B = src.shape[0]
         return gather_posed(src, idx.reshape(B, H, W), valid.reshape(B, H, W),
-                            background, k, flat_gather)
+                            background, k, local_gather)
 
     return jax.jit(run)
 
@@ -276,7 +284,7 @@ def posed_remap_sharded(kernel: PosedRemapKernel, frames, bases, mesh):
     fn = _compiled_posed_pipeline(
         kernel.lens, kernel.globe, kernel.width_px, kernel.height_px,
         kernel.platesize, expanded, kernel.dtype, kernel.render_scale,
-        flat_gather=False,  # keep the pose axis visible to SPMD
+        local_gather=False,  # keep the pose axis visible to SPMD
     )
     return fn(
         src, bg, bf, br, bu,

@@ -16,9 +16,10 @@ reproduces that decomposition for recorded cubemaps:
 2. Per pose: rotate the rays (3x3, elementwise), re-resolve plate + uv
    (:func:`blinky_tpu.lensmap.builder.rays_to_lensmap` — the identical
    second half of the inverse build), gather.  Identical code for all
-   31 lenses; the per-pose cost is the rotation + resolve + the chip's
-   per-index gather wall (docs/PERF.md §6), with the vmapped builder's
-   per-pose lens math (~6.5 ms at 1080p) gone.
+   31 lenses.  Measured cost split at 1080p (docs/PERF.md §6, round 4):
+   index math 1.6 ms/pose (fully fused), per-pose element gather
+   ~19.6 ms — the pipeline runs at the chip's gather floor, ~49 fps
+   native / ~142 fps at render_scale 2.
 
 For jittable inverse lenses the result is the same f32 arithmetic in the
 same order as the fused vmapped-builder pipeline
@@ -217,7 +218,7 @@ def build_ray_table(lens, globe, scale, width_px, height_px,
 @functools.lru_cache(maxsize=32)
 def _compiled_static_ray_pipeline(globe, width_px, height_px, platesize,
                                   expanded, dtype, render_scale=1,
-                                  flat_gather=True):
+                                  local_gather=True):
     """One executable per (globe, shape, source-kind): takes the ray
     planes, a [B, 3] basis triple and the [B, N] flattened sources.
 
@@ -257,7 +258,7 @@ def _compiled_static_ray_pipeline(globe, width_px, height_px, platesize,
         B = src.shape[0]
         return gather_posed(src, idx.reshape(B, H, W),
                             valid.reshape(B, H, W),
-                            background, k, flat_gather)
+                            background, k, local_gather)
 
     return jax.jit(run)
 
@@ -363,7 +364,7 @@ def static_ray_posed_sharded(kernel: StaticRayPosedKernel, frames, bases,
     fn = _compiled_static_ray_pipeline(
         kernel.globe, kernel.width_px, kernel.height_px, kernel.platesize,
         expanded, kernel.dtype, kernel.render_scale,
-        flat_gather=False,  # keep the pose axis visible to SPMD
+        local_gather=False,  # keep the pose axis visible to SPMD
     )
     return fn(
         src, bg, vx, vy, vz, lv, bf, br, bu,

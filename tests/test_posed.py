@@ -51,20 +51,21 @@ def test_posed_matches_sequential(setup):
 
 
 def test_flat_gather_int32_guard(setup):
-    """The flat global gather indexes b*N + idx in int32; sources past
-    2**31 elements must take the batch-preserving form instead (the wrap
-    would clip every later pose's reads to element 0)."""
+    """A flat global gather would index b*N + idx in int32 and wrap past
+    2**31 source elements; the round-4 per-pose unrolled gathers keep
+    every index inside one frame, so the hazard is structural history —
+    the predicate documents the boundary for anyone flattening again."""
     from blinky_tpu.kernels.posed import _compiled_posed_pipeline, flat_gather_safe
 
     assert flat_gather_safe(153, 12 * 1080 * 1080)
     assert not flat_gather_safe(154, 12 * 1080 * 1080)   # expanded 1080p wrap
     assert not flat_gather_safe(307, 6 * 1080 * 1080)
-    # both branches of the same compiled pipeline are bit-identical
+    # both gather forms of the same compiled pipeline are bit-identical
     g, lens, scale, frames, bases = setup
     flat = _compiled_posed_pipeline(lens, g, W, H, S, False,
-                                    jnp.float32, flat_gather=True)
+                                    jnp.float32, local_gather=True)
     batched = _compiled_posed_pipeline(lens, g, W, H, S, False,
-                                       jnp.float32, flat_gather=False)
+                                       jnp.float32, local_gather=False)
     src = jnp.asarray(np.moveaxis(frames, -1, 0).reshape(B, -1))
     bg = jnp.zeros((H, W), jnp.uint8)
     bf = jnp.asarray(bases[:, 0]); br = jnp.asarray(bases[:, 1])
