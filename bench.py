@@ -70,6 +70,15 @@ def main() -> None:
         for r in run_all(quick="--quick" in sys.argv):
             print(json.dumps(r))
         return
+    if "--check" in sys.argv or "--check-update" in sys.argv:
+        # the perf regression gate (timedemo discipline, cl_demo.c:364):
+        # re-run the config suite, compare against the committed
+        # bench_baseline.json, exit nonzero naming the offenders.  The
+        # documented pre-commit step for compute-path changes.
+        from blinky_tpu.bench.check import run_check
+
+        sys.exit(run_check(quick="--quick" in sys.argv,
+                           update="--check-update" in sys.argv))
     if "--sol" in sys.argv:
         # speed-of-light probes: reproduce docs/PERF.md's roofline and
         # losing-formulation measurements (one JSON line per probe)

@@ -1,0 +1,162 @@
+"""Performance regression gate: compare a `bench.py --all` run against
+the committed baseline (VERDICT r3 task 3).
+
+The reference's timedemo exists to detect regressions
+(``NQ/cl_demo.c:364-382``: frames / seconds / fps printed after a
+deterministic replay); this module is the framework's machine-checked
+version of that discipline — ``python bench.py --check`` re-runs the
+config suite and exits nonzero naming every metric that regressed past
+tolerance vs ``bench_baseline.json``.
+
+Field policy (keys walked recursively through each config dict):
+* ``fps`` / ``*_fps``: higher is better — fail when current
+  < (1 - fps_tol) * baseline.  These are device-resident measurement
+  loops and run-to-run stable; fps_tol defaults to 12%.
+* ``*_ms`` / ``ms_per_*``: lower is better — fail when current
+  > (1 + ms_tol) * baseline.  End-to-end ms figures include axon relay
+  dispatches (~20 ms/call, docs/PERF.md §8) whose variance is large, so
+  ms_tol defaults to 75% — the gate catches a decompiled/fallback path
+  (order-of-magnitude), not dispatch jitter.
+* ``exact`` and other booleans: must not flip from True to False.
+* baseline fields missing from the run (or measured as an ``*_error``)
+  fail; NEW fields in the run pass (they join the baseline at the next
+  ``--check-update``).
+
+``bench_baseline.json`` records ``{"mode": "full"|"quick", "results":
+[...]}`` — quick-mode numbers use smaller batches and are only
+comparable to quick baselines, so mismatched modes refuse to compare.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+FPS_TOL = 0.12
+MS_TOL = 0.75
+
+BASELINE_PATH = Path(__file__).resolve().parents[2] / "bench_baseline.json"
+
+
+def _walk(d, prefix=""):
+    """Yield (dotted_key, leaf) for every leaf in a nested dict."""
+    for k, v in d.items():
+        key = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            yield from _walk(v, key)
+        else:
+            yield key, v
+
+
+def _kind(key: str):
+    """Classify a metric key: 'fps' (higher better), 'ms' (lower
+    better), 'bool', or None (not gated)."""
+    leaf = key.rsplit(".", 1)[-1]
+    if leaf == "fps" or leaf.endswith("_fps"):
+        return "fps"
+    if leaf.endswith("_ms") or leaf.startswith("ms_per") or leaf == "ms":
+        return "ms"
+    if leaf == "exact":
+        return "bool"
+    return None
+
+
+def compare_results(baseline, current, fps_tol=FPS_TOL, ms_tol=MS_TOL):
+    """Compare two ``run_all`` result lists; return a list of failure
+    strings (empty = gate passes).
+
+    Configs are matched by their ``config`` field.  A baseline value of
+    None (a guarded measurement that failed when the baseline was
+    captured) gates nothing.
+    """
+    failures = []
+    cur_by_id = {r.get("config"): r for r in current}
+    for base in baseline:
+        cid = base.get("config")
+        name = base.get("name", str(cid))
+        cur = cur_by_id.get(cid)
+        if cur is None:
+            failures.append(f"config {cid} ({name}): missing from run")
+            continue
+        cur_leaves = dict(_walk(cur))
+        for key, bval in _walk(base):
+            if key in ("config", "name") or bval is None:
+                continue
+            kind = _kind(key)
+            if kind is None:
+                continue
+            cval = cur_leaves.get(key)
+            if cval is None:
+                err = cur_leaves.get(key.replace("_fps", "_error"), "absent")
+                failures.append(
+                    f"config {cid} ({name}): {key} not measured ({err}); "
+                    f"baseline {bval}")
+                continue
+            if kind == "bool":
+                if bool(bval) and not bool(cval):
+                    failures.append(
+                        f"config {cid} ({name}): {key} flipped True -> "
+                        f"{cval}")
+            elif kind == "fps":
+                floor = (1.0 - fps_tol) * float(bval)
+                if float(cval) < floor:
+                    failures.append(
+                        f"config {cid} ({name}): {key} regressed "
+                        f"{bval} -> {cval} (floor {floor:.1f}, "
+                        f"-{(1 - float(cval) / float(bval)) * 100:.1f}%)")
+            elif kind == "ms":
+                ceil = (1.0 + ms_tol) * float(bval)
+                if float(cval) > ceil:
+                    failures.append(
+                        f"config {cid} ({name}): {key} regressed "
+                        f"{bval} -> {cval} ms (ceiling {ceil:.1f})")
+    return failures
+
+
+def load_baseline(path=None):
+    path = Path(path or BASELINE_PATH)
+    if not path.exists():
+        raise FileNotFoundError(
+            f"{path} not committed — capture it with "
+            "`python bench.py --check-update` on the bench chip")
+    data = json.loads(path.read_text())
+    return data["mode"], data["results"]
+
+
+def save_baseline(results, mode, path=None):
+    path = Path(path or BASELINE_PATH)
+    path.write_text(json.dumps({"mode": mode, "results": results},
+                               indent=1) + "\n")
+    return path
+
+
+def run_check(quick=False, update=False, fps_tol=FPS_TOL, ms_tol=MS_TOL):
+    """Entry for ``bench.py --check[-update]``.  Returns process exit
+    code; prints one JSON line per config plus the gate verdict."""
+    from blinky_tpu.bench.configs import run_all
+
+    mode = "quick" if quick else "full"
+    results = run_all(quick=quick)
+    for r in results:
+        print(json.dumps(r))
+    if update:
+        path = save_baseline(results, mode)
+        print(json.dumps({"metric": "bench_check", "status": "updated",
+                          "baseline": str(path), "mode": mode}))
+        return 0
+    base_mode, baseline = load_baseline()
+    if base_mode != mode:
+        print(json.dumps({
+            "metric": "bench_check", "status": "mode-mismatch",
+            "baseline_mode": base_mode, "run_mode": mode,
+            "hint": "re-run with the baseline's mode or --check-update"}))
+        return 2
+    failures = compare_results(baseline, results,
+                               fps_tol=fps_tol, ms_tol=ms_tol)
+    print(json.dumps({
+        "metric": "bench_check",
+        "status": "fail" if failures else "pass",
+        "failures": failures,
+        "fps_tol": fps_tol, "ms_tol": ms_tol,
+    }))
+    return 1 if failures else 0

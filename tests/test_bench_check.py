@@ -1,0 +1,104 @@
+"""The perf regression gate (bench/check.py): a deliberately slowed
+metric must trip it, noise within tolerance must not."""
+
+import json
+
+import pytest
+
+from blinky_tpu.bench.check import (
+    compare_results, load_baseline, save_baseline,
+)
+
+BASE = [
+    {"config": 4, "name": "batched", "plain_fps": 23000.0,
+     "rubix_texels_fps": 33000.0, "build_ms": 100.0,
+     "rubix_rowcrop_fps": None},
+    {"config": 0, "name": "roundtrip", "exact": True, "remap_ms": 60.0},
+    {"config": 1, "name": "sweep",
+     "stereographic": {"warm_ms": 35.0, "device_ms": 1.9}},
+]
+
+
+def _clone():
+    return json.loads(json.dumps(BASE))
+
+
+def test_gate_passes_on_identical_and_faster_runs():
+    assert compare_results(BASE, _clone()) == []
+    cur = _clone()
+    cur[0]["plain_fps"] = 99999.0  # faster never fails
+    cur[1]["remap_ms"] = 1.0       # lower ms never fails
+    assert compare_results(BASE, cur) == []
+
+
+def test_slowed_kernel_trips_fps():
+    cur = _clone()
+    cur[0]["rubix_texels_fps"] = 33000.0 * 0.8  # a silent 20% regression
+    fails = compare_results(BASE, cur)
+    assert len(fails) == 1 and "rubix_texels_fps" in fails[0]
+    # ...but 10% sits inside the 12% fps tolerance
+    cur[0]["rubix_texels_fps"] = 33000.0 * 0.9
+    assert compare_results(BASE, cur) == []
+
+
+def test_ms_regression_uses_loose_relay_tolerance():
+    cur = _clone()
+    cur[1]["remap_ms"] = 60.0 * 1.5   # relay jitter: inside 75%
+    assert compare_results(BASE, cur) == []
+    cur[1]["remap_ms"] = 60.0 * 3.0   # a decompiled path: way out
+    fails = compare_results(BASE, cur)
+    assert len(fails) == 1 and "remap_ms" in fails[0]
+
+
+def test_nested_keys_and_bool_flips():
+    cur = _clone()
+    cur[2]["stereographic"]["device_ms"] = 10.0  # 5x the on-device rebuild
+    cur[1]["exact"] = False
+    fails = compare_results(BASE, cur)
+    assert any("device_ms" in f for f in fails)
+    assert any("exact" in f for f in fails)
+
+
+def test_missing_measurement_and_missing_config_fail():
+    cur = _clone()
+    del cur[0]["plain_fps"]
+    fails = compare_results(BASE, cur)
+    assert any("plain_fps not measured" in f for f in fails)
+    fails = compare_results(BASE, [c for c in _clone() if c["config"] != 0])
+    assert any("config 0" in f and "missing" in f for f in fails)
+
+
+def test_guarded_none_baseline_gates_nothing():
+    cur = _clone()
+    cur[0]["rubix_rowcrop_fps"] = 5.0  # baseline None: no gate
+    assert compare_results(BASE, cur) == []
+
+
+def test_new_fields_pass_and_errors_fail():
+    cur = _clone()
+    cur[0]["brand_new_fps"] = 1.0  # joins the baseline at --check-update
+    assert compare_results(BASE, cur) == []
+    base = _clone()
+    base[0]["guarded_fps"] = 100.0
+    cur = _clone()
+    cur[0]["guarded_fps"] = None
+    cur[0]["guarded_error"] = "XlaRuntimeError"
+    fails = compare_results(base, cur)
+    assert any("guarded_fps not measured (XlaRuntimeError)" in f
+               for f in fails)
+
+
+def test_baseline_roundtrip(tmp_path):
+    p = tmp_path / "b.json"
+    save_baseline(BASE, "full", p)
+    mode, results = load_baseline(p)
+    assert mode == "full" and results == BASE
+    with pytest.raises(FileNotFoundError, match="check-update"):
+        load_baseline(tmp_path / "missing.json")
+
+
+def test_committed_baseline_loads():
+    """The repo ships a captured full-mode baseline for the gate."""
+    mode, results = load_baseline()
+    assert mode == "full"
+    assert {r["config"] for r in results} >= set(range(8))
