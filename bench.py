@@ -140,7 +140,8 @@ def main() -> None:
             batch=128, iters=4,
             bilinear=not variant.endswith("nearest"),
             rubix=variant.endswith("rubix"),
-            texel_compact=variant.endswith(("texels", "txrubix")))
+            texel_compact=variant.endswith(("texels", "txrubix")),
+            fused=variant.endswith(("fused", "fxrubix")))
         print(json.dumps({"fps": r["fps"], "ms_per_batch": r["ms_per_batch"],
                           "config": r["config"]}))
         return

@@ -1331,25 +1331,48 @@ class Session:
             hi = frames_to_rgba(np.asarray(hi), self.palette)  # background
         return downsample_rgba(hi, factor) if factor > 1 else hi
 
-    def render_equirect(self, panos, bilinear: bool = True):
+    def render_equirect(self, panos, bilinear: bool = True,
+                        mode: str = "compact"):
         """Warp equirectangular panoramas end-to-end on the device.
 
         ``panos``: [H, W, B] packed-RGBA uint32 (batch-innermost), one
         [H, W] u32 pano, or one [H, W, 3] u8 RGB pano.  Resamples to the
-        current globe's plates at the session platesize
-        (:class:`~blinky_tpu.kernels.ingest.EquirectIngest`, a static
-        gather table like the lensmap) and remaps through the current
-        lens — two chained device gathers, so only the warped screens
-        leave the chip.  Returns [H_out, W_out, B] u32 (or [H_out,
-        W_out] for a single pano).  Measured on v5e: 327 ms warm for one
-        2048x1024 pano to 1280x720 (relay upload included; batches
-        amortize — see kernels/ingest.py for the batched rates, and
-        prefer B a multiple of 128: the batch axis is the gathered rows'
-        minor dim and partial 128-lane tiles cost up to ~15x,
-        docs/PERF.md §9).
+        current globe's plates at the session platesize and remaps
+        through the current lens.  Returns [H_out, W_out, B] u32 (or
+        [H_out, W_out] for a single pano).  Prefer B a multiple of 128:
+        the batch axis is the gathered rows' minor dim and partial
+        128-lane tiles cost up to ~15x (docs/PERF.md §9).
+
+        ``mode`` picks the pipeline formulation — all three are pinned
+        bit-equal (tests/test_equirect_fused.py); throughput measured at
+        4096x2048 -> 720p, B=128 bilinear (docs/PERF.md §9, round 4):
+
+        * ``"compact"`` (default): texel-compacted two-stage — resample
+          ONLY the sorted unique texels the lensmap references, then the
+          compacted remap (:class:`~blinky_tpu.kernels.ingest.
+          CompactEquirectChain`, **2880 panos/s**).
+        * ``"fused"``: the ingest's K-tap tables composed THROUGH the
+          lensmap — ONE gather+blend, no faces intermediate
+          (:class:`~blinky_tpu.kernels.ingest.EquirectScreenKernel`,
+          2102 panos/s: composition loses to compact's sorted gathers
+          on this chip, kept for single-stage pipelines).
+        * ``"faces"``: full two-stage via the materialized
+          ``[P, S, S, B]`` faces (1390 panos/s) — feeds SEVERAL lenses
+          from one ingest, and services ``f_saveglobe``.
+
+        compact/fused step aside to "faces" automatically whenever the
+        materialized faces are semantically needed: fisheye off, invalid
+        lens, a pending ``f_saveglobe`` (which captures the ingested
+        faces), or a pending time-sliced exact build (the preview
+        lensmap changes under the composition every slice).
         """
-        from blinky_tpu.kernels.ingest import EquirectIngest
+        from blinky_tpu.kernels.ingest import (
+            CompactEquirectChain, EquirectIngest, EquirectScreenKernel,
+        )
         from blinky_tpu.kernels.remap import pack_rgba
+
+        if mode not in ("compact", "fused", "faces"):
+            raise ValueError(f"mode must be compact|fused|faces, got {mode!r}")
 
         squeeze = False
         if getattr(panos, "ndim", 0) == 3 and panos.shape[2] == 3 and (
@@ -1366,7 +1389,36 @@ class Session:
                                   self.platesize, globe=self.globe,
                                   bilinear=bilinear)
             self._equirect_cache = (key, kern)
-        faces = self._equirect_cache[1](panos)  # device [P, S, S, B] u32
+        ingest = self._equirect_cache[1]
+
+        if (mode != "faces" and self.fisheye_enabled
+                and self.save_request is None):
+            # same rebuild/advance sequence render() runs before gathering
+            if self._changed or self._lensmap is None:
+                self._rebuild()
+            self._advance_build(budget_s=self.build_budget_s)
+            if (self._lensmap is not None and self._kernel is None):
+                self._kernel = RemapKernel(self._lensmap, self.palette,
+                                           self._background)
+            if (self._kernel is not None and self._pending_build is None
+                    and self._lensmap.platesize == self.platesize):
+                fkey = (key, bool(bilinear), mode)
+                fcached = getattr(self, "_equirect_fused", None)
+                # cache validity includes the RemapKernel IDENTITY (held
+                # strongly, so `is` cannot alias a freed object): any
+                # lens/zoom/background/palette change makes a new kernel
+                if (fcached is None or fcached[0] != fkey
+                        or fcached[2] is not self._kernel):
+                    cls = (CompactEquirectChain if mode == "compact"
+                           else EquirectScreenKernel)
+                    fkern = cls(ingest, self._kernel)
+                    self._equirect_fused = (fkey, fkern, self._kernel)
+                out = np.asarray(
+                    self._equirect_fused[1](panos,
+                                            rubix=self.rubix_enabled))
+                return out[..., 0] if squeeze else out
+
+        faces = ingest(panos)  # device [P, S, S, B] u32
         # rubix on the u32 faces: the remap kernel tints AFTER the gather
         # (post-gather path) — no on-device source expansion, so the
         # face batch needs half the HBM it used to

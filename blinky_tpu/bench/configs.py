@@ -286,12 +286,15 @@ def config7_equirect(quick=False):
         plain = run_equirect_throughput(bilinear=True, rubix=False, **kw)
         rubix = run_equirect_throughput(bilinear=True, rubix=True, **kw)
         nearest = run_equirect_throughput(bilinear=False, rubix=False, **kw)
+        fused = run_equirect_throughput(bilinear=True, rubix=False,
+                                        fused=True, **kw)
         return dict(
             config=7,
             name="equirect 360-video end-to-end (4096x2048 -> 720p)",
             bilinear_fps=round(plain["fps"], 1),
             bilinear_rubix_fps=round(rubix["fps"], 1),
             nearest_fps=round(nearest["fps"], 1),
+            bilinear_fused_fps=round(fused["fps"], 1),
             ms_per_batch=round(plain["ms_per_batch"], 1),
         )
 
@@ -301,7 +304,9 @@ def config7_equirect(quick=False):
                       ("bilinear_rubix_fps", "--config-eq-rubix"),
                       ("nearest_fps", "--config-eq-nearest"),
                       ("bilinear_texels_fps", "--config-eq-texels"),
-                      ("bilinear_rubix_texels_fps", "--config-eq-txrubix")):
+                      ("bilinear_rubix_texels_fps", "--config-eq-txrubix"),
+                      ("bilinear_fused_fps", "--config-eq-fused"),
+                      ("bilinear_rubix_fused_fps", "--config-eq-fxrubix")):
         try:
             parsed = _bench_subprocess(flag)
             out[key] = round(parsed["fps"], 1)

@@ -357,7 +357,7 @@ def run_equirect_throughput(pano_h=2048, pano_w=4096, platesize=720,
                             width=1280, height=720, batch=16, iters=4,
                             bilinear=True, rubix=False,
                             lens_name="panini", fov=180,
-                            texel_compact=False):
+                            texel_compact=False, fused=False):
     """End-to-end 360-video throughput: device-resident pano batch ->
     EquirectIngest (static gather tables) -> remap, one fused device
     chain per iteration — only the warped screens would leave the chip
@@ -365,8 +365,10 @@ def run_equirect_throughput(pano_h=2048, pano_w=4096, platesize=720,
     (no face-batch expansion).  With *texel_compact* the ingest resamples
     ONLY the texels the lensmap references (``EquirectIngest.subset`` +
     ``compact_texels`` — the chained pipeline never computes an unread
-    texel).  Returns panos/sec."""
-    from blinky_tpu.kernels.ingest import EquirectIngest
+    texel).  With *fused* (round 4) the ingest tables compose THROUGH
+    the lensmap: pano->screen is one gather+blend with no faces
+    intermediate (``EquirectScreenKernel``).  Returns panos/sec."""
+    from blinky_tpu.kernels.ingest import EquirectIngest, EquirectScreenKernel
     from blinky_tpu.kernels.remap import (
         RemapKernel, compact_texels, remap_gather_impl,
         remap_gather_tint_impl)
@@ -378,6 +380,8 @@ def run_equirect_throughput(pano_h=2048, pano_w=4096, platesize=720,
     kernel = RemapKernel(lm, default_palette())
     ing = EquirectIngest(pano_h, pano_w, platesize, globe=g,
                          bilinear=bilinear)
+    if fused:
+        fkern = EquirectScreenKernel(ing, kernel)
     if texel_compact:
         texels, cidx = compact_texels(lm.to_numpy())
         ing = ing.subset(texels)
@@ -393,11 +397,14 @@ def run_equirect_throughput(pano_h=2048, pano_w=4096, platesize=720,
     def step(panos):
         def body(i, acc):
             p = panos.at[0, 0, 0].set(i.astype(jnp.uint32))  # no hoisting
-            faces = ing(p)
-            if rubix:
+            if fused:
+                out = fkern(p, rubix=rubix)
+            elif rubix:
+                faces = ing(p)
                 out = remap_gather_tint_impl(
                     faces, flat_idx, kernel.valid, bg, tr, tm)
             else:
+                faces = ing(p)
                 out = remap_gather_impl(
                     faces, flat_idx, kernel.valid, bg)
             return acc + out.reshape(-1)[0].astype(jnp.int32)

@@ -201,6 +201,170 @@ class EquirectIngest:
         out = pano.reshape(-1)[self.idx[0]] & self.plate_mask.astype(np.uint8)
         return out.reshape(MAX_PLATES, self.platesize, self.platesize)
 
+class EquirectScreenKernel:
+    """Fused pano->screen: the ingest's K-tap tables composed THROUGH the
+    lensmap so the whole 360-video chain is ONE gather stage (VERDICT r3
+    task 2 — the reference's own one-hop ``render_lensmap`` design,
+    ``fisheye.c:2406-2424``, where the per-pixel pointer reaches the
+    final storage directly).
+
+    Composition is pure host-side table indexing: screen pixel ``p``
+    reads lensmap texel ``t = flat_idx[p]``, and the ingest resamples
+    ``t`` from pano taps ``(idx[k, t], w[k, t])`` — so the composed
+    tables are ``idx[:, flat_idx]`` / ``w[:, flat_idx]`` with shape
+    ``[K, H*W]``.  Per batch this gathers K x H*W pano rows and blends,
+    with NO materialized faces intermediate: vs the texel-compacted
+    two-stage chain it drops the remap's extra gather stage and the
+    [R, B] u32 faces round-trip through HBM.  Since the per-pixel blend
+    runs the identical float32 arithmetic on the identical taps the
+    face texel would have received, outputs are bit-equal to the
+    two-stage chain (nearest: a pure index composition), including the
+    post-gather rubix tint (:func:`blinky_tpu.kernels.remap.
+    apply_tint_rgba` applied to the blended value, as
+    ``remap_gather_tint_impl`` applies it to the gathered face texel).
+
+    Keep the two-stage path (`EquirectIngest` + `RemapKernel`) when one
+    ingest feeds SEVERAL lenses — faces are computed once there, while
+    this kernel re-resamples per lens.
+
+    ``remap``: a :class:`blinky_tpu.kernels.remap.RemapKernel` — its
+    lensmap picks the composition, its validity/background/tint state
+    is reused so a fused render matches ``RemapKernel`` semantics
+    exactly.
+    """
+
+    def __init__(self, ingest: EquirectIngest, remap):
+        import jax.numpy as jnp
+
+        if isinstance(ingest, _EquirectIngestSubset):
+            raise TypeError(
+                "compose from the FULL-layout EquirectIngest — the fused "
+                "kernel is already the ultimate texel compaction")
+        lm = remap.lensmap
+        if ingest.platesize != lm.platesize:
+            raise ValueError(
+                f"ingest platesize {ingest.platesize} != lensmap "
+                f"platesize {lm.platesize}")
+        t = np.asarray(lm.flat_idx).reshape(-1)
+        self.idx = jnp.asarray(ingest.idx[:, t])  # [K, H*W]
+        self.w = jnp.asarray(ingest.w[:, t])
+        self.remap = remap
+        self.pano_hw = ingest.pano_hw
+        self.bilinear = ingest.bilinear
+        self.shape = (lm.height_px, lm.width_px)
+        self._jitted = {}
+
+    def __call__(self, panos, rubix=False):
+        """[H, W, B] u32 panos -> [H_out, W_out, B] u32 screens."""
+        import jax
+        import jax.numpy as jnp
+
+        from blinky_tpu.kernels.remap import apply_tint_rgba
+
+        panos = jnp.asarray(panos, jnp.uint32)
+        if panos.ndim != 3 or panos.shape[:2] != self.pano_hw:
+            raise ValueError(f"panos must be [H, W, B] = "
+                             f"{self.pano_hw + ('B',)}, got {panos.shape}")
+        rubix = bool(rubix)
+        if rubix not in self._jitted:
+            idx, w = self.idx, self.w
+            H, W = self.shape
+            valid = self.remap.valid
+            bg = self.remap.background_rgba
+            tr, tm = self.remap.tint_rgb_mask if rubix else (None, None)
+
+            @jax.jit
+            def run(panos):
+                B = panos.shape[-1]
+                flat = panos.reshape(-1, B)
+                rows = [jnp.take(flat, idx[k], axis=0)
+                        for k in range(idx.shape[0])]
+                g = EquirectIngest._blend(rows, w, jnp)  # [H*W, B]
+                if rubix:
+                    g = apply_tint_rgba(g, tr.reshape(H * W, 1),
+                                        tm.reshape(H * W, 1))
+                out = jnp.where(valid.reshape(H * W, 1), g,
+                                bg.reshape(H * W, 1))
+                return out.reshape(H, W, B)
+
+            self._jitted[rubix] = run
+        return self._jitted[rubix](panos)
+
+
+class CompactEquirectChain:
+    """Texel-compacted two-stage pano->screen: the WINNING formulation
+    on v5e (docs/PERF.md §9, round 4).
+
+    Stage 1 resamples ONLY the texels the lensmap references, in SORTED
+    texel order (:meth:`EquirectIngest.subset` of ``compact_texels``'
+    unique set); stage 2 is the compacted remap gather.  Measured at
+    4096x2048->720p B=128 bilinear: **2880 panos/s** vs 2102 for the
+    one-hop composed kernel (:class:`EquirectScreenKernel`) vs 1390 for
+    the full-faces two-stage — the composed kernel issues its pano row
+    gathers in shuffled SCREEN order while this chain's are sorted
+    unique texels, and on this chip sorted row-gathers from the
+    multi-GB pano operand beat the saved intermediate (the [R, B]
+    faces round-trip is small).  Same ``__call__(panos, rubix=)``
+    contract as the fused kernel; bit-equal to both other forms.
+    """
+
+    def __init__(self, ingest: EquirectIngest, remap):
+        import jax.numpy as jnp
+
+        from blinky_tpu.kernels.remap import compact_texels
+
+        if isinstance(ingest, _EquirectIngestSubset):
+            raise TypeError("pass the FULL-layout EquirectIngest — the "
+                            "chain derives its own texel subset")
+        lm = remap.lensmap
+        if ingest.platesize != lm.platesize:
+            raise ValueError(
+                f"ingest platesize {ingest.platesize} != lensmap "
+                f"platesize {lm.platesize}")
+        texels, cidx = compact_texels(lm.to_numpy())
+        self.sub = ingest.subset(texels)
+        self.cidx = jnp.asarray(cidx)
+        self.remap = remap
+        self.pano_hw = ingest.pano_hw
+        self.bilinear = ingest.bilinear
+
+    def __call__(self, panos, rubix=False):
+        """[H, W, B] u32 panos -> [H_out, W_out, B] u32 screens."""
+        import jax.numpy as jnp
+
+        from blinky_tpu.kernels.remap import (
+            remap_gather_impl, remap_gather_tint_impl,
+        )
+
+        panos = jnp.asarray(panos, jnp.uint32)
+        if panos.ndim != 3 or panos.shape[:2] != self.pano_hw:
+            raise ValueError(f"panos must be [H, W, B] = "
+                             f"{self.pano_hw + ('B',)}, got {panos.shape}")
+        sub = self.sub(panos)  # [R, B] u32, sorted texel order
+        if rubix:
+            tr, tm = self.remap.tint_rgb_mask
+            return remap_gather_tint_impl(
+                sub, self.cidx, self.remap.valid,
+                self.remap.background_rgba, tr, tm)
+        return remap_gather_impl(sub, self.cidx, self.remap.valid,
+                                 self.remap.background_rgba)
+
+
+def equirect_screen_sharded(kernel: EquirectScreenKernel, panos, mesh,
+                            rubix=False):
+    """The fused pano->screen kernel with the pano BATCH sharded over the
+    mesh's "data" axis (batch-innermost, like every source here); the
+    composed tables and screen-shaped state replicate (K·H·W·8 bytes —
+    ~30 MB at 720p bilinear)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    panos = jax.device_put(jnp.asarray(panos, jnp.uint32),
+                           NamedSharding(mesh, P(None, None, "data")))
+    return kernel(panos, rubix=rubix)
+
+
 class _EquirectIngestSubset(EquirectIngest):
     """Texel-subset view of an :class:`EquirectIngest` (see
     :meth:`EquirectIngest.subset`): the parent's static tables sliced to

@@ -130,21 +130,32 @@ def remap_gather_tint_impl(frames, flat_idx, valid, background, tint_rgb,
     # texel-compacted [R, B] sources alike, as in remap_gather_impl)
     src = frames.reshape(-1, B)
     g = jnp.take(src, flat_idx.reshape(H * W), axis=0, mode="clip")
-    percent = 256 // MAX_PLATES
-    tm = tint_mask.reshape(H * W, 1)
-    tr = tint_rgb.reshape(H * W, 1)
-    a = (g >> 24) & jnp.uint32(0xFF)
-    a = jnp.where(tm, jnp.uint32(0xFF), a)  # tinted texels: alpha 0xFF,
-    res = a << 24  # exactly like expand_frames_tinted_rgba
-    for shift in (0, 8, 16):
-        c = ((g >> shift) & 0xFF).astype(jnp.int32)
-        t = ((tr >> shift) & 0xFF).astype(jnp.int32)
-        c2 = jnp.clip(c + ((percent * (t - c)) >> 8), 0, 255)
-        c = jnp.where(tm, c2, c)
-        res = res | (c.astype(jnp.uint32) << shift)
+    res = apply_tint_rgba(g, tint_rgb.reshape(H * W, 1),
+                          tint_mask.reshape(H * W, 1))
     out = jnp.where(valid.reshape(H * W, 1), res,
                     background.reshape(H * W, 1))
     return out.reshape(H, W, B)
+
+
+def apply_tint_rgba(g, tint_rgb, tint_mask):
+    """The true-color rubix tint as pure elementwise math on already-
+    gathered packed-RGBA u32 values (the arithmetic of
+    :func:`remap_gather_tint_impl`, shared with the fused pano->screen
+    kernel): ``c += percent*(t-c) >> 8`` per channel under the static
+    tint mask, alpha forced 0xFF on tinted texels — exactly like
+    ``expand_frames_tinted_rgba``.  ``tint_rgb``/``tint_mask`` must be
+    broadcastable to ``g``."""
+    percent = 256 // MAX_PLATES
+    a = (g >> 24) & jnp.uint32(0xFF)
+    a = jnp.where(tint_mask, jnp.uint32(0xFF), a)
+    res = a << 24
+    for shift in (0, 8, 16):
+        c = ((g >> shift) & 0xFF).astype(jnp.int32)
+        t = ((tint_rgb >> shift) & 0xFF).astype(jnp.int32)
+        c2 = jnp.clip(c + ((percent * (t - c)) >> 8), 0, 255)
+        c = jnp.where(tint_mask, c2, c)
+        res = res | (c.astype(jnp.uint32) << shift)
+    return res
 
 
 _remap_gather_tint = jax.jit(remap_gather_tint_impl)
