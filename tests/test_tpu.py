@@ -1,0 +1,156 @@
+"""The ``-m tpu`` tier: re-pin the TPU-exactness claims on the real chip
+(VERDICT r3 task 5).  Run with ``BLINKY_TPU_TESTS=1 pytest -m tpu``;
+these auto-skip on the CPU mesh (conftest).
+
+Claims pinned here, previously prose-only (CLAUDE.md / BASELINE.md /
+docs/PERF.md):
+* ``.lua`` device builds bit-equal the Python ports' device builds
+  (debug, quincuncial — the two that show 1-ulp FMA fusion noise on
+  XLA:CPU but measure exactly 0 on TPU);
+* the static-ray posed pipeline bit-equals the vmapped-builder fused
+  pipeline on TPU (CPU needs tolerances, test_static_ray.py);
+* the three render_equirect modes are bit-equal on TPU;
+* a posed-throughput smoke floor at 1080p (the §6 numbers are real).
+
+Sizes stay small (the persistent jit cache makes repeat runs cheap);
+the whole tier is a few minutes cold, seconds warm.
+"""
+
+import numpy as np
+import pytest
+
+from blinky_tpu import globes, lenses
+from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+
+pytestmark = pytest.mark.tpu
+
+W, H, S = 160, 120, 120
+
+LUA_DIR = "/root/reference/game/lua-scripts/lenses"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _require_tpu():
+    import jax
+
+    plat = jax.devices()[0].platform
+    if plat not in ("tpu", "axon"):
+        pytest.skip(f"real chip required, platform is {plat}")
+
+
+@pytest.mark.parametrize("name,zoom,idx_tol,valid_tol", [
+    ("debug", Zoom("contain"), 0, 0),
+    # Round 3 recorded quincuncial as "exactly 0 on TPU"; this tier
+    # exists to keep such claims honest, and today it measures a small
+    # fusion-dependent drift (FMA contraction differs between the .lua
+    # trace's HLO and the port's): 27/19200 idx flips at 160x120,
+    # 380/921600 + 3 valid at 720p.  The flips sit on quincuncial's
+    # 5-region square-rotation boundaries (a 1-ulp crossing re-resolves
+    # to a different region/plate, so texel deltas are NOT +-1).  Pin
+    # the bound, not the obsolete zero.
+    ("quincuncial", Zoom("contain"), 0.003, 2e-4),
+])
+def test_lua_device_build_matches_port_on_tpu(name, zoom, idx_tol,
+                                              valid_tol):
+    from blinky_tpu.lua_bridge import load_lua_lens
+
+    g = globes.get("cube")
+    port = lenses.get(name, g)
+    lua = load_lua_lens(f"{LUA_DIR}/{name}.lua", g)
+    assert lua.jittable
+    scale = calc_scale(zoom, port, W, H)
+    lm_port = build_lensmap(port, g, scale, W, H, S, backend="jax")
+    lm_lua = build_lensmap(lua, g, scale, W, H, S, backend="jax")
+    vmm = (np.asarray(lm_lua.valid) != np.asarray(lm_port.valid)).mean()
+    imm = (np.asarray(lm_lua.flat_idx)
+           != np.asarray(lm_port.flat_idx)).mean()
+    assert vmm <= valid_tol, f"valid drift {vmm:.5%}"
+    assert imm <= idx_tol, f"idx drift {imm:.5%}"
+
+
+@pytest.mark.parametrize("lens_name,globe_name,zoom", [
+    ("panini", "cube", Zoom("fov", 180)),
+    ("quincuncial", "cube", Zoom("contain")),
+    ("hammer", "fast", Zoom("contain")),
+])
+def test_static_ray_exact_on_tpu(lens_name, globe_name, zoom):
+    """test_static_ray.py uses a CPU fuzz tolerance for XLA:CPU's FMA
+    contraction; on the chip the two posed pipelines are bit-equal."""
+    from blinky_tpu.io.cubemap import synthetic_cubemap_batch
+    from blinky_tpu.kernels.posed import (
+        PosedRemapKernel, bases_from_pose_track,
+    )
+    from blinky_tpu.kernels.static_ray import StaticRayPosedKernel
+
+    g = globes.get(globe_name)
+    lens = lenses.get(lens_name, g)
+    scale = calc_scale(zoom, lens, W, H)
+    frames = synthetic_cubemap_batch(S, 4)
+    bases = bases_from_pose_track(
+        [(0, 0, 0), (5, -12, 0), (-20, 33, 10), (0, 271, -45)])
+    fused = np.asarray(PosedRemapKernel(lens, g, W, H, scale,
+                                        platesize=S)(frames, bases))
+    sr = np.asarray(StaticRayPosedKernel(lens, g, W, H, scale,
+                                         platesize=S)(frames, bases))
+    np.testing.assert_array_equal(fused, sr)
+
+
+def test_equirect_modes_exact_on_tpu():
+    from blinky_tpu.api import Session
+
+    rng = np.random.default_rng(0)
+    panos = rng.integers(0, 2**32, (128, 256, 4),
+                         dtype=np.uint64).astype(np.uint32)
+    s = Session(W, H, platesize=S)
+    a = np.asarray(s.render_equirect(panos))                 # compact
+    b = np.asarray(s.render_equirect(panos, mode="faces"))
+    c = np.asarray(s.render_equirect(panos, mode="fused"))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(c, b)
+    s.cmd("f_rubix 1")
+    np.testing.assert_array_equal(
+        np.asarray(s.render_equirect(panos)),
+        np.asarray(s.render_equirect(panos, mode="faces")))
+
+
+def test_device_builder_drift_within_documented_bounds():
+    """docs/PERF.md §5: the f32 device builder's gather-index drift vs
+    the exact f64 host build sits on texel boundaries, ~1% of pixels at
+    1080p (panini).  Pin an upper bound at 640x480."""
+    g = globes.get("cube")
+    lens = lenses.get("panini", g)
+    scale = calc_scale(Zoom("fov", 180), lens, 640, 480)
+    dev = build_lensmap(lens, g, scale, 640, 480, 480, backend="jax")
+    host = build_lensmap(lens, g, scale, 640, 480, 480, backend="numpy")
+    diff = (np.asarray(dev.flat_idx) != host.flat_idx) | (
+        np.asarray(dev.valid) != host.valid)
+    assert diff.mean() < 0.02, f"f32 drift {diff.mean():.3%}"
+
+
+def test_posed_fps_smoke_floor():
+    """The §6 numbers are real: the static-ray pipeline at 1080p must
+    sustain well above the pre-round-4 rate (conservative floor: 25 fps
+    native at chunk 8 through the relay; measured ~49)."""
+    import time
+
+    from blinky_tpu.bench.throughput import _sync, device_source
+    from blinky_tpu.kernels.posed import bases_from_pose_track
+    from blinky_tpu.kernels.static_ray import StaticRayPosedKernel
+
+    B = 8
+    g = globes.get("cube")
+    lens = lenses.get("panini", g)
+    scale = calc_scale(Zoom("fov", 180), lens, 1920, 1080)
+    frames = device_source(1080, B, False, False)
+    bases = bases_from_pose_track(
+        np.stack([np.linspace(-20, 20, B), np.linspace(0, 90, B),
+                  np.zeros(B)], axis=1))
+    k = StaticRayPosedKernel(lens, g, 1920, 1080, scale, platesize=1080)
+    _sync(k(frames, bases))  # compile
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sync(k(frames, bases))
+        best = min(best, time.perf_counter() - t0)
+    fps = B / best
+    assert fps > 25, f"posed smoke floor: {fps:.1f} fps"
