@@ -248,15 +248,29 @@ def test_forward_lensmap_bitexact_vs_c(
 def test_forward_lensmap_bitexact_vs_c_production_sizes(harness, workdir):
     """Production-size pins for the forward (draw_quad rasterizer) path:
     640x480 and the full 1920x1080 — scan order, the maxdiff wrap guard
-    and last-writer-wins quads all replayed at scale."""
-    for W, H, lens_name in [(640, 480, "sinusoidal"), (1920, 1080, "eckert1")]:
+    and last-writer-wins quads all replayed at scale.
+
+    Default tier: sinusoidal 640x480 + eckert1 1080p.  Under
+    ``BLINKY_C_PIN_ALL`` every one of the 10 forward-only lenses gets a
+    1080p pin (VERDICT r3 task 6 — round 3 proved production-size pins
+    catch defects every small grid misses; ~8 s each, deep tier only).
+    """
+    configs = [(640, 480, "sinusoidal", "contain", 0),
+               (1920, 1080, "eckert1", "contain", 0)]
+    if os.environ.get("BLINKY_C_PIN_ALL"):
+        configs += [
+            (1920, 1080, name, "contain", 0)
+            for name in ("sinusoidal", "eckert5", "winkel1", "winkel2",
+                         "kavrayskiy7", "wagner6", "larrivee", "gins8")
+        ] + [(1920, 1080, "polyconic", "fov", 360)]
+    for W, H, lens_name, ztype, fov in configs:
         c = cref.c_lensmap(
             harness, workdir / "lm_fwd_big.bin", lens_name, "cube", W, H,
-            "contain", 0,
+            ztype, fov,
         )
         g = globes.get("cube")
         lens = lenses.get(lens_name, g)
-        scale = calc_scale(Zoom("contain", 0), lens, W, H)
+        scale = calc_scale(Zoom(ztype, fov), lens, W, H)
         lm = build_forward(lens, g, scale, W, H, c["platesize"],
                            use_native=True)
         _assert_lensmap_matches(
