@@ -137,24 +137,25 @@ def remap_gather_tint_impl(frames, flat_idx, valid, background, tint_rgb,
     return out.reshape(H, W, B)
 
 
-def apply_tint_rgba(g, tint_rgb, tint_mask):
+def apply_tint_rgba(g, tint_rgb, tint_mask, xp=jnp):
     """The true-color rubix tint as pure elementwise math on already-
     gathered packed-RGBA u32 values (the arithmetic of
     :func:`remap_gather_tint_impl`, shared with the fused pano->screen
-    kernel): ``c += percent*(t-c) >> 8`` per channel under the static
-    tint mask, alpha forced 0xFF on tinted texels — exactly like
-    ``expand_frames_tinted_rgba``.  ``tint_rgb``/``tint_mask`` must be
-    broadcastable to ``g``."""
+    kernel and the host remap): ``c += percent*(t-c) >> 8`` per channel
+    under the static tint mask, alpha forced 0xFF on tinted texels —
+    exactly like ``expand_frames_tinted_rgba``.  ``tint_rgb``/
+    ``tint_mask`` must be broadcastable to ``g``; ``xp`` picks the
+    jnp (device) or np (host) executor — integer math, bit-equal."""
     percent = 256 // MAX_PLATES
-    a = (g >> 24) & jnp.uint32(0xFF)
-    a = jnp.where(tint_mask, jnp.uint32(0xFF), a)
+    a = (g >> 24) & xp.uint32(0xFF)
+    a = xp.where(tint_mask, xp.uint32(0xFF), a)
     res = a << 24
     for shift in (0, 8, 16):
-        c = ((g >> shift) & 0xFF).astype(jnp.int32)
-        t = ((tint_rgb >> shift) & 0xFF).astype(jnp.int32)
-        c2 = jnp.clip(c + ((percent * (t - c)) >> 8), 0, 255)
-        c = jnp.where(tint_mask, c2, c)
-        res = res | (c.astype(jnp.uint32) << shift)
+        c = ((g >> shift) & 0xFF).astype(xp.int32)
+        t = ((tint_rgb >> shift) & 0xFF).astype(xp.int32)
+        c2 = xp.clip(c + ((percent * (t - c)) >> 8), 0, 255)
+        c = xp.where(tint_mask, c2, c)
+        res = res | (c.astype(xp.uint32) << shift)
     return res
 
 
@@ -554,3 +555,68 @@ class RemapKernel:
 def remap_frames(lensmap, frames, palette=None, background=None, rubix=False, decode_rgb=False):
     """One-shot convenience wrapper around :class:`RemapKernel`."""
     return RemapKernel(lensmap, palette, background)(frames, rubix=rubix, decode_rgb=decode_rgb)
+
+
+def host_remap(lensmap, frame, palette=None, background=None,
+               rubix=False, decode_rgb=False) -> np.ndarray:
+    """Pure-NumPy single-frame remap — no device, no jit.
+
+    The bind-first cold-serve path (``Session.render_host``): on a cold
+    process the device gather kernel costs a ~45 s first compile through
+    the axon relay, and the reference's loop never blocks
+    (``fisheye.c:306-322``) — so the viewer paints host-gathered frames
+    until a background warm finishes.  Bit-equal to :class:`RemapKernel`
+    on the same lensmap for every source kind (u8, expanded raw||tinted,
+    packed-RGBA u32; pinned in tests/test_viewer.py): the same tint LUT,
+    the same expanded-index arithmetic, the same post-gather u32 tint
+    (:func:`apply_tint_rgba`), ``mode="clip"`` like the device gather.
+
+    ``frame``: one [P, S, S] u8/u32 frame.  Returns [H, W] (u8 or u32),
+    or [H, W, 3] u8 with ``decode_rgb`` on a u8 source.
+    """
+    from blinky_tpu import palette as pal_mod
+    from blinky_tpu.lensmap.builder import TINT_NONE
+
+    lm = lensmap if isinstance(lensmap.flat_idx, np.ndarray) \
+        else lensmap.to_numpy()
+    frame = np.asarray(frame)
+    if frame.ndim != 3:
+        raise ValueError("host_remap takes one [P, S, S] frame")
+    is_rgba = frame.dtype == np.uint32
+    if not is_rgba:
+        frame = frame.astype(np.uint8, copy=False)
+    expanded = frame.shape[0] == 2 * MAX_PLATES
+    S = lm.platesize
+    idx = expanded_flat_idx(lm) if (rubix and expanded) else lm.flat_idx
+    src = frame.reshape(-1)
+    g = src[np.clip(idx, 0, src.size - 1)]  # [H, W], mode="clip"
+    if rubix and not expanded:
+        if is_rgba:
+            # exactly RemapKernel.tint_rgb_mask's recipe, on the host
+            lut = pack_rgba(np.concatenate(
+                [pal_mod.PLATE_TINTS.astype(np.uint8),
+                 np.zeros((1, 3), np.uint8)]))
+            tint = lm.tint.astype(np.int32)
+            tr = lut[tint]
+            tm = (tint != TINT_NONE) & lm.valid
+            g = apply_tint_rgba(g, tr, tm, xp=np)
+        else:
+            if palette is None:
+                raise ValueError("host_remap needs a palette for u8 rubix")
+            lut = pal_mod.tint_lut(np.asarray(palette))
+            g = lut[lm.tint.astype(np.int32), g.astype(np.int32)]
+    if background is None:
+        background = np.zeros((lm.height_px, lm.width_px), np.uint8)
+    bg = np.asarray(background).reshape(lm.height_px, lm.width_px)
+    if is_rgba:
+        if bg.dtype != np.uint32:
+            if palette is None:
+                raise ValueError("host_remap needs a palette for the RGBA "
+                                 "background")
+            bg = frames_to_rgba(bg, np.asarray(palette))
+    out = np.where(lm.valid, g, bg)
+    if decode_rgb and not is_rgba:
+        if palette is None:
+            raise ValueError("host_remap needs a palette for RGB decode")
+        out = np.asarray(palette, np.uint8)[out.astype(np.int32)]
+    return out

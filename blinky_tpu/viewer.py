@@ -157,7 +157,7 @@ class Viewer:
     """
 
     def __init__(self, session, frames, poses=None, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, device_warm: bool = True):
         import secrets
 
         frames = np.asarray(frames)
@@ -170,6 +170,16 @@ class Viewer:
         if len(frames) == 0:
             raise ValueError("Viewer needs at least one frame")
         self.session = session
+        # bind-first cold serve (fisheye.c:306-322 — the loop never
+        # blocks): until this event is set, /frame.png renders through
+        # Session.render_host (pure NumPy, bit-equal to the device
+        # kernel) so a cold process serves its first frame immediately
+        # while start_background_warm() pays the device compiles off the
+        # request path.  device_warm=True starts in warm mode (tests and
+        # embedders that warmed the device themselves).
+        self.device_ready = threading.Event()
+        if device_warm:
+            self.device_ready.set()
         if session.build_budget_s is None:
             # interactive host: never block the page on a seconds-scale
             # exact build — time-slice it like the reference's frame
@@ -270,12 +280,79 @@ class Viewer:
         host, port = self._httpd.server_address[:2]
         return f"http://{host}:{port}"
 
+    def start_background_warm(self):
+        """Pay the device's cold-start costs (axon client init, the
+        builder jit, the gather-kernel jit) on a daemon thread while the
+        bound server keeps answering with host renders; flips
+        ``device_ready`` when the device path is actually warm.
+
+        The thread touches only process-global jit caches and its OWN
+        lensmap/kernel objects — never the shared Session (the
+        single-threaded HTTP handler owns it), so there is no
+        concurrent Session access.  The lens/globe references read at
+        start are a snapshot: if the user switches lenses mid-warm the
+        snapshot still warms the gather kernel (shape-keyed, lens-
+        independent) and the session's warmth-gated previews handle the
+        new lens's builder like any cold lens.  On failure the event
+        stays unset and the viewer keeps serving host renders — the
+        never-blocking loop survives a dead relay.
+        """
+        if self.device_ready.is_set():
+            return None
+        sess = self.session
+        frame0 = self.frames[0]
+
+        def work():
+            try:
+                from blinky_tpu.kernels.remap import RemapKernel
+                from blinky_tpu.lensmap import build_lensmap, calc_scale
+
+                lens, globe = sess.lens, sess.globe
+                jit_ok = (sess.lens_valid and sess.globe_valid
+                          and getattr(lens, "map_type", "inverse") == "inverse"
+                          and sess._jittable())
+                try:
+                    scale = calc_scale(sess.zoom, lens, sess.width_px,
+                                       sess.height_px)
+                except Exception:
+                    scale = 1.0  # any scale: a dynamic jit argument
+                lm = build_lensmap(
+                    lens, globe, scale, sess.width_px, sess.height_px,
+                    sess.platesize, numcells=sess.rubix_numcells,
+                    cell_size=sess.rubix_cell_size,
+                    pad_size=sess.rubix_pad_size,
+                    backend="jax" if jit_ok else "numpy",
+                )
+                k = RemapKernel(lm, sess.palette)
+                np.asarray(k(frame0))  # gather jit + axon client init
+                self.device_ready.set()
+            except Exception as e:  # keep serving host renders
+                print(f"device warm failed ({type(e).__name__}: {e}); "
+                      "viewer stays on host renders")
+
+        t = threading.Thread(target=work, name="blinky-device-warm",
+                             daemon=True)
+        t.start()
+        return t
+
     def _render_screen(self, i: int, follow: bool) -> np.ndarray:
         """One frame through the live session (the shared body of
         render_png and render_gif): apply the pose track's frame-``i``
         camera when following (clamping past the end, like ``reproject
         --follow-poses``), expand u32 sources for rubix, render."""
         sess = self.session
+        if not self.device_ready.is_set():
+            # cold phase: the HOST path — never touches the device, so
+            # the background warm's compiles can't stall a request and
+            # the first frame costs one host gather.  Poses compose via
+            # the same setviewangles path; render_host's forced-numpy
+            # rebuild keeps even those host-side.
+            if follow and self.poses is not None:
+                p, y, r = (float(f"{float(v):.9f}") for v in
+                           self.poses[min(i, len(self.poses) - 1)])
+                if sess.view_angles != (p, y, r):
+                    sess.cmd(f"setviewangles {p:.9f} {y:.9f} {r:.9f}")
+            return np.asarray(sess.render_host(self.frames[i]))
         if follow and self.poses is not None:
             # format without exponent notation: the console's Q_atof has
             # no 'e' syntax (faithful to the C), so '6.1e-05' would parse
@@ -309,6 +386,8 @@ class Viewer:
         prog = sess.build_progress
         if prog is not None:  # exact build still landing behind the preview
             status += f"  [exact build {prog * 100:.0f}%]"
+        if not self.device_ready.is_set():
+            status += "  [host renders: device warming]"
         return png, status
 
     def render_gif(self, start: int = 0, count=None, follow: bool = False,
