@@ -124,9 +124,11 @@ def main() -> None:
         # cascade-fail after an OOM in a shared process (CLAUDE.md)
         q = "--quick" in sys.argv
         rubix = "--config4k-rubix" in sys.argv
+        # full mode derives B from the source layout + HBM budget
+        # (bench/autobatch.py); quick keeps small explicit batches
         r = run_gather_throughput(
             width=3840, height=2160, platesize=2160,
-            batch=(32 if q else 256) if rubix else (64 if q else 512),
+            batch=((32 if rubix else 64) if q else None),
             iters=2 if q else 4, rubix=rubix, rgba=False, compact=True)
         print(json.dumps({"fps": r["fps"], "config": r["config"]}))
         return
@@ -147,7 +149,7 @@ def main() -> None:
         return
     if "--headline-compact" in sys.argv:
         # (internal) the compact attempt, run in its own process
-        r = run_gather_throughput(batch=2048, iters=iters,
+        r = run_gather_throughput(batch=None, iters=iters,
                                   rubix=False, rgba=False, compact=True)
         print(json.dumps({"fps": r["fps"]}))
         return
@@ -157,22 +159,24 @@ def main() -> None:
         # cascade-fail in a shared process)
         q = "--quick" in sys.argv
         variant = next(a for a in sys.argv if a.startswith("--config-rowcrop-"))
+        # full mode derives B from the compaction stats + HBM budget
+        # (bench/autobatch.py); quick keeps small explicit batches
         cfg = {
             "--config-rowcrop-rubix": dict(rubix=True, rgba=False, row_crop=True,
-                                           batch=96 if q else 1536),
+                                           batch=96 if q else None),
             "--config-rowcrop-rgba": dict(rubix=False, rgba=True, row_crop=True,
-                                          batch=48 if q else 640),
+                                          batch=48 if q else None),
             "--config-rowcrop-both": dict(rubix=True, rgba=True, row_crop=True,
-                                          batch=32 if q else 384),
+                                          batch=32 if q else None),
             "--config-rowcrop-txrubix": dict(rubix=True, rgba=False,
                                              texel_compact=True,
-                                             batch=96 if q else 4224),
+                                             batch=96 if q else None),
             "--config-rowcrop-txrgba": dict(rubix=False, rgba=True,
                                             texel_compact=True,
-                                            batch=48 if q else 1024),
+                                            batch=48 if q else None),
             "--config-rowcrop-txboth": dict(rubix=True, rgba=True,
                                             texel_compact=True,
-                                            batch=32 if q else 1024),
+                                            batch=32 if q else None),
         }[variant]
         r = run_gather_throughput(iters=3 if q else 6, **cfg)
         print(json.dumps({"fps": r["fps"], "config": r["config"]}))
@@ -182,7 +186,7 @@ def main() -> None:
         # the source keeps exactly the 1.70M unique texels the panini@180
         # lensmap references (compact_texels), affording B=4224 (33x128
         # lanes) — measured 33.6k fps vs 31.5k row-cropped (PERF.md §7)
-        r = run_gather_throughput(batch=4224, iters=iters,
+        r = run_gather_throughput(batch=None, iters=iters,
                                   rubix=False, rgba=False, texel_compact=True)
         print(json.dumps({"fps": r["fps"]}))
         return
@@ -191,7 +195,7 @@ def main() -> None:
         # panini@180 touches 3663/5400 source rows (compact_rows), and the
         # freed HBM affords B=2688 (21x128 lanes) vs 2048 plate-compacted —
         # measured 31.5k vs 30.0k fps; B=2816 OOMs (docs/PERF.md §7)
-        r = run_gather_throughput(batch=2688, iters=iters,
+        r = run_gather_throughput(batch=None, iters=iters,
                                   rubix=False, rgba=False, row_crop=True)
         print(json.dumps({"fps": r["fps"]}))
         return

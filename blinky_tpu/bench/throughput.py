@@ -30,6 +30,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from blinky_tpu import globes, lenses
+from blinky_tpu.bench.autobatch import (
+    feasible_batch, planes_bytes_per_lane, rows_bytes_per_lane,
+    screen_bytes_per_lane, texels_bytes_per_lane,
+)
 from blinky_tpu.kernels.remap import remap_impl
 from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
 from blinky_tpu.palette import MAX_PLATES, default_palette, tint_lut
@@ -242,9 +246,18 @@ def run_gather_throughput(
 
             plane_ids, cidx = compact_planes(lm.to_numpy(), rubix=False)
             idx = jnp.asarray(cidx)
+            if batch is None:
+                batch = feasible_batch(
+                    planes_bytes_per_lane(platesize, len(plane_ids),
+                                          rgba=True),
+                    screen_bytes_per_lane(width, height, rgba=True))
             frames = device_source(platesize, batch, False, True, plane_ids)
             nplanes = len(plane_ids)
         else:
+            if batch is None:
+                batch = feasible_batch(
+                    planes_bytes_per_lane(platesize, MAX_PLATES, rgba=True),
+                    screen_bytes_per_lane(width, height, rgba=True))
             frames = device_source(platesize, batch, False, True)
             idx = kernel.flat_idx
             nplanes = int(frames.shape[0])
@@ -272,6 +285,10 @@ def run_gather_throughput(
 
         texels, cidx = compact_texels(lm.to_numpy(), rubix=rubix)
         idx = jnp.asarray(cidx)
+        if batch is None:
+            batch = feasible_batch(
+                texels_bytes_per_lane(texels.size, rgba=rgba),
+                screen_bytes_per_lane(width, height, rgba=rgba))
         frames = device_source_texels(platesize, batch, rgba, texels)
         _sync(frames)
         bg = kernel.background_rgba if rgba else kernel.background
@@ -294,6 +311,11 @@ def run_gather_throughput(
 
         slabs, cidx = compact_rows(lm.to_numpy(), rubix=rubix)
         idx = jnp.asarray(cidx)
+        if batch is None:
+            batch = feasible_batch(
+                rows_bytes_per_lane(sum(hi - lo for _, lo, hi in slabs),
+                                    platesize, rgba=rgba),
+                screen_bytes_per_lane(width, height, rgba=rgba))
         frames = device_source_rows(platesize, batch, rgba, slabs)
         nrows = int(frames.shape[0])
         _sync(frames)
@@ -317,9 +339,18 @@ def run_gather_throughput(
 
         plane_ids, cidx = compact_planes(lm.to_numpy(), rubix=rubix)
         idx = jnp.asarray(cidx)
+        if batch is None:
+            batch = feasible_batch(
+                planes_bytes_per_lane(platesize, len(plane_ids), rgba=rgba),
+                screen_bytes_per_lane(width, height, rgba=rgba))
         frames = device_source(platesize, batch, rubix, rgba, plane_ids)
         nplanes = len(plane_ids)
     else:
+        if batch is None:
+            batch = feasible_batch(
+                planes_bytes_per_lane(platesize, MAX_PLATES, rgba=rgba,
+                                      expanded=rubix),
+                screen_bytes_per_lane(width, height, rgba=rgba))
         frames = device_source(platesize, batch, rubix, rgba)
         idx = kernel.flat_idx_rubix if rubix else kernel.flat_idx
         nplanes = int(frames.shape[0])

@@ -311,6 +311,31 @@ def cmd_reproject(args) -> int:
     # rubix comes from --rubix or from session state (a user --cmd f_rubix);
     # the per-frame-pose path needs the expanded source either way
     want_rubix = bool(args.rubix or sess.rubix_enabled)
+    if args.batch <= 0:
+        # --batch 0: derive the chunk from the source layout + the HBM
+        # budget (bench/autobatch.py — the reference sizes its buffers
+        # from the live dimensions, fisheye.c:703-727) instead of a hand
+        # constant; posed playback keeps per-pose index tables live, so
+        # its chunks come out smaller
+        from blinky_tpu.bench.autobatch import (
+            feasible_batch, planes_bytes_per_lane, posed_bytes_per_lane,
+            screen_bytes_per_lane,
+        )
+
+        if poses is not None:
+            per_lane = posed_bytes_per_lane(
+                S, P, args.width, args.height,
+                render_scale=1 if k == "auto" else k,
+                rgba=is_rgba, expanded=want_rubix)
+            args.batch = feasible_batch(per_lane, 0, cap=N)
+        else:
+            args.batch = feasible_batch(
+                planes_bytes_per_lane(S, P, rgba=is_rgba,
+                                      expanded=want_rubix),
+                screen_bytes_per_lane(args.width, args.height,
+                                      rgba=is_rgba),
+                cap=N)
+        print(f"auto batch: {args.batch}")
     palmap = None
     if want_rubix and not is_rgba:
         from blinky_tpu.palette import create_palmap
@@ -662,7 +687,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("reproject", help="batch-reproject a demo (timedemo pipeline)")
     _add_session_args(p)
     p.add_argument("--demo", required=True, help="demo .npz from demo-synth / write_demo")
-    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--batch", type=int, default=64,
+                   help="frames per device chunk; 0 = derive from the "
+                        "source layout and HBM budget (bench/autobatch)")
     p.add_argument("--rubix", action="store_true")
     p.add_argument("--pose", default=None, metavar="PITCH,YAW,ROLL",
                    help="rotate the view within the recorded plates (deg)")

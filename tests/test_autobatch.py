@@ -1,0 +1,69 @@
+"""HBM-aware batch derivation (bench/autobatch.py): the calibrated
+live-set model must reproduce the round-3 hand-tuned batches and respect
+the measured OOM boundaries (module docstring table)."""
+
+import pytest
+
+from blinky_tpu.bench.autobatch import (
+    effective_budget_bytes,
+    feasible_batch,
+    planes_bytes_per_lane,
+    posed_bytes_per_lane,
+    rows_bytes_per_lane,
+    screen_bytes_per_lane,
+    texels_bytes_per_lane,
+)
+
+# panini@180 1080p compaction stats (deterministic; the bench recomputes
+# them from the lensmap at run time)
+TEXELS = 1_696_377
+ROWS, ROWS_RUBIX = 3663, 7132
+
+
+@pytest.mark.parametrize("src,out,expect", [
+    (texels_bytes_per_lane(TEXELS), screen_bytes_per_lane(1920, 1080), 4224),
+    (texels_bytes_per_lane(TEXELS, rgba=True),
+     screen_bytes_per_lane(1920, 1080, rgba=True), 1024),
+    (rows_bytes_per_lane(ROWS, 1080), screen_bytes_per_lane(1920, 1080), 2560),
+    (rows_bytes_per_lane(ROWS_RUBIX, 1080),
+     screen_bytes_per_lane(1920, 1080), 1536),
+    (rows_bytes_per_lane(ROWS, 1080, rgba=True),
+     screen_bytes_per_lane(1920, 1080, rgba=True), 640),
+    (planes_bytes_per_lane(1080, 5), screen_bytes_per_lane(1920, 1080), 2048),
+    (planes_bytes_per_lane(2160, 5), screen_bytes_per_lane(3840, 2160), 512),
+    (planes_bytes_per_lane(2160, 5, expanded=True),
+     screen_bytes_per_lane(3840, 2160), 256),
+])
+def test_derived_batches_match_calibration_table(src, out, expect):
+    assert feasible_batch(src, out) == expect
+
+
+def test_oom_boundaries_respected():
+    """The measured failures must derive strictly below their OOM batch:
+    row-crop B=2816 OOMed, texels B=6016 OOMed."""
+    b_rows = feasible_batch(rows_bytes_per_lane(ROWS, 1080),
+                            screen_bytes_per_lane(1920, 1080))
+    assert b_rows < 2816
+    b_tex = feasible_batch(texels_bytes_per_lane(TEXELS),
+                           screen_bytes_per_lane(1920, 1080))
+    assert b_tex < 6016
+
+
+def test_quantum_floor_cap_and_override(monkeypatch):
+    assert feasible_batch(1, 0, budget=1000, quantum=128) == 896
+    assert feasible_batch(10**15, 0) == 128          # floor: one lane tile
+    assert feasible_batch(1, 0, cap=37) == 37        # cap wins (frame count)
+    monkeypatch.setenv("BLINKY_HBM_BYTES", "31500000000")
+    assert effective_budget_bytes() > 30_000_000_000  # other chips scale
+
+
+def test_posed_layout_counts_index_tables():
+    """Posed pipelines keep per-pose [H/k, W/k] i32 index tables live, so
+    their feasible chunks are smaller than the static remap's; the
+    render_scale knob shrinks the table term."""
+    full = posed_bytes_per_lane(1080, 6, 1920, 1080)
+    static = planes_bytes_per_lane(1080, 6) + screen_bytes_per_lane(1920, 1080)
+    assert full > static
+    k2 = posed_bytes_per_lane(1080, 6, 1920, 1080, render_scale=2)
+    assert k2 < full
+    assert feasible_batch(full, 0) < feasible_batch(static, 0)
