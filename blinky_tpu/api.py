@@ -1120,6 +1120,27 @@ class Session:
         if exact:
             return self._render_posed_exact(frames, bases, scale,
                                             int(render_scale))
+        # HBM-aware chunking (bench/autobatch.py): a pose batch larger
+        # than the device can hold (source planes + per-pose index
+        # tables + screens, per lane) splits transparently — the same
+        # cached kernel serves every slice, so only the remainder chunk
+        # retraces
+        from blinky_tpu.bench.autobatch import (
+            feasible_batch, posed_bytes_per_lane,
+        )
+
+        cap = feasible_batch(posed_bytes_per_lane(
+            S, frames.shape[0],  # P already counts the expanded layout
+            self.width_px, self.height_px,
+            render_scale=int(render_scale),
+            rgba=frames.dtype == np.uint32), 0, floor=1)
+        if B > cap:
+            return np.concatenate([
+                np.asarray(self.render_posed(
+                    frames[..., i:i + cap], bases[i:i + cap],
+                    render_scale=int(render_scale)))
+                for i in range(0, B, cap)
+            ], axis=0)
         is_rgba = frames.dtype == np.uint32
         # keyed on a background GENERATION, not id(): a freed array's id
         # can be reused and silently hit a stale cache entry

@@ -57,6 +57,28 @@ def test_quantum_floor_cap_and_override(monkeypatch):
     assert effective_budget_bytes() > 30_000_000_000  # other chips scale
 
 
+def test_render_posed_chunks_transparently(monkeypatch):
+    """A pose batch beyond the feasible chunk splits into slices of the
+    same cached kernel, bit-identical to the one-shot render."""
+    import numpy as np
+
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.cubemap import synthetic_cubemap_batch
+
+    W, H, S, B = 64, 48, 48, 5
+    poses = np.asarray([(0.0, 0.0, 0.0), (5.0, -12.0, 0.0),
+                        (-20.0, 33.0, 10.0), (89.0, 180.0, 0.0),
+                        (0.0, 271.0, -45.0)])
+    frames = synthetic_cubemap_batch(S, B)
+    sess = Session(W, H, platesize=S)
+    whole = np.asarray(sess.render_posed(frames, poses))
+    # shrink the budget so the cap lands at 2 poses (per-lane ~0.164 MB)
+    monkeypatch.setenv("BLINKY_HBM_BYTES", "330000")
+    sess2 = Session(W, H, platesize=S)
+    chunked = np.asarray(sess2.render_posed(frames, poses))
+    np.testing.assert_array_equal(whole, chunked)
+
+
 def test_posed_layout_counts_index_tables():
     """Posed pipelines keep per-pose [H/k, W/k] i32 index tables live, so
     their feasible chunks are smaller than the static remap's; the
