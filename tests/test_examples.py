@@ -26,6 +26,23 @@ def test_360_video_example(tmp_path):
     assert (first != last).any()
 
 
+def test_pose_playback_example(tmp_path):
+    spec = importlib.util.spec_from_file_location(
+        "example_pose", EXAMPLES / "pose_playback.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.W, mod.H, mod.S, mod.N = 64, 48, 48, 5
+    mod.main(tmp_path / "out")
+    from blinky_tpu.io.ppm import decode_ppm
+
+    ppms = sorted((tmp_path / "out").glob("pose*.ppm"))
+    assert len(ppms) == 5
+    first = decode_ppm(ppms[0].read_bytes())
+    last = decode_ppm(ppms[-1].read_bytes())
+    assert first.shape == (48, 64, 3)
+    assert (first != last).any()  # the pan moved the view
+
+
 def test_equirect_pipeline_example(tmp_path):
     spec = importlib.util.spec_from_file_location(
         "example_equirect", EXAMPLES / "equirect_pipeline.py")
