@@ -59,9 +59,11 @@ def main(outdir="pose_out"):
     # spot-check one rotated pose against the per-pose exact host path
     # (the identity pose is bit-exact; rotated poses re-resolve the
     # rasterized map by nearest ray — see docs/PERF.md)
-    exact = sess.render_posed(frames[..., 5:6], poses[5:6], exact=True)
-    agree = (screens[5] == exact[0]).mean()
-    print(f"pose 5 vs exact host rasterization: {agree:.1%} identical")
+    j = min(5, N - 1)
+    exact = sess.render_posed(frames[..., j:j + 1], poses[j:j + 1],
+                              exact=True)
+    agree = (screens[j] == exact[0]).mean()
+    print(f"pose {j} vs exact host rasterization: {agree:.1%} identical")
 
     rgb = sess.palette[screens]  # palette-decode for viewing
     for i in range(N):
