@@ -50,8 +50,17 @@ def _walk(d, prefix=""):
 
 def _kind(key: str):
     """Classify a metric key: 'fps' (higher better), 'ms' (lower
-    better), 'bool', or None (not gated)."""
+    better), 'bool', or None (not gated).
+
+    ``first_*`` keys are ungated: a first call's cost is dominated by
+    jit compile-cache state (a persistent-cache hit is ~200 ms where a
+    real TPU compile after any HLO-changing refactor is 1-2 s — a 5-7x
+    swing with no kernel change, observed r3->r4 on configs 2/3), so
+    they are informational only; the warm rebuild medians next to them
+    are the gated numbers."""
     leaf = key.rsplit(".", 1)[-1]
+    if leaf.startswith("first_"):
+        return None
     if leaf == "fps" or leaf.endswith("_fps"):
         return "fps"
     if leaf.endswith("_ms") or leaf.startswith("ms_per") or leaf == "ms":

@@ -89,21 +89,42 @@ def config1_zoom_sweep():
     return dict(config=1, name="f_fov zoom sweep rebuild", **out)
 
 
-def config2_cartographic():
-    """360-degree cartographic lenses, full-sphere inverse path."""
+def _timed_build(lens, g, scale, w, h, warm_reps=3):
+    """First-call + warm-median build timings for one lens/globe config.
+
+    The first call pays whatever the jit compile-cache state costs (a
+    disk-cache hit ~200 ms, a real TPU compile 1-2 s — the r3->r4
+    baseline swing was exactly this), so it is reported as the UNGATED
+    ``first_build_ms``; the gated ``build_ms`` is the median of warm
+    rebuilds, which measures the actual builder kernel + relay and is
+    run-to-run stable."""
     from blinky_tpu.bench.throughput import _sync
 
+    t0 = time.perf_counter()
+    lm = build_lensmap(lens, g, scale, w, h)
+    _sync(lm.flat_idx)
+    first_ms = _ms(t0)
+    warm = []
+    for _ in range(warm_reps):
+        t0 = time.perf_counter()
+        lm = build_lensmap(lens, g, scale, w, h)
+        _sync(lm.flat_idx)
+        warm.append(_ms(t0))
+    return lm, first_ms, sorted(warm)[len(warm) // 2]
+
+
+def config2_cartographic():
+    """360-degree cartographic lenses, full-sphere inverse path."""
     res = {}
     for lens_name in ("quincuncial", "mercator", "winkeltripel"):
         g = globes.get("cube")
         lens = lenses.get(lens_name, g)
         zoom = Zoom("cover") if lens_name == "mercator" else Zoom("contain")
         scale = calc_scale(zoom, lens, 1280, 720)
-        t0 = time.perf_counter()
-        lm = build_lensmap(lens, g, scale, 1280, 720)
-        _sync(lm.flat_idx)
+        lm, first_ms, warm_ms = _timed_build(lens, g, scale, 1280, 720)
         res[lens_name] = dict(
-            build_ms=_ms(t0),
+            build_ms=warm_ms,
+            first_build_ms=first_ms,
             coverage=round(float(np.asarray(lm.valid).mean()), 4),
             plates_used=int(np.asarray(lm.plates_used).sum()),
         )
@@ -113,8 +134,6 @@ def config2_cartographic():
 def config3_low_poly():
     """trism (5 plates) and fast (2 overlaid plates, custom resolver) with
     autofit zooms — the reference's quality<->speed tradeoff globes."""
-    from blinky_tpu.bench.throughput import _sync
-
     res = {}
     for globe_name, lens_name, zoom in (
         ("trism", "fisheye1", Zoom("contain")),
@@ -124,11 +143,10 @@ def config3_low_poly():
         g = globes.get(globe_name)
         lens = lenses.get(lens_name, g)
         scale = calc_scale(zoom, lens, 1280, 720)
-        t0 = time.perf_counter()
-        lm = build_lensmap(lens, g, scale, 1280, 720)
-        _sync(lm.flat_idx)
+        lm, first_ms, warm_ms = _timed_build(lens, g, scale, 1280, 720)
         res[globe_name] = dict(
-            build_ms=_ms(t0),
+            build_ms=warm_ms,
+            first_build_ms=first_ms,
             numplates=g.numplates,
             plates_used=int(np.asarray(lm.plates_used).sum()),
         )

@@ -74,6 +74,19 @@ def test_guarded_none_baseline_gates_nothing():
     assert compare_results(BASE, cur) == []
 
 
+def test_first_call_keys_are_ungated():
+    """first_* timings are jit compile-cache state, not kernel perf: a
+    cache miss after an HLO-changing refactor swings them 5-7x with no
+    regression (observed r3->r4 on configs 2/3)."""
+    base = _clone()
+    base[2]["stereographic"]["first_ms"] = 1500.0
+    base[0]["first_build_ms"] = 200.0
+    cur = json.loads(json.dumps(base))
+    cur[2]["stereographic"]["first_ms"] = 15000.0
+    cur[0]["first_build_ms"] = 2000.0
+    assert compare_results(base, cur) == []
+
+
 def test_new_fields_pass_and_errors_fail():
     cur = _clone()
     cur[0]["brand_new_fps"] = 1.0  # joins the baseline at --check-update
