@@ -1133,7 +1133,7 @@ class Session:
             S, frames.shape[0],  # P already counts the expanded layout
             self.width_px, self.height_px,
             render_scale=int(render_scale),
-            rgba=frames.dtype == np.uint32), 0, floor=1)
+            rgba=frames.dtype == np.uint32), 0)
         if B > cap:
             return np.concatenate([
                 np.asarray(self.render_posed(
@@ -1151,16 +1151,36 @@ class Session:
         cached = getattr(self, "_posed_cache", None)
         if cached is None or cached[0] != key:
             bg = self._posed_background(is_rgba)
+            tables = self._ray_table_stash(scale, S)
             kernel = StaticRayPosedKernel(
                 self.lens, self.globe, self.width_px, self.height_px, scale,
                 platesize=S, numcells=self.rubix_numcells,
                 cell_size=self.rubix_cell_size, pad_size=self.rubix_pad_size,
                 background=bg, render_scale=int(render_scale),
+                ray_table=tables.get(int(render_scale)),
                 lensmap=self._reusable_static_lensmap(scale, S,
                                                       int(render_scale)),
             )
+            tables[int(render_scale)] = kernel.ray_table
             self._posed_cache = (key, kernel)
         return self._posed_cache[1](frames, bases)
+
+    def _ray_table_stash(self, scale, platesize):
+        """The session's ray-table reuse pool for the static-ray posed
+        pipeline: ``{render_scale: RayTable}`` for the CURRENT (lens,
+        globe, zoom, size) generation — one generation only, replaced on
+        any change (tables are device-resident, ~25 MB each at 1080p;
+        keeping stale generations would pin HBM).  Shared by the
+        auto-scale probes and the real posed kernel so a forward-only
+        lens pays its host rasterization once per (k, generation), not
+        once per kernel construction."""
+        gen = (id(self.lens), id(self.globe), float(scale),
+               self.width_px, self.height_px, platesize)
+        stash = getattr(self, "_ray_tables", None)
+        if stash is None or stash[0] != gen:
+            stash = (gen, {})
+            self._ray_tables = stash
+        return stash[1]
 
     def _reusable_static_lensmap(self, scale, platesize, render_scale):
         """The session's already-built static lensmap, when it is usable
@@ -1200,8 +1220,10 @@ class Session:
         (lens, globe, size, source kind) — timings do not depend on the
         zoom value (scale is a dynamic jit argument), so f_fov changes
         reuse the calibration.  Probing builds the static-ray tables for
-        k=1 and k=max (for forward-only lenses: two one-time host
-        rasterizations, cached with the calibration)."""
+        k=1 and k=max; they land in the session's ray-table stash
+        (``_ray_table_stash``) so the real posed kernel reuses them —
+        for forward-only lenses that makes the probe's k=1 host
+        rasterization the ONLY full-size one this generation pays."""
         import time
 
         from blinky_tpu.kernels.posed import check_render_scale
@@ -1242,6 +1264,8 @@ class Session:
             pb = {n: jax.device_put(np.repeat(base_b, n, axis=0))
                   for n in (2, 8)}
 
+            tables = self._ray_table_stash(scale, S)
+
             def probe(n, k):
                 kernel = StaticRayPosedKernel(
                     self.lens, self.globe, self.width_px, self.height_px,
@@ -1249,8 +1273,10 @@ class Session:
                     cell_size=self.rubix_cell_size,
                     pad_size=self.rubix_pad_size, background=bg,
                     render_scale=k,
+                    ray_table=tables.get(k),
                     lensmap=self._reusable_static_lensmap(scale, S, k),
                 )
+                tables[k] = kernel.ray_table
                 best = np.inf
                 device_fetch_sync(kernel(pf[n], pb[n]))  # compile + warm
                 for _ in range(2):
@@ -1468,11 +1494,16 @@ class Session:
 
         if (mode != "faces" and self.fisheye_enabled
                 and self.save_request is None):
-            # same rebuild/advance sequence render() runs before gathering
+            # same rebuild sequence render() runs before gathering — but
+            # NOT the time-slice advance: with a build pending this falls
+            # through to the faces path, whose render() call advances the
+            # one budget slice (advancing here too would double the
+            # per-frame blocking and build a kernel from a preview table
+            # the next slice immediately invalidates)
             if self._changed or self._lensmap is None:
                 self._rebuild()
-            self._advance_build(budget_s=self.build_budget_s)
-            if (self._lensmap is not None and self._kernel is None):
+            if (self._lensmap is not None and self._pending_build is None
+                    and self._kernel is None):
                 self._kernel = RemapKernel(self._lensmap, self.palette,
                                            self._background)
             if (self._kernel is not None and self._pending_build is None

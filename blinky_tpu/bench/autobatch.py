@@ -75,23 +75,22 @@ def effective_budget_bytes() -> int:
 
 
 def feasible_batch(src_bytes_per_lane, out_bytes_per_lane, *,
-                   budget=None, quantum=QUANTUM, floor=QUANTUM,
-                   cap=None) -> int:
-    """Largest batch (multiple of *quantum*, >= *floor*) whose per-lane
-    live set (source + materialized output) fits the budget; *cap*
-    bounds it (e.g. the number of available frames).
+                   budget=None, quantum=QUANTUM, cap=None) -> int:
+    """Largest batch (multiple of *quantum*) whose per-lane live set
+    (source + materialized output) fits the budget; *cap* bounds it
+    (e.g. the number of available frames).
 
     When even one *quantum* of lanes doesn't fit, the un-quantized
-    count is returned instead (partial lane tiles waste bandwidth but a
-    too-big batch OOMs) — callers that must not fall below a full tile
-    keep the default ``floor=QUANTUM``; chunking callers pass
-    ``floor=1`` to take whatever fits."""
+    count is returned instead (never bumped up to a full tile: a
+    partial lane tile wastes bandwidth but an over-budget batch OOMs,
+    and per CLAUDE.md a device OOM cascade-fails the process's later
+    allocations).  Always >= 1 so callers can chunk by it."""
     budget = effective_budget_bytes() if budget is None else int(budget)
     per_lane = float(src_bytes_per_lane) + float(out_bytes_per_lane)
     b = int(budget // max(per_lane, 1.0))
     bq = b // quantum * quantum
     b = bq if bq >= quantum else b
-    b = max(b, floor)
+    b = max(b, 1)
     if cap is not None:
         b = min(b, int(cap))
     return b

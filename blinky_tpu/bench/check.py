@@ -61,9 +61,13 @@ def _kind(key: str):
     leaf = key.rsplit(".", 1)[-1]
     if leaf.startswith("first_"):
         return None
-    if leaf == "fps" or leaf.endswith("_fps"):
+    # token match, not suffix match: per_frame_fps_scale2 and
+    # chunked_fps_1024 are gated metrics too (a suffix-only test
+    # silently exempted every suffixed key)
+    tokens = leaf.split("_")
+    if "fps" in tokens:
         return "fps"
-    if leaf.endswith("_ms") or leaf.startswith("ms_per") or leaf == "ms":
+    if "ms" in tokens:
         return "ms"
     if leaf == "exact":
         return "bool"

@@ -474,16 +474,23 @@ def run_throughput(
     lens = lenses.get(lens_name, g)
     scale = calc_scale(zoom, lens, width, height)
 
+    # first build = jit compile-cache state (ungated first_* metric: a
+    # persistent-cache hit ~200 ms vs a real compile 1-2 s)
     t0 = time.perf_counter()
     lm = build_lensmap(lens, g, scale, width, height, platesize, dtype=dtype)
     _sync(lm.flat_idx)
     build_ms = (time.perf_counter() - t0) * 1000
 
-    # second build = compiled-path latency (zoom change)
-    t0 = time.perf_counter()
-    lm = build_lensmap(lens, g, scale * 1.0001, width, height, platesize, dtype=dtype)
-    _sync(lm.flat_idx)
-    rebuild_ms = (time.perf_counter() - t0) * 1000
+    # warm builds = compiled-path latency (zoom change); median of 3 —
+    # a single relay-synced call swings ~2x on dispatch variance
+    warm = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        lm = build_lensmap(lens, g, scale * (1.0 + 1e-4 * (i + 1)),
+                           width, height, platesize, dtype=dtype)
+        _sync(lm.flat_idx)
+        warm.append((time.perf_counter() - t0) * 1000)
+    rebuild_ms = sorted(warm)[1]
 
     frames = device_cubemap_batch(platesize, batch)
     _sync(frames)
@@ -794,10 +801,14 @@ def run_forward_posed_throughput(
     ], axis=1)
     bases = bases_from_pose_track(poses)
 
-    # exact host fallback: one pose is enough to publish the rate (each
-    # pose is a full forward rasterization + remap on the host)
+    # exact host fallback: each pose repeats the identical full
+    # rasterization + remap, so ONE warmup pose (absorbing the remap
+    # kernel's jit compile — cache-state-dependent, the same class of
+    # noise the first_* keys are ungated for) then one timed pose
+    # publishes the steady-state rate
     sess = Session(width, height, platesize=platesize)
     sess.cmd(f"f_lens {lens_name}")
+    sess.render_posed(frames[..., :1], poses[:1], exact=True)  # warmup
     t0 = time.perf_counter()
     sess.render_posed(frames[..., :exact_poses], poses[:exact_poses],
                       exact=True)

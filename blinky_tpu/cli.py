@@ -229,10 +229,13 @@ def cmd_serve(args) -> int:
     # host-gathered frames (bit-equal to the device kernel), and the
     # device's cold compiles (~45 s first-ever through the axon relay)
     # happen on a background thread that flips the viewer to the device
-    # path when warm.  --no-warm skips the warm entirely (host renders
-    # until something else touches the device).
+    # path when warm.  --no-warm skips the background warm and starts in
+    # warm mode instead: nothing else ever sets device_ready, so
+    # device_warm=False there would pin the viewer to host renders
+    # forever — with --no-warm the first request pays the compile, as
+    # its --help text says.
     viewer = Viewer(sess, frames, poses=poses, host=args.host,
-                    port=args.port, device_warm=False)
+                    port=args.port, device_warm=args.no_warm)
     if not args.no_warm:
         print("warming the device in the background (first-ever compile "
               "can take a minute; host renders serve meanwhile) ...")

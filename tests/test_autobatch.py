@@ -49,10 +49,13 @@ def test_oom_boundaries_respected():
     assert b_tex < 6016
 
 
-def test_quantum_floor_cap_and_override(monkeypatch):
+def test_quantum_cap_and_override(monkeypatch):
     assert feasible_batch(1, 0, budget=1000, quantum=128) == 896
-    assert feasible_batch(10**15, 0) == 128          # floor: one lane tile
-    assert feasible_batch(1, 0, cap=37) == 37        # cap wins (frame count)
+    # a full tile that doesn't fit is NOT forced: a partial tile is slow,
+    # an over-budget batch OOMs (and post-OOM allocs cascade-fail)
+    assert feasible_batch(10**15, 0) == 1
+    assert feasible_batch(260_000_000, 0) == 62       # 4K rubix-RGBA class
+    assert feasible_batch(1, 0, cap=37) == 37         # cap wins (frame count)
     monkeypatch.setenv("BLINKY_HBM_BYTES", "31500000000")
     assert effective_budget_bytes() > 30_000_000_000  # other chips scale
 

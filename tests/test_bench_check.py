@@ -115,3 +115,26 @@ def test_committed_baseline_loads():
     mode, results = load_baseline()
     assert mode == "full"
     assert {r["config"] for r in results} >= set(range(8))
+
+
+def test_suffixed_metric_keys_are_gated():
+    """per_frame_fps_scale2 / chunked_fps_1024-style keys are metrics
+    too: suffix-only matching silently exempted every suffixed key from
+    the gate (round-4 review); config/name strings still classify as
+    ungated."""
+    base = _clone()
+    base[0]["per_frame_fps_scale2"] = 140.0
+    base[0]["chunked_fps_1024"] = 22000.0
+    base[1]["warp_ms_scale2"] = 10.0
+    base[0]["plain_config"] = "panini 1080p B=4224"
+    cur = json.loads(json.dumps(base))
+    cur[0]["plain_config"] = "different string"  # never gated
+    assert compare_results(base, cur) == []
+    cur[0]["per_frame_fps_scale2"] = 100.0
+    cur[0]["chunked_fps_1024"] = 15000.0
+    cur[1]["warp_ms_scale2"] = 30.0
+    fails = compare_results(base, cur)
+    assert len(fails) == 3
+    assert any("per_frame_fps_scale2" in f for f in fails)
+    assert any("chunked_fps_1024" in f for f in fails)
+    assert any("warp_ms_scale2" in f for f in fails)

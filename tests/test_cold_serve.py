@@ -180,3 +180,35 @@ def test_viewer_stays_on_host_when_warm_fails(monkeypatch):
             assert r.status == 200  # host renders keep serving
     finally:
         v.stop()
+
+
+def test_cli_no_warm_starts_device_live(monkeypatch):
+    """`cli serve --no-warm` must start the viewer in WARM mode (the
+    first request pays the compile, as its --help says): device_warm=
+    False there would pin host renders forever, since nothing but
+    start_background_warm ever sets device_ready (round-4 review)."""
+    import blinky_tpu.viewer as viewer_mod
+    from blinky_tpu import cli
+
+    seen = {}
+
+    class StubViewer:
+        def __init__(self, sess, frames, poses=None, host="", port=0,
+                     device_warm=True):
+            seen["device_warm"] = device_warm
+            seen.pop("warmed", None)
+            self.address = "http://stub"
+
+        def start_background_warm(self):
+            seen["warmed"] = True
+
+        def serve_forever(self):
+            return
+
+    monkeypatch.setattr(viewer_mod, "Viewer", StubViewer)
+    assert cli.main(["serve", "--no-warm", "--platesize", "32"]) == 0
+    assert seen["device_warm"] is True
+    assert "warmed" not in seen
+    assert cli.main(["serve", "--platesize", "32"]) == 0
+    assert seen["device_warm"] is False
+    assert seen["warmed"] is True

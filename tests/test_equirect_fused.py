@@ -146,3 +146,36 @@ def test_fused_sharded_matches_unsharded():
     mesh = make_mesh(n_data=4, n_space=1)
     sharded = np.asarray(equirect_screen_sharded(fused, panos, mesh))
     np.testing.assert_array_equal(single, sharded)
+
+
+def test_pending_build_costs_one_slice_per_frame(monkeypatch):
+    """With a time-sliced exact build pending, render_equirect must cost
+    ONE budget slice per call: the fused gate steps aside to the faces
+    path (whose render() advances the slice) instead of advancing a
+    second slice itself — double-advancing broke the per-frame latency
+    bound the slicing exists for (fisheye.c:744-746)."""
+    from blinky_tpu.api import Session
+    from blinky_tpu.lensmap import progressive
+
+    calls = []
+    orig = progressive.ProgressiveHostBuild.step
+
+    def counted(self, budget):
+        calls.append(budget)
+        return orig(self, budget)
+
+    monkeypatch.setattr(progressive.ProgressiveHostBuild, "step", counted)
+    sess = Session(W, H, platesize=S, build_budget_s=1e-6)
+    panos = _panos()
+    ref = np.asarray(Session(W, H, platesize=S).render_equirect(panos))
+    # the rebuild frame costs two slices (_rebuild's immediate first
+    # slice + render()'s advance — same as a plain render() on a change
+    # frame); every subsequent pending frame must cost exactly one
+    np.asarray(sess.render_equirect(panos))
+    while sess._pending_build is not None:
+        n0 = len(calls)
+        np.asarray(sess.render_equirect(panos))
+        assert len(calls) - n0 <= 1, "more than one build slice per frame"
+    # the exact table landed: output converges to the one-shot session's
+    np.testing.assert_array_equal(np.asarray(sess.render_equirect(panos)),
+                                  ref)

@@ -482,3 +482,42 @@ def test_posed_background_dtype_guards():
     bases = np.tile(np.eye(3)[None], (2, 1, 1))
     with pytest.raises(ValueError, match="u8 frames"):
         k(frames, bases)
+
+
+def test_forward_auto_scale_rasterizes_full_size_once(monkeypatch):
+    """The auto-scale probes and the real posed kernel share the
+    session's ray-table stash (api._ray_table_stash): a forward-only
+    lens pays ONE full-size host rasterization per (lens, zoom, size)
+    generation.  Before round 4's review fix every probe AND the real
+    kernel each rebuilt their own table (3 full rasters at native k)."""
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.cubemap import synthetic_cubemap
+    from blinky_tpu.lensmap import forward_raster
+
+    sizes = []
+    orig = forward_raster.build_forward
+
+    def counted(lens, globe, scale, w, h, s, *a, **k):
+        sizes.append((w, h))
+        return orig(lens, globe, scale, w, h, s, *a, **k)
+
+    monkeypatch.setattr(forward_raster, "build_forward", counted)
+    Wp, Hp, Sp, Bp = 64, 48, 48, 3
+    sess = Session(Wp, Hp, platesize=Sp)
+    sess.cmd("f_lens eckert1")
+    frames = np.repeat(synthetic_cubemap(Sp)[..., None], Bp, axis=-1)
+    poses = np.stack([np.zeros(Bp), np.linspace(0, 40, Bp), np.zeros(Bp)], 1)
+    out = np.asarray(sess.render_posed(frames, poses, render_scale="auto",
+                                       target_fps=1e-6))
+    assert out.shape == (Bp, Hp, Wp)
+    full = [sz for sz in sizes if sz == (Wp, Hp)]
+    assert len(full) == 1, f"full-size rasters: {sizes}"
+    # a second auto call reuses both the calibration and the stash
+    n = len(sizes)
+    np.asarray(sess.render_posed(frames, poses, render_scale="auto",
+                                 target_fps=1e-6))
+    assert len(sizes) == n
+    # zoom change = new generation: exactly one more full-size raster
+    sess.cmd("f_cover")
+    np.asarray(sess.render_posed(frames, poses, render_scale=1))
+    assert [sz for sz in sizes[n:] if sz == (Wp, Hp)] == [(Wp, Hp)]
