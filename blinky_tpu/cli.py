@@ -234,8 +234,12 @@ def cmd_serve(args) -> int:
     # device_warm=False there would pin the viewer to host renders
     # forever — with --no-warm the first request pays the compile, as
     # its --help text says.
+    pose_scale = args.pose_scale
+    if pose_scale != "auto":
+        pose_scale = int(pose_scale)
     viewer = Viewer(sess, frames, poses=poses, host=args.host,
-                    port=args.port, device_warm=args.no_warm)
+                    port=args.port, device_warm=args.no_warm,
+                    pose_scale=pose_scale)
     if not args.no_warm:
         print("warming the device in the background (first-ever compile "
               "can take a minute; host renders serve meanwhile) ...")
@@ -729,6 +733,10 @@ def main(argv=None) -> int:
     p.add_argument("--no-warm", action="store_true",
                    help="skip the startup device-builder compile for the "
                         "active lens (first drag-look will pay it instead)")
+    p.add_argument("--pose-scale", default="1",
+                   help="render_scale for drag-look on forward-only / "
+                        "scalar-only lenses (static-ray posed preview): "
+                        "an integer or 'auto' (default 1)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("gallery", help="render every lens to an image dir")

@@ -11,7 +11,11 @@ a page with
 
 * drag-to-look (``setviewangles`` — the reference pans by re-rendering
   plates from ``cl.viewangles``, ``fisheye.c:750``; with recorded plates
-  the rotation composes into the lensmap),
+  the rotation composes into the lensmap for inverse lenses, while
+  forward-only and scalar-only ``.lua`` lenses — whose exact composed
+  rebuild is seconds-scale host work PER POSE — render through the
+  static-ray posed pipeline (:mod:`blinky_tpu.kernels.static_ray`), the
+  reference's own pose/lensmap decoupling),
 * the reference's shortcut keys (``f_shortcutkeys``: 1-9 lenses,
   y/u/i/o/p globes, ``fisheye.c:984-997``) forwarded to
   :meth:`Session.press_key`,
@@ -157,7 +161,7 @@ class Viewer:
     """
 
     def __init__(self, session, frames, poses=None, host: str = "127.0.0.1",
-                 port: int = 0, device_warm: bool = True):
+                 port: int = 0, device_warm: bool = True, pose_scale=1):
         import secrets
 
         frames = np.asarray(frames)
@@ -190,6 +194,12 @@ class Viewer:
         # before rendering (the demo-playback camera, cl_demo.c)
         self.poses = None if poses is None or len(poses) == 0 else (
             np.asarray(poses, np.float32).reshape(-1, 3))
+        # render_scale for the static-ray posed preview (forward-only /
+        # scalar-only lenses under a view rotation): int k, or "auto"
+        # for the session's dynamic-resolution probe (PERF §6)
+        self.pose_scale = pose_scale
+        self._posed_src = None  # (key, expanded single-frame source)
+        self._posed_preview = False  # last /frame.png took the posed path
         self._drained = 0  # console lines already delivered to the page
         # State-changing endpoints (/cmd, /key) require this token, which
         # only the served page knows: a cross-origin page can fire a GET
@@ -335,11 +345,61 @@ class Viewer:
         t.start()
         return t
 
-    def _render_screen(self, i: int, follow: bool) -> np.ndarray:
+    def _posed_preview_active(self) -> bool:
+        """True when the current view rotation cannot compose into the
+        lensmap on-device: a forward-only lens (its exact composed
+        rebuild is one host rasterization PER POSE, seconds at
+        production sizes) or a scalar-only ``.lua`` that fails the trace
+        probe (exact f64 host build per pose).  Those render through
+        the static-ray posed pipeline instead — the reference's own
+        pose/lensmap decoupling (``fisheye.c:750,2427-2450`` vs
+        ``2346-2397``: a view rotation never touches its lensmap), at
+        device rate for every lens.  Inverse jittable lenses keep the
+        ms-scale f32 device rebuild (the pinned drag-look path)."""
+        sess = self.session
+        if sess.view_angles is None or not (
+                sess.fisheye_enabled and sess.lens_valid and sess.globe_valid):
+            return False
+        if getattr(sess.lens, "map_type", "inverse") != "inverse":
+            return True
+        return not sess._jittable()
+
+    def _render_posed_frame(self, i: int) -> np.ndarray:
+        """Frame ``i`` at the session's view angles through
+        ``Session.render_posed`` (static-ray, B=1).  Rubix rides the
+        source on every posed path (CLAUDE.md), so the single frame is
+        expanded (raw||tinted) here when the grid is on — cached per
+        (frame, rubix, palette) so a 20 Hz drag doesn't re-expand."""
+        sess = self.session
+        key = (i, bool(sess.rubix_enabled), getattr(sess, "_palette_gen", 0))
+        if self._posed_src is None or self._posed_src[0] != key:
+            frame = self.frames[i][..., None]
+            if sess.rubix_enabled:
+                if frame.dtype == np.uint32:
+                    from blinky_tpu.kernels.remap import (
+                        expand_frames_tinted_rgba,
+                    )
+
+                    frame = expand_frames_tinted_rgba(frame)
+                else:
+                    from blinky_tpu.kernels.remap import expand_frames_tinted
+
+                    frame = expand_frames_tinted(frame, sess.palette)
+            self._posed_src = (key, frame)
+        pose = np.asarray([sess.view_angles], np.float64)
+        return np.asarray(sess.render_posed(
+            self._posed_src[1], pose, render_scale=self.pose_scale))[0]
+
+    def _render_screen(self, i: int, follow: bool,
+                       exact: bool = False) -> np.ndarray:
         """One frame through the live session (the shared body of
         render_png and render_gif): apply the pose track's frame-``i``
         camera when following (clamping past the end, like ``reproject
-        --follow-poses``), expand u32 sources for rubix, render."""
+        --follow-poses``), expand u32 sources for rubix, render.
+
+        ``exact=True`` (captures) skips the static-ray posed preview:
+        every frame blocks for the exact composed build, whatever the
+        lens (the /record.gif contract)."""
         sess = self.session
         if not self.device_ready.is_set():
             # cold phase: the HOST path — never touches the device, so
@@ -352,6 +412,7 @@ class Viewer:
                            self.poses[min(i, len(self.poses) - 1)])
                 if sess.view_angles != (p, y, r):
                     sess.cmd(f"setviewangles {p:.9f} {y:.9f} {r:.9f}")
+            self._posed_preview = False
             return np.asarray(sess.render_host(self.frames[i]))
         if follow and self.poses is not None:
             # format without exponent notation: the console's Q_atof has
@@ -363,6 +424,10 @@ class Viewer:
                        self.poses[min(i, len(self.poses) - 1)])
             if sess.view_angles != (p, y, r):
                 sess.cmd(f"setviewangles {p:.9f} {y:.9f} {r:.9f}")
+        if not exact and self._posed_preview_active():
+            self._posed_preview = True
+            return self._render_posed_frame(i)
+        self._posed_preview = False
         # rubix on a u32 source: the kernel tints AFTER the gather
         # (kernels.remap.remap_gather_tint_impl) — no per-frame host
         # expansion needed
@@ -386,6 +451,8 @@ class Viewer:
         prog = sess.build_progress
         if prog is not None:  # exact build still landing behind the preview
             status += f"  [exact build {prog * 100:.0f}%]"
+        if self._posed_preview:
+            status += "  [static-ray pose]"
         if not self.device_ready.is_set():
             status += "  [host renders: device warming]"
         return png, status
@@ -407,7 +474,7 @@ class Viewer:
         budget, self.session.build_budget_s = self.session.build_budget_s, None
         try:
             _ = self.session.lensmap
-            shots = [self._render_screen((start + k) % n, follow)
+            shots = [self._render_screen((start + k) % n, follow, exact=True)
                      for k in range(count)]
         finally:
             self.session.build_budget_s = budget

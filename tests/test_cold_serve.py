@@ -194,7 +194,7 @@ def test_cli_no_warm_starts_device_live(monkeypatch):
 
     class StubViewer:
         def __init__(self, sess, frames, poses=None, host="", port=0,
-                     device_warm=True):
+                     device_warm=True, pose_scale=1):
             seen["device_warm"] = device_warm
             seen.pop("warmed", None)
             self.address = "http://stub"

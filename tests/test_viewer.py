@@ -279,6 +279,88 @@ def test_record_gif_is_exact_during_pending_build():
             err_msg=f"frame {k} not exact")
 
 
+def test_drag_look_forward_lens_static_ray(monkeypatch):
+    """Round 4: a forward-only lens under drag-look must NOT pay the
+    exact host rasterization per pose (seconds at production sizes) —
+    /frame.png takes the static-ray posed path (one raster for the ray
+    table, then device-rate poses; the reference's pose/lensmap
+    decoupling, fisheye.c:750,2427-2450 vs 2346-2397), bit-equal to
+    Session.render_posed, while /record.gif keeps the exact per-pose
+    contract."""
+    from blinky_tpu.io.gif import decode_gif
+    import blinky_tpu.lensmap.forward_raster as fr
+
+    calls = []
+    orig = fr.build_forward
+
+    def counting(*a, **kw):
+        calls.append(a)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fr, "build_forward", counting)
+    sess = Session(64, 48, platesize=32)
+    frames = np.stack([synthetic_cubemap(32)])
+    v = Viewer(sess, frames)
+    v.start()
+    try:
+        _get(v, "/cmd?c=f_lens%20eckert1")
+        _, h0, b0 = _get(v, "/frame.png?i=0")  # static render (1 raster)
+        assert "[static-ray pose]" not in h0["X-Status"]
+        _get(v, "/cmd?c=setviewangles%2010%2045%200")
+        _, h1, b1 = _get(v, "/frame.png?i=0")
+        after_first = len(calls)  # + at most the one ray-table raster
+        _get(v, "/cmd?c=setviewangles%20-5%2090%200")
+        _, h2, b2 = _get(v, "/frame.png?i=0")
+        assert len(calls) == after_first  # NO rasterization per pose
+        assert "[static-ray pose]" in h2["X-Status"]
+        assert b1 != b2
+        ref = np.asarray(sess.render_posed(
+            frames[0][..., None], np.asarray([[-5.0, 90.0, 0.0]])))[0]
+        np.testing.assert_array_equal(decode_png(b2), sess.palette[ref])
+        # the capture contract is unchanged: /record.gif blocks for the
+        # EXACT composed build even on the posed-preview path
+        before_gif = len(calls)
+        _, _, gif = _get(v, "/record.gif?n=1")
+        assert len(calls) > before_gif  # the exact per-pose raster ran
+        got, pal, _ = decode_gif(gif)
+        np.testing.assert_array_equal(
+            got[..., 0], np.asarray(sess.render(frames[0])))
+    finally:
+        v.stop()
+
+
+def test_drag_look_forward_lens_rubix_expands(monkeypatch):
+    """The posed preview honors f_rubix by expanding the single frame to
+    the raw||tinted layout (rubix rides the source on every posed path)
+    — and caches the expansion across polls."""
+    sess = Session(64, 48, platesize=32)
+    frames = np.stack([synthetic_cubemap(32)])
+    v = Viewer(sess, frames)
+    v.start()
+    try:
+        _get(v, "/cmd?c=f_lens%20eckert1%3B%20f_rubix%3B%20"
+                "setviewangles%200%2030%200")
+        _, _, b1 = _get(v, "/frame.png?i=0")
+        assert v._posed_src[1].shape[0] == 12  # expanded raw||tinted
+        src_id = id(v._posed_src[1])
+        _, _, b1b = _get(v, "/frame.png?i=0")
+        assert id(v._posed_src[1]) == src_id  # cached across polls
+        assert b1 == b1b
+        from blinky_tpu.kernels.remap import expand_frames_tinted
+
+        ref = np.asarray(sess.render_posed(
+            expand_frames_tinted(frames[0][..., None], sess.palette),
+            np.asarray([[0.0, 30.0, 0.0]])))[0]
+        np.testing.assert_array_equal(decode_png(b1), sess.palette[ref])
+        # turning the grid off invalidates the cached source
+        _get(v, "/cmd?c=f_rubix")
+        _, _, b2 = _get(v, "/frame.png?i=0")
+        assert v._posed_src[1].shape[0] == 6
+        assert b2 != b1
+    finally:
+        v.stop()
+
+
 def test_state_drains_console_only_with_token():
     """Draining the console is a mutation: /state without the page
     token returns state but must NOT consume pending console lines
