@@ -336,6 +336,49 @@ class Viewer:
                 k = RemapKernel(lm, sess.palette)
                 np.asarray(k(frame0))  # gather jit + axon client init
                 self.device_ready.set()
+                if jit_ok or not (sess.lens_valid and sess.globe_valid):
+                    return
+                try:
+                    # drag-look on this lens takes the static-ray posed
+                    # path (_posed_preview_active): pre-pay its pipeline
+                    # compile too, on our OWN kernel objects (the
+                    # session's first drag then reuses the process-global
+                    # jit cache, keyed on globe/shape/source kind — it
+                    # pays only its own host ray-table build)
+                    from blinky_tpu.kernels.posed import bases_from_pose_track
+                    from blinky_tpu.kernels.static_ray import (
+                        StaticRayPosedKernel,
+                    )
+
+                    src = frame0[..., None]
+                    if sess.rubix_enabled:
+                        if src.dtype == np.uint32:
+                            from blinky_tpu.kernels.remap import (
+                                expand_frames_tinted_rgba,
+                            )
+
+                            src = expand_frames_tinted_rgba(src)
+                        else:
+                            from blinky_tpu.kernels.remap import (
+                                expand_frames_tinted,
+                            )
+
+                            src = expand_frames_tinted(src, sess.palette)
+                    sk = StaticRayPosedKernel(
+                        lens, globe, sess.width_px, sess.height_px, scale,
+                        platesize=frame0.shape[1],
+                        numcells=sess.rubix_numcells,
+                        cell_size=sess.rubix_cell_size,
+                        pad_size=sess.rubix_pad_size,
+                        render_scale=(self.pose_scale
+                                      if isinstance(self.pose_scale, int)
+                                      else 1),
+                        lensmap=lm,
+                    )
+                    np.asarray(sk(src, bases_from_pose_track([[0, 0, 0]])))
+                except Exception as e:  # the drag path warms lazily then
+                    print(f"posed-pipeline warm failed "
+                          f"({type(e).__name__}: {e})")
             except Exception as e:  # keep serving host renders
                 print(f"device warm failed ({type(e).__name__}: {e}); "
                       "viewer stays on host renders")

@@ -182,6 +182,27 @@ def test_viewer_stays_on_host_when_warm_fails(monkeypatch):
         v.stop()
 
 
+def test_background_warm_covers_posed_pipeline_for_forward_lens():
+    """With a forward-only lens active, the warm thread also pre-pays
+    the static-ray posed pipeline (drag-look's path for that lens) —
+    on its OWN kernel objects, leaving the session untouched."""
+    from blinky_tpu.kernels.static_ray import _compiled_static_ray_pipeline
+
+    sess = Session(W, H, platesize=32)
+    sess.cmd("f_lens eckert1")
+    v = Viewer(sess, synthetic_cubemap(32)[None], device_warm=False)
+    before = _compiled_static_ray_pipeline.cache_info()
+    t = v.start_background_warm()
+    t.join(120)
+    assert v.device_ready.is_set()
+    after = _compiled_static_ray_pipeline.cache_info()
+    # the posed pipeline was compiled (or its cache entry touched)
+    assert (after.hits + after.misses) > (before.hits + before.misses)
+    # the session itself was not mutated by the warm thread
+    assert sess.view_angles is None
+    assert getattr(sess, "_posed_cache", None) is None
+
+
 def test_cli_no_warm_starts_device_live(monkeypatch):
     """`cli serve --no-warm` must start the viewer in WARM mode (the
     first request pays the compile, as its --help says): device_warm=
