@@ -236,7 +236,14 @@ def cmd_serve(args) -> int:
     # its --help text says.
     pose_scale = args.pose_scale
     if pose_scale != "auto":
-        pose_scale = int(pose_scale)
+        from blinky_tpu.kernels.posed import check_render_scale
+
+        try:
+            pose_scale = int(pose_scale)
+            check_render_scale(args.width, args.height, pose_scale)
+        except ValueError as e:
+            print(f"error: --pose-scale: {e}")
+            return 2
     viewer = Viewer(sess, frames, poses=poses, host=args.host,
                     port=args.port, device_warm=args.no_warm,
                     pose_scale=pose_scale)
@@ -261,7 +268,6 @@ def cmd_reproject(args) -> int:
     from blinky_tpu.io.dataset import FrameBatchIterator, read_demo
     from blinky_tpu.io.pcx import encode_pcx
     from blinky_tpu.io.ppm import encode_ppm
-    from blinky_tpu.kernels.remap import expand_frames_tinted
     from blinky_tpu.utils.timing import FrameClock
 
     demo = read_demo(args.demo)
@@ -349,13 +355,11 @@ def cmd_reproject(args) -> int:
 
         palmap = create_palmap(sess.palette)  # hoisted out of the loop
     for batch_frames, n_valid in FrameBatchIterator(frames, args.batch):
-        if want_rubix and is_rgba:
-            from blinky_tpu.kernels.remap import expand_frames_tinted_rgba
+        if want_rubix:
+            from blinky_tpu.kernels.remap import expand_rubix_source
 
-            batch_frames = expand_frames_tinted_rgba(batch_frames)
-        elif want_rubix:
-            batch_frames = expand_frames_tinted(batch_frames, sess.palette,
-                                                palmap=palmap)
+            batch_frames = expand_rubix_source(batch_frames, sess.palette,
+                                               palmap=palmap)
         if poses is not None:
             # per-frame poses: one fused device call builds a lensmap for
             # every frame's own view basis and remaps it (kernels/posed.py)
@@ -459,9 +463,9 @@ def cmd_sweep(args) -> int:
         # expand once to the raw||tinted layout: rubix then rides the
         # static gather indices with zero per-frame cost (the plain-source
         # per-element tint LUT is catastrophic on v5e — kernels/remap.py)
-        from blinky_tpu.kernels.remap import expand_frames_tinted
+        from blinky_tpu.kernels.remap import expand_rubix_source
 
-        src = expand_frames_tinted(src, sess.palette)
+        src = expand_rubix_source(src, sess.palette)
     zoom_cmd = "f_vfov" if args.vfov else "f_fov"
     values = np.linspace(args.start, args.stop, args.steps)
     if args.bounce:

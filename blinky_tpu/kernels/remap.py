@@ -329,6 +329,17 @@ def expand_frames_tinted(frames, palette, palmap=None) -> np.ndarray:
     return out
 
 
+def expand_rubix_source(frames, palette, palmap=None) -> np.ndarray:
+    """Dtype-dispatching rubix expansion: route a [P, S, S(, B)] source
+    to :func:`expand_frames_tinted` (u8 via the per-plate tint palettes)
+    or :func:`expand_frames_tinted_rgba` (packed-RGBA u32) — the one
+    entry every batched/posed rubix producer shares."""
+    frames = np.asarray(frames)
+    if frames.dtype == np.uint32:
+        return expand_frames_tinted_rgba(frames)
+    return expand_frames_tinted(frames, palette, palmap=palmap)
+
+
 def frames_to_rgba(frames, palette) -> np.ndarray:
     """Host-side palette decode to packed RGBA uint32 (little-endian
     r|g<<8|b<<16|ff<<24), same shape as *frames*.  The device remap then

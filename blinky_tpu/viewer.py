@@ -198,8 +198,16 @@ class Viewer:
         # scalar-only lenses under a view rotation): int k, or "auto"
         # for the session's dynamic-resolution probe (PERF §6)
         self.pose_scale = pose_scale
-        self._posed_src = None  # (key, expanded single-frame source)
+        self._posed_src = {}  # (i, rubix, palette_gen) -> posed source
         self._posed_preview = False  # last /frame.png took the posed path
+        # warmth gate for the posed pipeline (the round-3 discipline:
+        # never block an interactive request on a fresh XLA compile):
+        # keys whose compiled pipeline has executed, threads compiling
+        # one now, and the last posed screen to serve while they do
+        self._posed_warm_keys = set()
+        self._posed_warming = {}
+        self._posed_stale = False
+        self._last_posed = None
         self._drained = 0  # console lines already delivered to the page
         # State-changing endpoints (/cmd, /key) require this token, which
         # only the served page knows: a cross-origin page can fire a GET
@@ -344,38 +352,18 @@ class Viewer:
                     # compile too, on our OWN kernel objects (the
                     # session's first drag then reuses the process-global
                     # jit cache, keyed on globe/shape/source kind — it
-                    # pays only its own host ray-table build)
-                    from blinky_tpu.kernels.posed import bases_from_pose_track
-                    from blinky_tpu.kernels.static_ray import (
-                        StaticRayPosedKernel,
-                    )
+                    # pays only its own host ray-table build).  With
+                    # pose_scale="auto" this covers the k=1 executable
+                    # only: the auto probes (B=2/B=8) and the picked-k
+                    # pipeline still compile lazily on the first drag.
+                    from blinky_tpu.kernels.remap import expand_rubix_source
 
                     src = frame0[..., None]
                     if sess.rubix_enabled:
-                        if src.dtype == np.uint32:
-                            from blinky_tpu.kernels.remap import (
-                                expand_frames_tinted_rgba,
-                            )
-
-                            src = expand_frames_tinted_rgba(src)
-                        else:
-                            from blinky_tpu.kernels.remap import (
-                                expand_frames_tinted,
-                            )
-
-                            src = expand_frames_tinted(src, sess.palette)
-                    sk = StaticRayPosedKernel(
-                        lens, globe, sess.width_px, sess.height_px, scale,
-                        platesize=frame0.shape[1],
-                        numcells=sess.rubix_numcells,
-                        cell_size=sess.rubix_cell_size,
-                        pad_size=sess.rubix_pad_size,
-                        render_scale=(self.pose_scale
-                                      if isinstance(self.pose_scale, int)
-                                      else 1),
-                        lensmap=lm,
-                    )
-                    np.asarray(sk(src, bases_from_pose_track([[0, 0, 0]])))
+                        src = expand_rubix_source(src, sess.palette)
+                    pk = self._posed_pipeline_key(src, globe=globe)
+                    self._compile_posed_pipeline(
+                        pk, src, lens, globe, scale, lensmap=lm)
                 except Exception as e:  # the drag path warms lazily then
                     print(f"posed-pipeline warm failed "
                           f"({type(e).__name__}: {e})")
@@ -387,6 +375,76 @@ class Viewer:
                              daemon=True)
         t.start()
         return t
+
+    def _posed_pipeline_key(self, src, globe=None):
+        """Identity of the compiled static-ray executable a posed render
+        of ``src`` will hit: mirrors ``_compiled_static_ray_pipeline``'s
+        lru key (globe, shape, source kind, render_scale) plus the
+        source dtype (jax.jit retraces per dtype).  The lens is NOT in
+        it — lens switches reuse the warm executable by design."""
+        sess = self.session
+        k = self.pose_scale if isinstance(self.pose_scale, int) else 1
+        return (id(globe if globe is not None else sess.globe),
+                sess.width_px, sess.height_px, src.shape[1],
+                src.shape[0], src.dtype.str, k)
+
+    def _compile_posed_pipeline(self, pk, src, lens, globe, scale,
+                                lensmap=None) -> None:
+        """Compile + execute the static-ray posed pipeline for ``pk`` on
+        throwaway kernel objects (process-global jit cache; the shared
+        Session is never touched), then mark the key warm."""
+        from blinky_tpu.kernels.posed import bases_from_pose_track
+        from blinky_tpu.kernels.static_ray import StaticRayPosedKernel
+
+        sess = self.session
+        background = None
+        if src.dtype == np.uint32:
+            # prep_posed_inputs demands an RGBA background for RGBA
+            # frames; zeros suffice for compiling (background is a
+            # traced ARG, only its dtype/shape shape the executable)
+            background = np.zeros((sess.height_px, sess.width_px),
+                                  np.uint32)
+        sk = StaticRayPosedKernel(
+            lens, globe, sess.width_px, sess.height_px, scale,
+            platesize=src.shape[1], numcells=sess.rubix_numcells,
+            cell_size=sess.rubix_cell_size, pad_size=sess.rubix_pad_size,
+            background=background,
+            render_scale=(self.pose_scale
+                          if isinstance(self.pose_scale, int) else 1),
+            lensmap=lensmap,
+        )
+        np.asarray(sk(src, bases_from_pose_track([[0, 0, 0]])))
+        self._posed_warm_keys.add(pk)
+
+    def _ensure_posed_warming(self, pk, src) -> None:
+        """Kick one background compile for a cold posed-pipeline key
+        (f_rubix toggled, globe switched, true-color source appeared …)
+        so the single-threaded request path can keep serving the last
+        posed frame instead of blocking 1-50 s on the XLA compile."""
+        t = self._posed_warming.get(pk)
+        if t is not None and t.is_alive():
+            return
+        sess = self.session
+        lens, globe = sess.lens, sess.globe
+        from blinky_tpu.lensmap import calc_scale
+
+        scale = calc_scale(sess.zoom, lens, sess.width_px, sess.height_px)
+
+        def work():
+            try:
+                self._compile_posed_pipeline(pk, src, lens, globe, scale)
+            except Exception as e:
+                # mark warm anyway: the request path then proceeds and
+                # surfaces the real error as a 500 instead of respawning
+                # this thread every poll
+                print(f"posed-pipeline warm failed "
+                      f"({type(e).__name__}: {e})")
+                self._posed_warm_keys.add(pk)
+
+        t = threading.Thread(target=work, name="blinky-posed-warm",
+                             daemon=True)
+        self._posed_warming[pk] = t
+        t.start()
 
     def _posed_preview_active(self) -> bool:
         """True when the current view rotation cannot compose into the
@@ -407,31 +465,54 @@ class Viewer:
             return True
         return not sess._jittable()
 
-    def _render_posed_frame(self, i: int) -> np.ndarray:
-        """Frame ``i`` at the session's view angles through
-        ``Session.render_posed`` (static-ray, B=1).  Rubix rides the
-        source on every posed path (CLAUDE.md), so the single frame is
-        expanded (raw||tinted) here when the grid is on — cached per
-        (frame, rubix, palette) so a 20 Hz drag doesn't re-expand."""
+    def _posed_source(self, i: int) -> np.ndarray:
+        """The [P, S, S, 1] posed source for frame ``i``: rubix rides
+        the source on every posed path (CLAUDE.md), so the frame is
+        expanded (raw||tinted) when the grid is on — cached per
+        (frame, rubix, palette) in a small FIFO pool so neither a 20 Hz
+        drag nor follow-playback over a short loop re-expands, while a
+        long demo can't pin unbounded host RAM."""
         sess = self.session
         key = (i, bool(sess.rubix_enabled), getattr(sess, "_palette_gen", 0))
-        if self._posed_src is None or self._posed_src[0] != key:
-            frame = self.frames[i][..., None]
+        src = self._posed_src.get(key)
+        if src is None:
+            src = self.frames[i][..., None]
             if sess.rubix_enabled:
-                if frame.dtype == np.uint32:
-                    from blinky_tpu.kernels.remap import (
-                        expand_frames_tinted_rgba,
-                    )
+                from blinky_tpu.kernels.remap import expand_rubix_source
 
-                    frame = expand_frames_tinted_rgba(frame)
-                else:
-                    from blinky_tpu.kernels.remap import expand_frames_tinted
+                src = expand_rubix_source(src, sess.palette)
+            while len(self._posed_src) >= 8:  # FIFO bound (~8 frames)
+                self._posed_src.pop(next(iter(self._posed_src)))
+            self._posed_src[key] = src
+        return src
 
-                    frame = expand_frames_tinted(frame, sess.palette)
-            self._posed_src = (key, frame)
+    def _render_posed_frame(self, i: int) -> np.ndarray:
+        """Frame ``i`` at the session's view angles through
+        ``Session.render_posed`` (static-ray, B=1).  A cold compiled
+        pipeline (f_rubix toggle, globe switch, first u32 frame …)
+        compiles on a background thread while the LAST posed frame keeps
+        serving — the never-block discipline (warmth-gated previews,
+        round 3).  With ``pose_scale="auto"`` the gate is bypassed: the
+        auto probes time the device inline by design."""
+        sess = self.session
+        src = self._posed_source(i)
+        if isinstance(self.pose_scale, int):
+            pk = self._posed_pipeline_key(src)
+            if pk not in self._posed_warm_keys:
+                if self._last_posed is not None:
+                    self._ensure_posed_warming(pk, src)
+                    self._posed_stale = True
+                    return self._last_posed
+                # nothing to show yet: compile inline (first-ever drag
+                # when the startup warm didn't cover this key)
+        self._posed_stale = False
         pose = np.asarray([sess.view_angles], np.float64)
-        return np.asarray(sess.render_posed(
-            self._posed_src[1], pose, render_scale=self.pose_scale))[0]
+        out = np.asarray(sess.render_posed(
+            src, pose, render_scale=self.pose_scale))[0]
+        if isinstance(self.pose_scale, int):
+            self._posed_warm_keys.add(self._posed_pipeline_key(src))
+        self._last_posed = out
+        return out
 
     def _render_screen(self, i: int, follow: bool,
                        exact: bool = False) -> np.ndarray:
@@ -496,6 +577,8 @@ class Viewer:
             status += f"  [exact build {prog * 100:.0f}%]"
         if self._posed_preview:
             status += "  [static-ray pose]"
+            if self._posed_stale:
+                status += "  [compiling posed pipeline]"
         if not self.device_ready.is_set():
             status += "  [host renders: device warming]"
         return png, status

@@ -1,6 +1,7 @@
 """Browser viewer (viewer.py): endpoints driven over real HTTP."""
 
 import json
+import time
 from urllib.request import urlopen
 
 import numpy as np
@@ -341,10 +342,10 @@ def test_drag_look_forward_lens_rubix_expands(monkeypatch):
         _get(v, "/cmd?c=f_lens%20eckert1%3B%20f_rubix%3B%20"
                 "setviewangles%200%2030%200")
         _, _, b1 = _get(v, "/frame.png?i=0")
-        assert v._posed_src[1].shape[0] == 12  # expanded raw||tinted
-        src_id = id(v._posed_src[1])
+        (key1, src1), = v._posed_src.items()
+        assert src1.shape[0] == 12  # expanded raw||tinted
         _, _, b1b = _get(v, "/frame.png?i=0")
-        assert id(v._posed_src[1]) == src_id  # cached across polls
+        assert v._posed_src[key1] is src1  # cached across polls
         assert b1 == b1b
         from blinky_tpu.kernels.remap import expand_frames_tinted
 
@@ -352,11 +353,67 @@ def test_drag_look_forward_lens_rubix_expands(monkeypatch):
             expand_frames_tinted(frames[0][..., None], sess.palette),
             np.asarray([[0.0, 30.0, 0.0]])))[0]
         np.testing.assert_array_equal(decode_png(b1), sess.palette[ref])
-        # turning the grid off invalidates the cached source
+        # turning the grid off switches to the raw 6-plane source; wait
+        # out the background pipeline warm the source-kind change kicks
         _get(v, "/cmd?c=f_rubix")
-        _, _, b2 = _get(v, "/frame.png?i=0")
-        assert v._posed_src[1].shape[0] == 6
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            _, h2, b2 = _get(v, "/frame.png?i=0")
+            if "[compiling posed pipeline]" not in h2["X-Status"]:
+                break
+            time.sleep(0.05)
+        assert "[compiling posed pipeline]" not in h2["X-Status"]
+        raw = [s for (i, rub, _), s in v._posed_src.items()
+               if (i, rub) == (0, False)]
+        assert raw and raw[0].shape[0] == 6
         assert b2 != b1
+    finally:
+        v.stop()
+
+
+def test_posed_preview_warmth_gate_serves_stale_frame(monkeypatch):
+    """A cold compiled-pipeline key mid-drag (here: a globe switch) must
+    not block the single-threaded server — the last posed frame keeps
+    serving with a '[compiling posed pipeline]' status while a
+    background thread compiles, then polls go live."""
+    import threading
+
+    import blinky_tpu.viewer as viewer_mod
+
+    sess = Session(64, 48, platesize=32)
+    frames = np.stack([synthetic_cubemap(32)])
+    v = Viewer(sess, frames)
+    v.start()
+    try:
+        _get(v, "/cmd?c=f_lens%20eckert1%3B%20setviewangles%200%2030%200")
+        _, h1, b1 = _get(v, "/frame.png?i=0")
+        assert "[static-ray pose]" in h1["X-Status"]
+        # make the next compile observable: stall _compile_posed_pipeline
+        real = viewer_mod.Viewer._compile_posed_pipeline
+        started = threading.Event()
+
+        def slow(self, *a, **kw):
+            started.set()
+            time.sleep(0.5)
+            return real(self, *a, **kw)
+
+        monkeypatch.setattr(viewer_mod.Viewer, "_compile_posed_pipeline",
+                            slow)
+        _get(v, "/cmd?c=f_globe%20trism")  # new globe => new pipeline key
+        _, h2, b2 = _get(v, "/frame.png?i=0")
+        assert "[compiling posed pipeline]" in h2["X-Status"]
+        assert b2 == b1  # the stale frame kept serving
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            _, h3, b3 = _get(v, "/frame.png?i=0")
+            if "[compiling posed pipeline]" not in h3["X-Status"]:
+                break
+            time.sleep(0.05)
+        assert "[compiling posed pipeline]" not in h3["X-Status"]
+        assert b3 != b1  # live now, on the new globe
+        ref = np.asarray(sess.render_posed(
+            frames[0][..., None], np.asarray([[0.0, 30.0, 0.0]])))[0]
+        np.testing.assert_array_equal(decode_png(b3), sess.palette[ref])
     finally:
         v.stop()
 
