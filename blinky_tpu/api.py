@@ -357,6 +357,7 @@ class Session:
 
         self._changed = True
         self._lensmap = None
+        self._lensmap_meta = None  # (lens, globe, view_is_identity)
         self._kernel = None
         self._background = None
         # Time-sliced exact builds (fisheye.c:306-322 analog): seconds of
@@ -773,6 +774,7 @@ class Session:
         each :meth:`render` advances the exact build by the budget until
         it swaps in (bit-identical to the blocking build)."""
         self._lensmap = None
+        self._lensmap_meta = None
         self._kernel = None
         self._pending_build = None
         if not (self.lens_valid and self.globe_valid):
@@ -792,6 +794,14 @@ class Session:
             self._changed = False
             return
         backend = self._resolved_backend()
+        # what the table(s) assigned below are built FROM: the lens/globe
+        # objects and whether a view rotation is composed in.  Consumers
+        # that need an identity-view table at a known scale (the
+        # static-ray ray-table reuse) check THIS, not the session's
+        # current mutable state — a pending setviewangles must not hide
+        # a perfectly reusable pre-drag build.
+        self._lensmap_meta = (self.lens, self.globe,
+                              self._view_basis() is None)
         if (self.build_budget_s is not None and backend == "numpy"
                 and self.lens.map_type == "inverse"):
             from blinky_tpu.lensmap.progressive import ProgressiveHostBuild
@@ -1144,7 +1154,7 @@ class Session:
         is_rgba = frames.dtype == np.uint32
         # keyed on a background GENERATION, not id(): a freed array's id
         # can be reused and silently hit a stale cache entry
-        key = (id(self.lens), id(self.globe), scale, self.width_px,
+        key = (self.lens, self.globe, scale, self.width_px,
                self.height_px, S, self.rubix_numcells, self.rubix_cell_size,
                self.rubix_pad_size, getattr(self, "_background_gen", 0),
                is_rgba, int(render_scale))
@@ -1173,8 +1183,13 @@ class Session:
         keeping stale generations would pin HBM).  Shared by the
         auto-scale probes and the real posed kernel so a forward-only
         lens pays its host rasterization once per (k, generation), not
-        once per kernel construction."""
-        gen = (id(self.lens), id(self.globe), float(scale),
+        once per kernel construction.
+
+        The generation holds the lens/globe OBJECTS (identity-eq
+        dataclasses), not ``id()``s: ``_lens_cache`` is a bounded dict,
+        and a freed LensDef's id can be reused by a new lens — the
+        strong ref both pins the id and makes the comparison exact."""
+        gen = (self.lens, self.globe, float(scale),
                self.width_px, self.height_px, platesize)
         stash = getattr(self, "_ray_tables", None)
         if stash is None or stash[0] != gen:
@@ -1185,14 +1200,21 @@ class Session:
     def _reusable_static_lensmap(self, scale, platesize, render_scale):
         """The session's already-built static lensmap, when it is usable
         as the source of a forward-lens ray table: finished (no pending
-        sliced build), current (no pending rebuild), built at this exact
-        (scale, size, platesize) with no view rotation composed in, and
-        the posed grid is full-resolution.  Saves the one-time host
-        rasterization when a static render already paid it."""
+        sliced build), built FROM this lens/globe at this exact
+        (scale, size, platesize) with no view rotation composed in
+        (``_lensmap_meta`` — recorded at build time, NOT inferred from
+        the session's current state: the pre-drag identity build is
+        exactly the table the FIRST drag-look pose needs, and that drag
+        has already set ``view_angles``/``_changed``), and the posed
+        grid is full-resolution.  Saves the one-time host rasterization
+        when a static render already paid it."""
         lm = self._lensmap
-        if (lm is None or self._changed or self._pending_build is not None
-                or render_scale != 1 or self._view_basis() is not None
+        meta = getattr(self, "_lensmap_meta", None)
+        if (lm is None or meta is None or self._pending_build is not None
+                or render_scale != 1
                 or getattr(self, "_preview_is_partial", False)):
+            return None
+        if not (meta[0] is self.lens and meta[1] is self.globe and meta[2]):
             return None
         if (lm.width_px, lm.height_px, lm.platesize) != (
                 self.width_px, self.height_px, platesize):
@@ -1243,7 +1265,7 @@ class Session:
             return 1
         if len(candidates) == 1:
             return candidates[0]
-        key = (id(self.lens), id(self.globe), self.width_px,
+        key = (self.lens, self.globe, self.width_px,
                self.height_px, S, is_rgba, self.rubix_numcells,
                self.rubix_cell_size, self.rubix_pad_size,
                getattr(self, "_background_gen", 0))
@@ -1482,7 +1504,7 @@ class Session:
         if getattr(panos, "ndim", 0) == 2:
             panos = np.asarray(panos, np.uint32)[..., None]
             squeeze = True
-        key = (tuple(panos.shape[:2]), self.platesize, id(self.globe),
+        key = (tuple(panos.shape[:2]), self.platesize, self.globe,
                bool(bilinear))
         cached = getattr(self, "_equirect_cache", None)
         if cached is None or cached[0] != key:

@@ -28,6 +28,10 @@ round-3 hand-tuned batch exactly and respects every OOM boundary:
 | 4K plane-compacted u8        | 31.6        | 512    | 512       |
 | 4K plane-compacted rubix     | 54.9        | 256    | 256       |
 
+(The "plane-compacted" rows are SLAB layouts — ``padded=False``; plain
+[P, S, S, B] sources are budgeted at the device's zero-padded
+MAX_PLATES/2*MAX_PLATES plane count, see ``planes_bytes_per_lane``.)
+
 C sits ABOVE the 15.75 GB physical capacity because the src+out model
 over-counts what XLA actually keeps live by a roughly constant ~3%
 (buffer reuse across loop iterations); the measured feasibility wall in
@@ -104,9 +108,23 @@ def screen_bytes_per_lane(width, height, rgba=False) -> int:
 
 
 def planes_bytes_per_lane(planesize, nplanes, rgba=False,
-                          expanded=False) -> int:
-    """[NP, S, S, B] plate-plane source: one lane's bytes."""
-    np_ = (2 if expanded else 1) * nplanes
+                          expanded=False, padded=True) -> int:
+    """[NP, S, S, B] plate-plane source: one lane's bytes.
+
+    ``padded=True`` (default) models the PLAIN device layout: the remap
+    and posed kernels zero-pad a P < MAX_PLATES source up to MAX_PLATES
+    planes on device (``RemapKernel.__call__``, ``prep_posed_inputs``),
+    and the expanded raw||tinted layout is always 2*MAX_PLATES planes
+    (``expand_frames_tinted`` zero-fills the tail) — counting the raw P
+    under-budgets low-poly globes and OOMs.  Pass ``padded=False`` for
+    plane-compacted SLAB sources (``kernels.remap.compact_planes``),
+    which really do hold only the kept planes."""
+    from blinky_tpu.palette import MAX_PLATES
+
+    if expanded:
+        np_ = 2 * MAX_PLATES if padded else 2 * nplanes
+    else:
+        np_ = max(nplanes, MAX_PLATES) if padded else nplanes
     return np_ * planesize * planesize * (4 if rgba else 1)
 
 

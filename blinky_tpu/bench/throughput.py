@@ -249,7 +249,7 @@ def run_gather_throughput(
             if batch is None:
                 batch = feasible_batch(
                     planes_bytes_per_lane(platesize, len(plane_ids),
-                                          rgba=True),
+                                          rgba=True, padded=False),
                     screen_bytes_per_lane(width, height, rgba=True))
             frames = device_source(platesize, batch, False, True, plane_ids)
             nplanes = len(plane_ids)
@@ -341,7 +341,8 @@ def run_gather_throughput(
         idx = jnp.asarray(cidx)
         if batch is None:
             batch = feasible_batch(
-                planes_bytes_per_lane(platesize, len(plane_ids), rgba=rgba),
+                planes_bytes_per_lane(platesize, len(plane_ids), rgba=rgba,
+                                      padded=False),
                 screen_bytes_per_lane(width, height, rgba=rgba))
         frames = device_source(platesize, batch, rubix, rgba, plane_ids)
         nplanes = len(plane_ids)

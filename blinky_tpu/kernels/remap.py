@@ -625,6 +625,12 @@ def host_remap(lensmap, frame, palette=None, background=None,
                 raise ValueError("host_remap needs a palette for the RGBA "
                                  "background")
             bg = frames_to_rgba(bg, np.asarray(palette))
+    elif bg.dtype == np.uint32:
+        # mirror prep_posed_inputs/RemapKernel: np.where would silently
+        # promote the u8 screen to a nonsense mix of palette indices
+        # and packed RGBA
+        raise ValueError("u8 frames need a u8 (palette-index) background, "
+                         "got uint32")
     out = np.where(lm.valid, g, bg)
     if decode_rgb and not is_rgba:
         if palette is None:

@@ -193,8 +193,8 @@ def build_ray_table(lens, globe, scale, width_px, height_px,
       rays truncated to f32;
     * forward-only -> texel-center reconstruction from the exact host
       forward rasterization (``lensmap`` reuses a caller's already-built
-      table when its size matches; rubix tint is recomputed per pose, so
-      any tint parameters in it are irrelevant).
+      table when its size AND zoom scale match; rubix tint is recomputed
+      per pose, so any tint parameters in it are irrelevant).
     """
     if platesize is None:
         platesize = min(width_px, height_px)
@@ -206,7 +206,8 @@ def build_ray_table(lens, globe, scale, width_px, height_px,
             backend="jax" if jit_ok else "numpy")
     if lensmap is None or lensmap.width_px != width_px \
             or lensmap.height_px != height_px \
-            or lensmap.platesize != platesize:
+            or lensmap.platesize != platesize \
+            or lensmap.scale != float(scale):
         from blinky_tpu.lensmap.forward_raster import build_forward
 
         lensmap = build_forward(

@@ -208,6 +208,12 @@ class Viewer:
         self._posed_warming = {}
         self._posed_stale = False
         self._last_posed = None
+        # warm-failure retry: a transient relay error during the device
+        # warm must not pin the viewer to host renders for the process
+        # lifetime — cold-phase requests respawn the warm (bounded by a
+        # backoff) once the previous attempt's thread has died
+        self._warm_thread = None
+        self._warm_retry_at = 0.0
         self._drained = 0  # console lines already delivered to the page
         # State-changing endpoints (/cmd, /key) require this token, which
         # only the served page knows: a cross-origin page can fire a GET
@@ -371,20 +377,45 @@ class Viewer:
                 print(f"device warm failed ({type(e).__name__}: {e}); "
                       "viewer stays on host renders")
 
+        import time
+
         t = threading.Thread(target=work, name="blinky-device-warm",
                              daemon=True)
+        self._warm_thread = t
+        self._warm_retry_at = time.monotonic() + 30.0  # backoff from start
         t.start()
         return t
+
+    def _maybe_retry_warm(self) -> None:
+        """Respawn a FAILED background warm (thread dead, device still
+        cold) after a 30 s backoff — a transient relay error at serve
+        start must not pin the process to host renders forever.  No-op
+        while a warm is in flight or if none was ever started (an
+        embedder that manages device_ready itself)."""
+        import time
+
+        t = self._warm_thread
+        if t is None or t.is_alive() or self.device_ready.is_set():
+            return
+        now = time.monotonic()
+        if now < self._warm_retry_at:
+            return
+        self._warm_retry_at = now + 30.0
+        print("device warm failed earlier; retrying in the background")
+        self.start_background_warm()
 
     def _posed_pipeline_key(self, src, globe=None):
         """Identity of the compiled static-ray executable a posed render
         of ``src`` will hit: mirrors ``_compiled_static_ray_pipeline``'s
         lru key (globe, shape, source kind, render_scale) plus the
         source dtype (jax.jit retraces per dtype).  The lens is NOT in
-        it — lens switches reuse the warm executable by design."""
+        it — lens switches reuse the warm executable by design.  The
+        key holds the Globe OBJECT (identity-eq/hash), not ``id()``:
+        a freed globe's id can be reused and mark a genuinely cold
+        pipeline warm (the _posed_cache pitfall, api.py)."""
         sess = self.session
         k = self.pose_scale if isinstance(self.pose_scale, int) else 1
-        return (id(globe if globe is not None else sess.globe),
+        return (globe if globe is not None else sess.globe,
                 sess.width_px, sess.height_px, src.shape[1],
                 src.shape[0], src.dtype.str, k)
 
@@ -526,6 +557,7 @@ class Viewer:
         lens (the /record.gif contract)."""
         sess = self.session
         if not self.device_ready.is_set():
+            self._maybe_retry_warm()
             # cold phase: the HOST path — never touches the device, so
             # the background warm's compiles can't stall a request and
             # the first frame costs one host gather.  Poses compose via

@@ -29,9 +29,11 @@ ROWS, ROWS_RUBIX = 3663, 7132
      screen_bytes_per_lane(1920, 1080), 1536),
     (rows_bytes_per_lane(ROWS, 1080, rgba=True),
      screen_bytes_per_lane(1920, 1080, rgba=True), 640),
-    (planes_bytes_per_lane(1080, 5), screen_bytes_per_lane(1920, 1080), 2048),
-    (planes_bytes_per_lane(2160, 5), screen_bytes_per_lane(3840, 2160), 512),
-    (planes_bytes_per_lane(2160, 5, expanded=True),
+    (planes_bytes_per_lane(1080, 5, padded=False),
+     screen_bytes_per_lane(1920, 1080), 2048),
+    (planes_bytes_per_lane(2160, 5, padded=False),
+     screen_bytes_per_lane(3840, 2160), 512),
+    (planes_bytes_per_lane(2160, 5, expanded=True, padded=False),
      screen_bytes_per_lane(3840, 2160), 256),
 ])
 def test_derived_batches_match_calibration_table(src, out, expect):
@@ -80,6 +82,26 @@ def test_render_posed_chunks_transparently(monkeypatch):
     sess2 = Session(W, H, platesize=S)
     chunked = np.asarray(sess2.render_posed(frames, poses))
     np.testing.assert_array_equal(whole, chunked)
+
+
+def test_plain_layouts_count_device_padding():
+    """Review round 4: the PLAIN [P, S, S, B] device layout zero-pads a
+    P < MAX_PLATES source to MAX_PLATES planes (RemapKernel.__call__,
+    prep_posed_inputs) and the expanded layout is always 2*MAX_PLATES
+    (expand_frames_tinted) — the model must budget what the device
+    actually holds, or a 'fast'-globe (P=2) recording derives an
+    OOM-sized batch."""
+    assert planes_bytes_per_lane(1080, 2) == planes_bytes_per_lane(1080, 6)
+    assert planes_bytes_per_lane(1080, 2, expanded=True) == \
+        planes_bytes_per_lane(1080, 6, expanded=True)
+    assert posed_bytes_per_lane(1080, 2, 1920, 1080) == \
+        posed_bytes_per_lane(1080, 6, 1920, 1080)
+    # slabs (compact_planes) really hold only the kept planes
+    assert planes_bytes_per_lane(1080, 2, padded=False) \
+        == 2 * 1080 * 1080
+    # an already-expanded posed source (P=12) is counted as-is
+    assert posed_bytes_per_lane(1080, 12, 1920, 1080) \
+        > posed_bytes_per_lane(1080, 6, 1920, 1080)
 
 
 def test_posed_layout_counts_index_tables():

@@ -182,6 +182,44 @@ def test_viewer_stays_on_host_when_warm_fails(monkeypatch):
         v.stop()
 
 
+def test_warm_failure_retries_after_backoff(monkeypatch):
+    """Review round 4: a transient relay error during the warm must not
+    pin the viewer to host renders forever — once the failed thread is
+    dead and the backoff has elapsed, a cold-phase request respawns the
+    warm, which then flips device_ready."""
+    import blinky_tpu.lensmap as lensmap_mod
+
+    sess = Session(W, H, platesize=32)
+    v = Viewer(sess, synthetic_cubemap(32)[None], device_warm=False)
+    real = lensmap_mod.build_lensmap
+    fail = {"on": True}
+
+    def flaky(*a, **k):
+        if fail["on"]:
+            raise RuntimeError("relay down")
+        return real(*a, **k)
+
+    monkeypatch.setattr(lensmap_mod, "build_lensmap", flaky)
+    v.start()
+    try:
+        t = v.start_background_warm()
+        t.join(10)
+        assert not v.device_ready.is_set()
+        # within the backoff window: the request serves host, no retry
+        with urlopen(v.address + "/frame.png?i=0", timeout=10) as r:
+            assert r.status == 200
+        assert v._warm_thread is t  # no respawn yet
+        # relay "recovers"; force the backoff to have elapsed
+        fail["on"] = False
+        v._warm_retry_at = 0.0
+        with urlopen(v.address + "/frame.png?i=0", timeout=10) as r:
+            assert r.status == 200  # this request kicked the retry
+        assert v._warm_thread is not t
+        assert v.device_ready.wait(30)
+    finally:
+        v.stop()
+
+
 def test_background_warm_covers_posed_pipeline_for_forward_lens():
     """With a forward-only lens active, the warm thread also pre-pays
     the static-ray posed pipeline (drag-look's path for that lens) —

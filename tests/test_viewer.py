@@ -307,12 +307,15 @@ def test_drag_look_forward_lens_static_ray(monkeypatch):
         _get(v, "/cmd?c=f_lens%20eckert1")
         _, h0, b0 = _get(v, "/frame.png?i=0")  # static render (1 raster)
         assert "[static-ray pose]" not in h0["X-Status"]
+        after_static = len(calls)
         _get(v, "/cmd?c=setviewangles%2010%2045%200")
         _, h1, b1 = _get(v, "/frame.png?i=0")
-        after_first = len(calls)  # + at most the one ray-table raster
+        # the ray table reuses the session's pre-drag identity build
+        # (_lensmap_meta): the FIRST drag pays no re-rasterization either
+        assert len(calls) == after_static
         _get(v, "/cmd?c=setviewangles%20-5%2090%200")
         _, h2, b2 = _get(v, "/frame.png?i=0")
-        assert len(calls) == after_first  # NO rasterization per pose
+        assert len(calls) == after_static  # NO rasterization per pose
         assert "[static-ray pose]" in h2["X-Status"]
         assert b1 != b2
         ref = np.asarray(sess.render_posed(
