@@ -153,6 +153,38 @@ def test_session_render_posed(setup):
         sess.render_posed(frames, np.asarray(POSES))
 
 
+def test_equirect_ingest_feeds_posed_playback():
+    """The 360-video pan flow: ingested pano faces drive render_posed.
+    Identity pose bit-equals the static f32-build remap of the same
+    faces; a rotated pose matches the same rotation composed into the
+    f32 builder (sequential reference), up to XLA:CPU's 1-ulp fusion
+    noise on boundary texels (exact on TPU — CLAUDE.md)."""
+    from blinky_tpu.api import Session
+    from blinky_tpu.kernels.ingest import EquirectIngest
+
+    rng = np.random.default_rng(7)
+    pano = (rng.integers(0, 1 << 24, (32, 64, 2), dtype=np.uint32)
+            | np.uint32(0xFF000000))
+    sess = Session(W, H, platesize=S)
+    ik = EquirectIngest(32, 64, S, globe=sess.globe, bilinear=True)
+    faces = np.asarray(ik(pano))  # [P, S, S, 2] u32
+    assert faces.dtype == np.uint32 and faces.shape == (6, S, S, 2)
+    poses = np.asarray([(0.0, 0.0, 0.0), (10.0, 40.0, 0.0)])
+    out = np.asarray(sess.render_posed(faces, poses))
+    scale = calc_scale(sess.zoom, sess.lens, W, H)
+    # identity row == static f32 build (same background: the session's
+    # default zeros, RGBA-decoded -> opaque black)
+    lm = build_lensmap(sess.lens, sess.globe, scale, W, H, S, backend="jax")
+    ident = np.asarray(RemapKernel(lm, sess.palette)(faces[..., :1]))[..., 0]
+    np.testing.assert_array_equal(out[0], ident)
+    # rotated row == the rotation composed into the builder
+    bases = bases_from_pose_track(poses)
+    lm1 = build_lensmap(sess.lens, sess.globe, scale, W, H, S,
+                        backend="jax", view_basis=tuple(bases[1]))
+    rot = np.asarray(RemapKernel(lm1, sess.palette)(faces[..., 1:]))[..., 0]
+    assert ((out[1] != rot).mean()) <= 0.002
+
+
 def test_palette_and_background_changes_invalidate_posed_cache(setup):
     from blinky_tpu.api import Session
     from blinky_tpu.kernels.remap import frames_to_rgba
