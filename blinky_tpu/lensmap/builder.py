@@ -85,10 +85,20 @@ def rubix_grid_mask(px, py, platesize, numcells, cell_size, pad_size, xp):
     # C computes this in IEEE doubles: `f_rubixgrid 0 0 0` divides by zero
     # to inf (-> no grid lines) rather than crashing, and so must we.
     # errstate only affects the NumPy backend; num_units stays an xp value
-    # because it is a traced dynamic arg on the jit path.
+    # because it is a traced dynamic arg on the jit path.  Without
+    # jax_enable_x64 (the chip: no f64) the f64 request would truncate
+    # to the same f32 anyway while printing a UserWarning in every TPU
+    # process — ask for f32 explicitly there; the x64 CPU test mesh and
+    # the NumPy host path keep the C's double arithmetic.
+    if xp is np:
+        grid_dtype = np.float64
+    else:
+        import jax
+
+        grid_dtype = xp.float64 if jax.config.jax_enable_x64 else xp.float32
     with np.errstate(divide="ignore", invalid="ignore"):
-        unit_size_px = xp.asarray(platesize, dtype=xp.float64) / xp.asarray(
-            num_units, dtype=xp.float64)
+        unit_size_px = xp.asarray(platesize, dtype=grid_dtype) / xp.asarray(
+            num_units, dtype=grid_dtype)
         ux = px / unit_size_px
         uy = py / unit_size_px
         return (xp.fmod(ux, block_size) < pad_size) | (
