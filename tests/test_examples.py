@@ -43,6 +43,24 @@ def test_pose_playback_example(tmp_path):
     assert (first != last).any()  # the pan moved the view
 
 
+def test_pano_pan_example(tmp_path):
+    spec = importlib.util.spec_from_file_location(
+        "example_pano_pan", EXAMPLES / "pano_pan.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.W, mod.H, mod.S, mod.N = 64, 48, 32, 4
+    mod.PANO_H, mod.PANO_W = 64, 128
+    mod.main(tmp_path / "out")
+    from blinky_tpu.io.png import decode_png
+
+    pngs = sorted((tmp_path / "out").glob("pan_*.png"))
+    assert len(pngs) == 4
+    first = decode_png(pngs[0].read_bytes())
+    last = decode_png(pngs[-1].read_bytes())
+    assert first.shape == (48, 64, 3)
+    assert (first != last).any()  # the pan + the video both moved
+
+
 def test_equirect_pipeline_example(tmp_path):
     spec = importlib.util.spec_from_file_location(
         "example_equirect", EXAMPLES / "equirect_pipeline.py")
