@@ -374,6 +374,26 @@ def test_drag_look_forward_lens_rubix_expands(monkeypatch):
         v.stop()
 
 
+def test_drag_look_pose_scale_auto_smoke():
+    """pose_scale='auto' bypasses the warmth gate (the probes time the
+    device inline by design) and still renders poses through the
+    dynamic-resolution posed path."""
+    sess = Session(64, 48, platesize=32)
+    frames = np.stack([synthetic_cubemap(32)])
+    v = Viewer(sess, frames, pose_scale="auto")
+    v.start()
+    try:
+        _get(v, "/cmd?c=f_lens%20eckert1%3B%20setviewangles%200%2030%200")
+        code, h1, b1 = _get(v, "/frame.png?i=0")
+        assert code == 200 and "[static-ray pose]" in h1["X-Status"]
+        assert "[compiling posed pipeline]" not in h1["X-Status"]
+        _get(v, "/cmd?c=setviewangles%200%2090%200")
+        code, _, b2 = _get(v, "/frame.png?i=0")
+        assert code == 200 and b2 != b1
+    finally:
+        v.stop()
+
+
 def test_posed_preview_warmth_gate_serves_stale_frame(monkeypatch):
     """A cold compiled-pipeline key mid-drag (here: a globe switch) must
     not block the single-threaded server — the last posed frame keeps
