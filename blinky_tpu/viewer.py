@@ -280,8 +280,9 @@ class Viewer:
                         count = int(count) if count is not None else None
                         follow = q.get("follow", ["0"])[0] == "1"
                         delay = int(q.get("d", ["10"])[0])
+                        fast = q.get("fast", ["0"])[0] == "1"
                         gif = viewer.render_gif(start, count, follow=follow,
-                                                delay_cs=delay)
+                                                delay_cs=delay, fast=fast)
                         self._send(200, gif, "image/gif")
                     elif url.path == "/state":
                         drain = q.get("t", [""])[0] == viewer.token
@@ -616,15 +617,26 @@ class Viewer:
         return png, status
 
     def render_gif(self, start: int = 0, count=None, follow: bool = False,
-                   delay_cs: int = 10) -> bytes:
+                   delay_cs: int = 10, fast: bool = False) -> bytes:
         """Render frames ``start..start+count`` through the live session
         (current lens/globe/zoom/rubix state) into one animated GIF —
         the viewer's capture/export surface.  Lossless for the engine's
         palettized frames; true-color (u32) sources are quantized with
         one median-cut palette over the whole capture
-        (``palette.quantize_rgb``)."""
+        (``palette.quantize_rgb``).
+
+        ``fast=True`` (``/record.gif?fast=1``) captures what the
+        interactive viewer SHOWS — the static-ray posed path for
+        forward-only / scalar-only lenses, previews included — instead
+        of the default exact capture, whose per-pose exact composed
+        build makes a followed forward-lens recording ~20 s/frame at
+        1080p (PERF §6)."""
         n = len(self.frames)
         count = n if count is None else max(1, min(int(count), n))
+        if fast:
+            shots = [self._render_screen((start + k) % n, follow)
+                     for k in range(count)]
+            return self._encode_gif(shots, delay_cs)
         # captures are EXACT: suspend time-slicing for the whole capture
         # (follow=1 rebuilds per frame via setviewangles — each of those
         # must block to completion too, not record a partial preview),
@@ -636,6 +648,9 @@ class Viewer:
                      for k in range(count)]
         finally:
             self.session.build_budget_s = budget
+        return self._encode_gif(shots, delay_cs)
+
+    def _encode_gif(self, shots, delay_cs: int) -> bytes:
         from blinky_tpu.io.gif import encode_gif, encode_gif_u32
 
         if shots[0].dtype == np.uint32:

@@ -189,6 +189,37 @@ def test_record_gif(served):
     assert b"/record.gif" in page
 
 
+def test_record_gif_fast_captures_posed_path(monkeypatch):
+    """/record.gif?fast=1 records what the interactive viewer shows —
+    the static-ray posed frames for a forward-only lens under a pose —
+    with no exact per-pose rasterization (the default capture stays
+    exact, test_drag_look_forward_lens_static_ray)."""
+    from blinky_tpu.io.gif import decode_gif
+    import blinky_tpu.lensmap.forward_raster as fr
+
+    sess = Session(64, 48, platesize=32)
+    frames = np.stack([synthetic_cubemap(32)])
+    v = Viewer(sess, frames)
+    v.start()
+    try:
+        _get(v, "/cmd?c=f_lens%20eckert1%3B%20setviewangles%200%2030%200")
+        _get(v, "/frame.png?i=0")  # warm the posed pipeline key
+        calls = []
+        orig = fr.build_forward
+        monkeypatch.setattr(
+            fr, "build_forward",
+            lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+        _, h, gif = _get(v, "/record.gif?n=1&fast=1")
+        assert h["Content-Type"] == "image/gif"
+        assert not calls  # no exact per-pose raster in a fast capture
+        got, pal, _ = decode_gif(gif)
+        ref = np.asarray(sess.render_posed(
+            frames[0][..., None], np.asarray([[0.0, 30.0, 0.0]])))[0]
+        np.testing.assert_array_equal(got[..., 0], ref)
+    finally:
+        v.stop()
+
+
 def test_record_gif_true_color_quantizes():
     """A u32 source capture comes back as a median-cut-quantized GIF whose
     colors match the true-color render closely."""
