@@ -1097,7 +1097,9 @@ class Session:
 
         if not (self.fisheye_enabled and self.lens_valid and self.globe_valid):
             raise ValueError("render_posed needs fisheye enabled and a valid lens/globe")
-        frames = np.asarray(frames)
+        if not hasattr(frames, "ndim"):  # device arrays pass through, like
+            frames = np.asarray(frames)  # render(): EquirectIngest output
+            # feeds the posed pipeline without a host round-trip
         if frames.ndim != 4:
             raise ValueError("render_posed takes a frame batch [P, S, S, B]")
         S = frames.shape[1]
@@ -1360,6 +1362,9 @@ class Session:
 
         check_render_scale(self.width_px, self.height_px, k)
         W, H = self.width_px // k, self.height_px // k
+        # host-build-bound path: pull a device-resident source ONCE here
+        # (per-pose slices of a device array would transfer per pose)
+        frames = np.asarray(frames)
         S = frames.shape[1]
         expanded = frames.shape[0] == 2 * MAX_PLATES
         is_rgba = frames.dtype == np.uint32

@@ -518,20 +518,24 @@ class Viewer:
             self._posed_src[key] = src
         return src
 
-    def _render_posed_frame(self, i: int) -> np.ndarray:
+    def _render_posed_frame(self, i: int, block: bool = False) -> np.ndarray:
         """Frame ``i`` at the session's view angles through
         ``Session.render_posed`` (static-ray, B=1).  A cold compiled
         pipeline (f_rubix toggle, globe switch, first u32 frame …)
         compiles on a background thread while the LAST posed frame keeps
         serving — the never-block discipline (warmth-gated previews,
         round 3).  With ``pose_scale="auto"`` the gate is bypassed: the
-        auto probes time the device inline by design."""
+        auto probes time the device inline by design.  ``block=True``
+        (fast captures) also bypasses it: a one-shot export is not
+        latency-sensitive, and serving the stale last frame would bake N
+        copies of the pre-capture pose into the GIF — compile inline
+        instead."""
         sess = self.session
         src = self._posed_source(i)
         if isinstance(self.pose_scale, int):
             pk = self._posed_pipeline_key(src)
             if pk not in self._posed_warm_keys:
-                if self._last_posed is not None:
+                if self._last_posed is not None and not block:
                     self._ensure_posed_warming(pk, src)
                     self._posed_stale = True
                     return self._last_posed
@@ -547,7 +551,8 @@ class Viewer:
         return out
 
     def _render_screen(self, i: int, follow: bool,
-                       exact: bool = False) -> np.ndarray:
+                       exact: bool = False,
+                       block_posed: bool = False) -> np.ndarray:
         """One frame through the live session (the shared body of
         render_png and render_gif): apply the pose track's frame-``i``
         camera when following (clamping past the end, like ``reproject
@@ -583,7 +588,7 @@ class Viewer:
                 sess.cmd(f"setviewangles {p:.9f} {y:.9f} {r:.9f}")
         if not exact and self._posed_preview_active():
             self._posed_preview = True
-            return self._render_posed_frame(i)
+            return self._render_posed_frame(i, block=block_posed)
         self._posed_preview = False
         # rubix on a u32 source: the kernel tints AFTER the gather
         # (kernels.remap.remap_gather_tint_impl) — no per-frame host
@@ -634,7 +639,13 @@ class Viewer:
         n = len(self.frames)
         count = n if count is None else max(1, min(int(count), n))
         if fast:
-            shots = [self._render_screen((start + k) % n, follow)
+            # block_posed: a cold posed-pipeline key (rubix toggled since
+            # the last drag, globe switch …) must compile inline here —
+            # the interactive stale-frame fallback would record N copies
+            # of the pre-capture frame and the one-shot export can't
+            # recover on a later poll the way the live viewer does
+            shots = [self._render_screen((start + k) % n, follow,
+                                         block_posed=True)
                      for k in range(count)]
             return self._encode_gif(shots, delay_cs)
         # captures are EXACT: suspend time-slicing for the whole capture

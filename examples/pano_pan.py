@@ -61,7 +61,9 @@ def main(outdir="pano_pan_out"):
     panos = synth_panos(N)  # [PANO_H, PANO_W, N] packed-RGBA u32
     ingest = EquirectIngest(PANO_H, PANO_W, S, globe=sess.globe,
                             bilinear=True)
-    faces = np.asarray(ingest(panos))  # [P, S, S, N] u32, one per pano
+    faces = ingest(panos)  # [P, S, S, N] u32, one per pano — DEVICE-
+    # resident: render_posed passes device arrays through (like
+    # render()), so no host round-trip between the two pipelines
 
     # the camera track: a slow look-around while the video plays
     t = np.linspace(0.0, 1.0, N)
@@ -69,11 +71,12 @@ def main(outdir="pano_pan_out"):
                       120 * t - 60,                # yaw sweep
                       np.zeros(N)], axis=1)
 
+    _ = np.asarray(sess.render_posed(faces, poses))  # compile + warm
     clock = FrameClock()
     screens = np.asarray(sess.render_posed(faces, poses))  # [N, H, W] u32
     clock.tick(N)
-    print(f"{N} panos panned through {LENS}: {clock.fps:.1f} fps "
-          f"(ingest + static-ray posed, all on device)")
+    print(f"{N} panos panned through {LENS}: {clock.fps:.1f} fps warm "
+          f"(pano -> plates -> warped screens, device-resident)")
 
     for i, screen in enumerate(screens):
         (outdir / f"pan_{i:04d}.png").write_bytes(

@@ -171,6 +171,11 @@ def test_equirect_ingest_feeds_posed_playback():
     assert faces.dtype == np.uint32 and faces.shape == (6, S, S, 2)
     poses = np.asarray([(0.0, 0.0, 0.0), (10.0, 40.0, 0.0)])
     out = np.asarray(sess.render_posed(faces, poses))
+    # device-resident flow: the ingest output feeds render_posed with no
+    # host round-trip (device arrays pass through, like render()) —
+    # bit-equal to the host-staged call
+    dev = np.asarray(sess.render_posed(ik(pano), poses))
+    np.testing.assert_array_equal(dev, out)
     scale = calc_scale(sess.zoom, sess.lens, W, H)
     # identity row == static f32 build (same background: the session's
     # default zeros, RGBA-decoded -> opaque black)

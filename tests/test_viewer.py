@@ -220,6 +220,35 @@ def test_record_gif_fast_captures_posed_path(monkeypatch):
         v.stop()
 
 
+def test_record_gif_fast_cold_key_compiles_inline():
+    """A fast capture whose posed-pipeline key is COLD (rubix toggled
+    since the last drag) must compile inline and record real frames —
+    the interactive stale-frame fallback would bake N copies of the
+    pre-toggle frame into the one-shot export."""
+    from blinky_tpu.io.gif import decode_gif
+
+    sess = Session(64, 48, platesize=32)
+    frames = np.stack([synthetic_cubemap(32)])
+    v = Viewer(sess, frames)
+    v.start()
+    try:
+        _get(v, "/cmd?c=f_lens%20eckert1%3B%20setviewangles%200%2030%200")
+        _get(v, "/frame.png?i=0")       # warm the RAW-source key
+        stale = v._last_posed.copy()
+        _get(v, "/cmd?c=f_rubix%201")   # expanded source -> NEW cold key
+        _, h, gif = _get(v, "/record.gif?n=2&fast=1")
+        assert h["Content-Type"] == "image/gif"
+        got, pal, _ = decode_gif(gif)
+        # not the stale pre-toggle frame ...
+        assert (got[..., 0] != stale).any()
+        # ... but the real posed render of the rubix-expanded source
+        ref = np.asarray(sess.render_posed(
+            v._posed_source(0), np.asarray([[0.0, 30.0, 0.0]])))[0]
+        np.testing.assert_array_equal(got[..., 0], ref)
+    finally:
+        v.stop()
+
+
 def test_record_gif_true_color_quantizes():
     """A u32 source capture comes back as a median-cut-quantized GIF whose
     colors match the true-color render closely."""
