@@ -1123,6 +1123,13 @@ class Session:
             return np.empty(
                 (0, self.height_px, self.width_px),
                 np.uint32 if frames.dtype == np.uint32 else np.uint8)
+        if not getattr(self.globe, "jittable", True):
+            # a scalar-only .lua GLOBE's plate resolver cannot trace, and
+            # the static-ray pipeline jits the per-pose plate-resolve
+            # stage for EVERY lens (build_ray_table host-routes only the
+            # lens stage) — route to the exact host path instead of
+            # letting Unvectorizable escape mid-trace
+            exact = True
         if render_scale == "auto":
             if exact:
                 render_scale = 1  # per-pose host builds: nothing to probe
@@ -1536,19 +1543,32 @@ class Session:
             if (self._kernel is not None and self._pending_build is None
                     and self._lensmap.platesize == self.platesize):
                 fkey = (key, bool(bilinear), mode)
-                fcached = getattr(self, "_equirect_fused", None)
-                # cache validity includes the RemapKernel IDENTITY (held
+                # a small dict, not a single slot: alternating
+                # compact/fused (mode comparisons, a faces caller in
+                # between) keeps BOTH composed chains warm instead of
+                # re-running compact_texels + table re-upload per switch.
+                # Validity includes the RemapKernel IDENTITY (held
                 # strongly, so `is` cannot alias a freed object): any
-                # lens/zoom/background/palette change makes a new kernel
-                if (fcached is None or fcached[0] != fkey
-                        or fcached[2] is not self._kernel):
+                # lens/zoom/background/palette change makes a new kernel,
+                # and stale-kernel entries are dropped so dead
+                # generations can't pin device tables
+                fcache = getattr(self, "_equirect_fused", None)
+                if fcache is None:
+                    fcache = {}
+                    self._equirect_fused = fcache
+                ent = fcache.get(fkey)
+                if ent is None or ent[1] is not self._kernel:
+                    for k in [k for k, v in fcache.items()
+                              if v[1] is not self._kernel]:
+                        fcache.pop(k)
+                    while len(fcache) >= 4:  # composed tables are
+                        # device-resident — bound the live generation too
+                        fcache.pop(next(iter(fcache)))
                     cls = (CompactEquirectChain if mode == "compact"
                            else EquirectScreenKernel)
-                    fkern = cls(ingest, self._kernel)
-                    self._equirect_fused = (fkey, fkern, self._kernel)
-                out = np.asarray(
-                    self._equirect_fused[1](panos,
-                                            rubix=self.rubix_enabled))
+                    ent = (cls(ingest, self._kernel), self._kernel)
+                    fcache[fkey] = ent
+                out = np.asarray(ent[0](panos, rubix=self.rubix_enabled))
                 return out[..., 0] if squeeze else out
 
         faces = ingest(panos)  # device [P, S, S, B] u32

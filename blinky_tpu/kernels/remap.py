@@ -597,7 +597,8 @@ def host_remap(lensmap, frame, palette=None, background=None,
     if not is_rgba:
         frame = frame.astype(np.uint8, copy=False)
     expanded = frame.shape[0] == 2 * MAX_PLATES
-    S = lm.platesize
+    # no platesize validation here on purpose: size mismatches clip,
+    # exactly like RemapKernel (the bit-equality contract, test_cold_serve)
     idx = expanded_flat_idx(lm) if (rubix and expanded) else lm.flat_idx
     src = frame.reshape(-1)
     g = src[np.clip(idx, 0, src.size - 1)]  # [H, W], mode="clip"

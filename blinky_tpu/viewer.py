@@ -353,6 +353,9 @@ class Viewer:
                 self.device_ready.set()
                 if jit_ok or not (sess.lens_valid and sess.globe_valid):
                     return
+                if not getattr(globe, "jittable", True):
+                    return  # scalar-only globe: no posed preview to warm
+                    # (_posed_preview_active is False — drags rebuild)
                 try:
                     # drag-look on this lens takes the static-ray posed
                     # path (_posed_preview_active): pre-pay its pipeline
@@ -493,6 +496,12 @@ class Viewer:
         if sess.view_angles is None or not (
                 sess.fisheye_enabled and sess.lens_valid and sess.globe_valid):
             return False
+        if not getattr(sess.globe, "jittable", True):
+            # a scalar-only .lua GLOBE can't trace the per-pose plate
+            # resolve, so the static-ray pipeline is unavailable
+            # (render_posed would take its exact host path per frame —
+            # no faster than the drag path's own exact composed rebuild)
+            return False
         if getattr(sess.lens, "map_type", "inverse") != "inverse":
             return True
         return not sess._jittable()
@@ -562,20 +571,6 @@ class Viewer:
         every frame blocks for the exact composed build, whatever the
         lens (the /record.gif contract)."""
         sess = self.session
-        if not self.device_ready.is_set():
-            self._maybe_retry_warm()
-            # cold phase: the HOST path — never touches the device, so
-            # the background warm's compiles can't stall a request and
-            # the first frame costs one host gather.  Poses compose via
-            # the same setviewangles path; render_host's forced-numpy
-            # rebuild keeps even those host-side.
-            if follow and self.poses is not None:
-                p, y, r = (float(f"{float(v):.9f}") for v in
-                           self.poses[min(i, len(self.poses) - 1)])
-                if sess.view_angles != (p, y, r):
-                    sess.cmd(f"setviewangles {p:.9f} {y:.9f} {r:.9f}")
-            self._posed_preview = False
-            return np.asarray(sess.render_host(self.frames[i]))
         if follow and self.poses is not None:
             # format without exponent notation: the console's Q_atof has
             # no 'e' syntax (faithful to the C), so '6.1e-05' would parse
@@ -586,6 +581,15 @@ class Viewer:
                        self.poses[min(i, len(self.poses) - 1)])
             if sess.view_angles != (p, y, r):
                 sess.cmd(f"setviewangles {p:.9f} {y:.9f} {r:.9f}")
+        if not self.device_ready.is_set():
+            self._maybe_retry_warm()
+            # cold phase: the HOST path — never touches the device, so
+            # the background warm's compiles can't stall a request and
+            # the first frame costs one host gather.  Poses composed via
+            # the setviewangles above; render_host's forced-numpy
+            # rebuild keeps even those host-side.
+            self._posed_preview = False
+            return np.asarray(sess.render_host(self.frames[i]))
         if not exact and self._posed_preview_active():
             self._posed_preview = True
             return self._render_posed_frame(i, block=block_posed)

@@ -136,6 +136,41 @@ def test_session_modes_match_and_fallbacks():
         off, np.asarray(sess.render_equirect(panos, mode="faces")))
 
 
+def test_alternating_modes_keep_both_chains_warm(monkeypatch):
+    """render_equirect's composed-chain cache is a dict, not a single
+    slot: alternating compact/fused (mode comparisons) must not re-run
+    compact_texels / recompose tables per switch, while a lens change
+    (new RemapKernel identity) still invalidates every entry."""
+    import blinky_tpu.kernels.ingest as ing
+    from blinky_tpu.api import Session
+
+    sess = Session(W, H, platesize=S)
+    panos = _panos()
+    builds = []
+    for name in ("CompactEquirectChain", "EquirectScreenKernel"):
+        orig = getattr(ing, name)
+
+        def counted(*a, _o=orig, _n=name, **k):
+            builds.append(_n)
+            return _o(*a, **k)
+
+        monkeypatch.setattr(ing, name, counted)
+    a = np.asarray(sess.render_equirect(panos))
+    b = np.asarray(sess.render_equirect(panos, mode="fused"))
+    np.testing.assert_array_equal(a, b)
+    assert builds == ["CompactEquirectChain", "EquirectScreenKernel"]
+    # alternating again: both entries warm, no new constructions
+    np.testing.assert_array_equal(np.asarray(sess.render_equirect(panos)), a)
+    np.testing.assert_array_equal(
+        np.asarray(sess.render_equirect(panos, mode="fused")), a)
+    assert len(builds) == 2
+    # a lens switch makes a new RemapKernel: every stale entry drops
+    sess.cmd("f_lens stereographic")
+    _ = np.asarray(sess.render_equirect(panos))
+    assert builds[-1] == "CompactEquirectChain" and len(builds) == 3
+    assert len(sess._equirect_fused) == 1  # stale generation evicted
+
+
 def test_fused_sharded_matches_unsharded():
     from blinky_tpu.parallel import make_mesh
 

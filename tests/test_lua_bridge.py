@@ -241,6 +241,49 @@ end
     assert (posed[0] != static).mean() < 0.05
 
 
+def test_untraceable_lua_globe_takes_exact_posed_path(tmp_path):
+    """A scalar-only .lua GLOBE (lane-varying table write in its
+    globe_plate) cannot trace the per-pose plate-resolve stage, which
+    the static-ray pipeline jits for EVERY lens — render_posed must
+    route to the exact host path (bit-equal to exact=True) instead of
+    letting Unvectorizable escape mid-trace, and the viewer's drag-look
+    preview must stay off so a drag rebuilds exactly rather than 500ing
+    (regression: round-4 static-ray removed the round-3 jittable guard)."""
+    from blinky_tpu.api import Session
+    from blinky_tpu.io.cubemap import synthetic_cubemap
+    from blinky_tpu.viewer import Viewer
+
+    (tmp_path / "scatglobe.lua").write_text("""
+plates = {
+{ {0,0,1}, {0,1,0}, 90 },
+{ {0,0,1}, {0,1,0}, 160 }
+}
+acc = {}
+function globe_plate(x,y,z)
+  local k = math.floor(math.abs(x) * 3) + 1
+  acc[k] = z          -- lane-varying table WRITE: per-lane control
+  if x > 0 then return 0 end
+  return 1
+end
+""")
+    sess = Session(48, 36, platesize=16, globe_dirs=[tmp_path])
+    sess.cmd("f_globe scatglobe")
+    assert sess.globe_valid and not sess.globe.jittable
+    frames = synthetic_cubemap(16)[:2]
+    poses = np.asarray([(0.0, 0.0, 0.0), (5.0, 30.0, 0.0)])
+    posed = np.asarray(sess.render_posed(frames[..., None].repeat(2, -1),
+                                         poses))
+    assert posed.shape == (2, 36, 48)
+    exact = np.asarray(sess.render_posed(frames[..., None].repeat(2, -1),
+                                         poses, exact=True))
+    np.testing.assert_array_equal(posed, exact)
+    # the drag-look preview stays off — even for a forward-only lens,
+    # where the preview would otherwise always activate
+    sess.cmd("f_lens eckert1; setviewangles 5 30 0")
+    v = Viewer(sess, np.stack([synthetic_cubemap(16)]))
+    assert v._posed_preview_active() is False
+
+
 def test_debug_lua_traces_on_device(tmp_path):
     """Late round 3: debug.lua — numplates-dependent layout tables,
     multi-nil helper returns, lane-varying plate_to_ray — traces through

@@ -113,6 +113,26 @@ def test_equirect_modes_exact_on_tpu():
         np.asarray(s.render_equirect(panos, mode="faces")))
 
 
+def test_ingest_feeds_posed_device_resident_on_tpu():
+    """The 360 flow composes device-to-device on the chip: EquirectIngest
+    output (a TPU-resident array) feeds render_posed with no host
+    round-trip, bit-equal to staging the faces through NumPy."""
+    from blinky_tpu.api import Session
+    from blinky_tpu.kernels.ingest import EquirectIngest
+
+    rng = np.random.default_rng(3)
+    pano = (rng.integers(0, 1 << 24, (64, 128, 2), dtype=np.uint32)
+            | np.uint32(0xFF000000))
+    sess = Session(W, H, platesize=64)
+    ik = EquirectIngest(64, 128, 64, globe=sess.globe, bilinear=True)
+    faces = ik(pano)
+    assert not isinstance(faces, np.ndarray)  # device-resident
+    poses = np.asarray([(0.0, 0.0, 0.0), (7.0, -40.0, 3.0)])
+    dev = np.asarray(sess.render_posed(faces, poses))
+    host = np.asarray(sess.render_posed(np.asarray(faces), poses))
+    np.testing.assert_array_equal(dev, host)
+
+
 def test_device_builder_drift_within_documented_bounds():
     """docs/PERF.md §5: the f32 device builder's gather-index drift vs
     the exact f64 host build sits on texel boundaries, ~1% of pixels at
