@@ -548,8 +548,16 @@ class Viewer:
                     self._ensure_posed_warming(pk, src)
                     self._posed_stale = True
                     return self._last_posed
-                # nothing to show yet: compile inline (first-ever drag
-                # when the startup warm didn't cover this key)
+                # about to compile inline (first-ever drag the startup
+                # warm didn't cover, or a blocking fast capture) — if a
+                # background warm for this very key is mid-compile (a
+                # /frame.png poll kicked it just before the capture),
+                # join it instead of tracing the same executable on two
+                # threads (same latency, no duplicated compile and no
+                # concurrent device dispatch against the warm thread)
+                t = self._posed_warming.get(pk)
+                if t is not None and t.is_alive():
+                    t.join()
         self._posed_stale = False
         pose = np.asarray([sess.view_angles], np.float64)
         out = np.asarray(sess.render_posed(

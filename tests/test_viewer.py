@@ -454,6 +454,47 @@ def test_drag_look_pose_scale_auto_smoke():
         v.stop()
 
 
+def test_blocking_capture_joins_inflight_posed_warm(monkeypatch):
+    """A blocking fast capture that hits a cold posed-pipeline key while
+    a background warm for the SAME key is mid-compile must join that
+    thread, not trace the same executable concurrently on two threads
+    (same latency, one compile, no concurrent device dispatch)."""
+    import threading
+
+    import blinky_tpu.viewer as viewer_mod
+
+    sess = Session(64, 48, platesize=32)
+    frames = np.stack([synthetic_cubemap(32)])
+    sess.cmd("f_lens eckert1; setviewangles 0 30 0")
+    v = Viewer(sess, frames)
+    out1 = v._render_posed_frame(0)  # warm key A inline
+
+    real = viewer_mod.Viewer._compile_posed_pipeline
+    started, gate = threading.Event(), threading.Event()
+    calls = []
+
+    def slow(self, *a, **kw):
+        calls.append(a)
+        started.set()
+        assert gate.wait(30)
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(viewer_mod.Viewer, "_compile_posed_pipeline", slow)
+    sess.cmd("f_globe trism")  # new pipeline key B
+    out2 = v._render_posed_frame(0)  # kicks the warm, serves stale
+    np.testing.assert_array_equal(out2, out1)
+    assert v._posed_stale and started.wait(10)
+    t = v._posed_warming[v._posed_pipeline_key(v._posed_source(0))]
+    assert t.is_alive()
+    threading.Timer(0.2, gate.set).start()
+    out3 = v._render_posed_frame(0, block=True)  # joins, never re-traces
+    assert len(calls) == 1  # one compile total, the warm thread's
+    assert not v._posed_stale
+    ref = np.asarray(sess.render_posed(
+        frames[0][..., None], np.asarray([[0.0, 30.0, 0.0]])))[0]
+    np.testing.assert_array_equal(out3, ref)
+
+
 def test_posed_preview_warmth_gate_serves_stale_frame(monkeypatch):
     """A cold compiled-pipeline key mid-drag (here: a globe switch) must
     not block the single-threaded server — the last posed frame keeps
