@@ -587,3 +587,60 @@ def test_follow_small_angles_fixed_point():
         assert sess.view_angles == va
     finally:
         v.stop()
+
+
+def test_endpoint_fuzz_server_survives():
+    """Robustness net over the HTTP surface: 250 seeded-random requests
+    (unknown paths, mangled percent-encodings, wrong-type / huge /
+    negative params, token present or absent, garbage console text)
+    must each get an HTTP response — never a crashed or hung server —
+    and afterwards the viewer still serves a clean frame and the
+    session is still valid."""
+    import random
+    from urllib.error import HTTPError, URLError
+
+    rng = random.Random(0xB111)
+    sess = Session(48, 36, platesize=16)
+    v = Viewer(sess, np.stack([synthetic_cubemap(16)] * 2),
+               poses=np.zeros((2, 3), np.float32))
+    v.start()
+    try:
+        paths = ["/", "/frame.png", "/state", "/cmd", "/key",
+                 "/record.gif", "/favicon.ico", "/..", "/%zz", "/nope"]
+        # real console verbs with randomized args — minus f_saveglobe
+        # (writes files) — plus pure garbage lines
+        verbs = ["f_lens", "f_globe", "f_fov", "f_vfov", "f_cover",
+                 "f_contain", "f_rubix", "f_rubixgrid", "fisheye",
+                 "setviewangles", "bind", "echo", "wait", "alias"]
+        junk = "%00%ff%%%20&&==??//\\'\"<>~`"
+        for _ in range(250):
+            path = rng.choice(paths)
+            params = []
+            for _ in range(rng.randrange(4)):
+                k = rng.choice(["i", "c", "k", "t", "follow", "fast",
+                                "d", rng.choice("abcxyz")])
+                val = rng.choice([
+                    str(rng.randrange(-9, 9)),
+                    str(rng.randrange(10**9)),
+                    "zap", "", "1e309", "nan",
+                    "".join(rng.choices(junk, k=rng.randrange(1, 9))),
+                    f"{rng.choice(verbs)}%20" + "".join(
+                        rng.choices("abc0.-%20", k=rng.randrange(8))),
+                ])
+                if k == "t" and rng.random() < 0.5:
+                    val = v.token  # valid token: mutating paths run too
+                params.append(f"{k}={val}")
+            if params:
+                path += "?" + "&".join(params)
+            try:
+                with urlopen(v.address + path, timeout=30) as r:
+                    assert r.status in (200,)
+            except HTTPError as e:
+                assert e.code in (400, 403, 404, 500)
+            except (URLError, TimeoutError) as e:  # pragma: no cover
+                raise AssertionError(f"server died on {path!r}: {e}")
+        # still alive and rendering; the session survived the storm
+        assert urlopen_status(v, "/frame.png?i=0") == 200
+        assert sess.render(v.frames[0]).shape == (36, 48)
+    finally:
+        v.stop()
