@@ -7,8 +7,7 @@ load time by forward-mapping the antipode and the pole
 
 import math
 
-from blinky_tpu import xmath as m
-from blinky_tpu.geometry import latlon_to_ray, ray_to_latlon
+from blinky_tpu.geometry import ray_to_latlon
 
 _CL = 0.000952426
 _CP = 0.162388

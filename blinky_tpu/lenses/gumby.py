@@ -7,7 +7,6 @@ mirroring the Lua script's top-level probes at ``gumby.lua:31-35``).
 
 import math
 
-from blinky_tpu import xmath as m
 from blinky_tpu.geometry import latlon_to_ray, ray_to_latlon
 from blinky_tpu.lenses.panini import panini_forward_xy, panini_inverse_latlon
 
