@@ -486,6 +486,16 @@ def test_blocking_capture_joins_inflight_posed_warm(monkeypatch):
     assert v._posed_stale and started.wait(10)
     t = v._posed_warming[v._posed_pipeline_key(v._posed_source(0))]
     assert t.is_alive()
+    # the join is the contract: by the time the blocking path reaches
+    # the session render, the warm thread must already be DEAD (without
+    # the join both run concurrently and this assert fires)
+    real_rp = type(sess).render_posed
+
+    def render_asserting_join(self, *a, **kw):
+        assert not t.is_alive(), "inline render overlapped the warm"
+        return real_rp(self, *a, **kw)
+
+    monkeypatch.setattr(type(sess), "render_posed", render_asserting_join)
     threading.Timer(0.2, gate.set).start()
     out3 = v._render_posed_frame(0, block=True)  # joins, never re-traces
     assert len(calls) == 1  # one compile total, the warm thread's
