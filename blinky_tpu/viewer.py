@@ -196,7 +196,20 @@ class Viewer:
             np.asarray(poses, np.float32).reshape(-1, 3))
         # render_scale for the static-ray posed preview (forward-only /
         # scalar-only lenses under a view rotation): int k, or "auto"
-        # for the session's dynamic-resolution probe (PERF §6)
+        # for the session's dynamic-resolution probe (PERF §6).
+        # Validated HERE, not just in `cli serve`: a non-int non-"auto"
+        # value would silently bypass the warmth gate (isinstance-int
+        # checks) and then 500 deep inside render_posed — embedders
+        # should fail at construction instead.
+        if pose_scale != "auto":
+            if isinstance(pose_scale, bool) or not isinstance(pose_scale, int):
+                raise ValueError(
+                    f"pose_scale must be an int or 'auto', got "
+                    f"{pose_scale!r}")
+            from blinky_tpu.kernels.posed import check_render_scale
+
+            check_render_scale(session.width_px, session.height_px,
+                               pose_scale)
         self.pose_scale = pose_scale
         self._posed_src = {}  # (i, rubix, palette_gen) -> posed source
         self._posed_preview = False  # last /frame.png took the posed path
@@ -206,6 +219,11 @@ class Viewer:
         # one now, and the last posed screen to serve while they do
         self._posed_warm_keys = set()
         self._posed_warming = {}
+        # failed posed warms retry with a backoff (mirrors the device
+        # warm): key -> monotonic time before which no new warm spawns.
+        # A transient relay error must not pin a key to inline compiles
+        # (or permanent staleness) for the process lifetime.
+        self._posed_warm_retry_at = {}
         self._posed_stale = False
         self._last_posed = None
         # warm-failure retry: a transient relay error during the device
@@ -372,8 +390,16 @@ class Viewer:
                     if sess.rubix_enabled:
                         src = expand_rubix_source(src, sess.palette)
                     pk = self._posed_pipeline_key(src, globe=globe)
-                    self._compile_posed_pipeline(
-                        pk, src, lens, globe, scale, lensmap=lm)
+                    # register THIS thread under the key so a first drag
+                    # arriving mid-compile joins it instead of tracing
+                    # the same executable concurrently on two threads
+                    # (the capture-join discipline, commit 39d521e)
+                    self._posed_warming[pk] = threading.current_thread()
+                    try:
+                        self._compile_posed_pipeline(
+                            pk, src, lens, globe, scale, lensmap=lm)
+                    finally:
+                        self._posed_warming.pop(pk, None)
                 except Exception as e:  # the drag path warms lazily then
                     print(f"posed-pipeline warm failed "
                           f"({type(e).__name__}: {e})")
@@ -456,9 +482,13 @@ class Viewer:
         (f_rubix toggled, globe switched, true-color source appeared …)
         so the single-threaded request path can keep serving the last
         posed frame instead of blocking 1-50 s on the XLA compile."""
+        import time
+
         t = self._posed_warming.get(pk)
         if t is not None and t.is_alive():
             return
+        if time.monotonic() < self._posed_warm_retry_at.get(pk, 0.0):
+            return  # backoff after a failed warm; serve the stale frame
         sess = self.session
         lens, globe = sess.lens, sess.globe
         from blinky_tpu.lensmap import calc_scale
@@ -468,13 +498,19 @@ class Viewer:
         def work():
             try:
                 self._compile_posed_pipeline(pk, src, lens, globe, scale)
+                self._posed_warm_retry_at.pop(pk, None)
             except Exception as e:
-                # mark warm anyway: the request path then proceeds and
-                # surfaces the real error as a 500 instead of respawning
-                # this thread every poll
+                # retry-at backoff (the device-warm pattern): the next
+                # poll after 30 s respawns the warm; meanwhile requests
+                # keep serving the last posed frame instead of blocking
+                # the single-threaded server on an inline compile
                 print(f"posed-pipeline warm failed "
-                      f"({type(e).__name__}: {e})")
-                self._posed_warm_keys.add(pk)
+                      f"({type(e).__name__}: {e}); retrying in 30 s")
+                self._posed_warm_retry_at[pk] = time.monotonic() + 30.0
+            finally:
+                # prune: dead Thread objects must not accumulate one per
+                # distinct pipeline key for the viewer's lifetime
+                self._posed_warming.pop(pk, None)
 
         t = threading.Thread(target=work, name="blinky-posed-warm",
                              daemon=True)
@@ -557,7 +593,12 @@ class Viewer:
                 # concurrent device dispatch against the warm thread)
                 t = self._posed_warming.get(pk)
                 if t is not None and t.is_alive():
-                    t.join()
+                    # bounded join: a hung relay compile must not hang
+                    # the single-threaded HTTP server forever — after
+                    # the (generous) bound, fall through to the inline
+                    # render, which either hits the now-populated jit
+                    # cache or surfaces the real error as a 500
+                    t.join(timeout=600.0)
         self._posed_stale = False
         pose = np.asarray([sess.view_angles], np.float64)
         out = np.asarray(sess.render_posed(

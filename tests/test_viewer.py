@@ -654,3 +654,70 @@ def test_endpoint_fuzz_server_survives():
         assert sess.render(v.frames[0]).shape == (36, 48)
     finally:
         v.stop()
+
+
+def test_pose_scale_validated_at_construction():
+    """Viewer.__init__ validates pose_scale (ADVICE r4): a non-int,
+    non-'auto' value must fail at construction, not silently bypass the
+    warmth gate and 500 deep inside render_posed per request."""
+    sess = Session(64, 48, platesize=32)
+    frames = np.stack([synthetic_cubemap(32)])
+    for bad in ("bogus", 1.5, True, 0, -2, 5):  # 5: 64 not divisible
+        with pytest.raises(ValueError):
+            Viewer(sess, frames, pose_scale=bad)
+    # the two valid forms still construct
+    Viewer(sess, frames, pose_scale=2)
+    Viewer(sess, frames, pose_scale="auto")
+
+
+def test_failed_posed_warm_backs_off_and_retries(monkeypatch):
+    """A transient relay error during a posed-pipeline warm must NOT pin
+    the key to inline compiles forever (ADVICE r4): the failure records
+    a retry-at timestamp, polls inside the backoff serve the stale
+    frame without respawning, and a poll after the backoff re-warms."""
+    import blinky_tpu.viewer as viewer_mod
+
+    sess = Session(64, 48, platesize=32)
+    frames = np.stack([synthetic_cubemap(32)])
+    sess.cmd("f_lens eckert1; setviewangles 0 30 0")
+    v = Viewer(sess, frames)
+    out1 = v._render_posed_frame(0)  # warm key A inline
+
+    real = viewer_mod.Viewer._compile_posed_pipeline
+    calls = []
+
+    def flaky(self, *a, **kw):
+        calls.append(a)
+        if len(calls) == 1:
+            raise RuntimeError("transient relay error")
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(viewer_mod.Viewer, "_compile_posed_pipeline", flaky)
+    sess.cmd("f_globe trism")  # new pipeline key B
+    out2 = v._render_posed_frame(0)  # kicks the failing warm
+    np.testing.assert_array_equal(out2, out1)
+    pk = v._posed_pipeline_key(v._posed_source(0))
+    deadline = time.monotonic() + 10
+    while pk in v._posed_warming and time.monotonic() < deadline:
+        time.sleep(0.01)
+    # failure contract: NOT marked warm, retry-at recorded, thread pruned
+    assert pk not in v._posed_warm_keys
+    assert pk not in v._posed_warming  # dead threads don't accumulate
+    assert v._posed_warm_retry_at.get(pk, 0) > time.monotonic()
+    # inside the backoff: serve stale, no new warm spawned
+    out3 = v._render_posed_frame(0)
+    np.testing.assert_array_equal(out3, out1)
+    assert len(calls) == 1 and pk not in v._posed_warming
+    # past the backoff: the next poll respawns the warm and it succeeds
+    v._posed_warm_retry_at[pk] = time.monotonic() - 1
+    v._render_posed_frame(0)
+    deadline = time.monotonic() + 30
+    while pk not in v._posed_warm_keys and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert len(calls) == 2 and pk in v._posed_warm_keys
+    assert pk not in v._posed_warm_retry_at  # success clears the backoff
+    out4 = v._render_posed_frame(0)  # live posed frame for the new globe
+    assert pk not in v._posed_warming  # pruned after success too
+    ref = np.asarray(sess.render_posed(
+        v._posed_source(0), np.asarray([[0.0, 30.0, 0.0]])))[0]
+    np.testing.assert_array_equal(out4, ref)
