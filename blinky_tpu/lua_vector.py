@@ -431,6 +431,21 @@ class VectorInterpreter(Interpreter):
                      "sinh", "cosh", "tanh", "log", "log10", "abs", "sqrt",
                      "exp", "pow"):
             self.globals.vars[name] = mt.get(name)
+        # Coroutines are scalar authority ALWAYS (like goto): a yield
+        # parks its thread mid-frame while the resumer keeps pushing and
+        # popping the interpreter's shared mask/vframe stacks, so the
+        # suspended context would resume against someone else's masks.
+        # ``load`` stays available — a loaded chunk is an ordinary
+        # LuaFunction through this same evaluator, covered by the
+        # scalar/vector bit-equality contract.
+        cot = self.globals.vars["coroutine"]
+
+        def _co_refuse(*a):
+            raise Unvectorizable("coroutine (scalar authority)")
+
+        for cname in ("create", "resume", "yield", "wrap", "status",
+                      "running", "isyieldable"):
+            cot.set(cname, _co_refuse)
 
     # ------------------------------------------------------------- masks
     def _eff_mask(self):

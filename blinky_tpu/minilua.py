@@ -54,6 +54,8 @@ def _lua_typename(v) -> str:
         return "string"
     if isinstance(v, LuaTable):
         return "table"
+    if isinstance(v, LuaCoroutine):
+        return "thread"
     return "function"
 
 
@@ -648,6 +650,151 @@ class _Env:
         return e
 
 
+class _TableVars:
+    """Dict-like view over a :class:`LuaTable` — the ``vars`` of a chunk
+    environment created by ``load(chunk, name, mode, env)`` (the Lua 5.2
+    ``_ENV`` argument).  Reads of nil-valued keys report absence, exactly
+    like a missing global."""
+
+    __slots__ = ("t",)
+
+    def __init__(self, t):
+        self.t = t
+
+    def __contains__(self, k):
+        return self.t.get(k) is not None
+
+    def __getitem__(self, k):
+        v = self.t.get(k)
+        if v is None:
+            raise KeyError(k)
+        return v
+
+    def __setitem__(self, k, v):
+        self.t.set(k, v)
+
+    def get(self, k, default=None):
+        v = self.t.get(k)
+        return default if v is None else v
+
+
+class _CoKill(BaseException):
+    """Injected at a suspended coroutine's yield point to unwind its
+    thread when the owner discards it (``Interpreter.close``). BaseException
+    so script-level pcall cannot swallow it."""
+
+
+class LuaCoroutine:
+    """A Lua 5.2 coroutine (``fisheye.c:278-280`` links full liblua, so a
+    reference lens script may legitimately use them).
+
+    Implementation: one daemon thread per coroutine with a strict
+    handoff — exactly one of (resumer, coroutine) runs at any moment, so
+    the interpreter's shared state (fuel, masks, globals) is never
+    touched concurrently and execution stays deterministic.  The
+    interpreter's ``_depth`` is context-switched at the handoff (each
+    coroutine starts at depth 1) so suspending a coroutine can never
+    re-arm the per-host-entry fuel reset.
+    """
+
+    __slots__ = ("fn", "interp", "status", "_thread", "_resume_evt",
+                 "_return_evt", "_xfer", "_result", "_depth", "_kill")
+
+    def __init__(self, fn, interp):
+        import threading
+
+        self.fn = fn
+        self.interp = interp
+        self.status = "suspended"
+        self._thread = None
+        self._resume_evt = threading.Event()
+        self._return_evt = threading.Event()
+        self._xfer = ()
+        self._result = None  # ("yield"|"return", vals) | ("error", msg)
+        self._depth = 1  # context-switched _depth: never the reset level
+        self._kill = False
+
+    # -- the coroutine thread's body
+    def _main(self):
+        try:
+            try:
+                out = self.interp.call(self.fn, list(self._xfer))
+                self._result = ("return", out)
+            except LuaError as e:
+                self._result = ("error", str(e))
+            except _CoKill:
+                return  # unwound by close(); nobody is waiting
+            except BaseException as e:  # sandbox contract: never leak raw
+                self._result = ("error", f"{type(e).__name__}: {e}")
+            self._return_evt.set()
+        finally:
+            self.interp._live_coroutines -= 1
+
+    def resume(self, args):
+        """``coroutine.resume`` semantics: returns ``(True, *values)`` on
+        yield/return, ``(False, message)`` on error or a bad state."""
+        import threading
+
+        if self.status == "dead":
+            return (False, "cannot resume dead coroutine")
+        if self.status != "suspended":
+            return (False, "cannot resume non-suspended coroutine")
+        interp = self.interp
+        caller_depth = interp._depth
+        stack = interp._co_stack
+        cur = stack[-1] if stack else None
+        if cur is not None:
+            cur.status = "normal"
+        stack.append(self)
+        self.status = "running"
+        interp._depth = self._depth
+        self._xfer = tuple(args)
+        if self._thread is None:
+            if interp._live_coroutines >= interp.MAX_LIVE_COROUTINES:
+                # unwind bookkeeping before erroring
+                stack.pop()
+                if cur is not None:
+                    cur.status = "running"
+                interp._depth = caller_depth
+                self.status = "suspended"
+                raise LuaError(
+                    f"too many live coroutines "
+                    f"(> {interp.MAX_LIVE_COROUTINES}); a sandboxed "
+                    "script must let coroutines finish")
+            interp._live_coroutines += 1
+            self._thread = threading.Thread(
+                target=self._main, name="minilua-coroutine", daemon=True)
+            self._thread.start()
+        else:
+            self._resume_evt.set()
+        self._return_evt.wait()
+        self._return_evt.clear()
+        # control is back: bank the coroutine's depth, restore the caller's
+        self._depth = interp._depth
+        stack.pop()
+        if cur is not None:
+            cur.status = "running"
+        interp._depth = caller_depth
+        kind, payload = self._result
+        if kind == "yield":
+            self.status = "suspended"
+            return (True, *payload)
+        self.status = "dead"
+        if kind == "return":
+            return (True, *payload)
+        return (False, payload)
+
+    def yield_(self, args):
+        """Called on the coroutine's own thread by ``coroutine.yield``."""
+        self._result = ("yield", tuple(args))
+        self._return_evt.set()
+        self._resume_evt.wait()
+        self._resume_evt.clear()
+        if self._kill:
+            raise _CoKill()
+        return self._xfer
+
+
 class _Break(Exception):
     pass
 
@@ -744,15 +891,37 @@ class Interpreter:
     #: lens_inverse/forward call are thousands of statements at most.
     FUEL = 5_000_000
 
+    #: live (started, not finished) coroutine threads per interpreter —
+    #: the thread-count analog of FUEL: a script that parks thousands of
+    #: coroutines would otherwise pin one blocked OS thread each.
+    MAX_LIVE_COROUTINES = 200
+
     def __init__(self, builtins=None):
         self.globals = _Env()
         self.printed = []  # print() output (tetra.lua prints its fov)
         self._fuel = self.FUEL
         self._depth = 0
+        self._co_stack = []  # innermost-running-coroutine stack
+        self._live_coroutines = 0
+        self._all_coroutines = []  # for close(): every coroutine created
         self._install_stdlib()
         if builtins:
             for k, v in builtins.items():
                 self.globals.vars[k] = v
+
+    def close(self):
+        """Unwind any suspended coroutine threads (their frames reference
+        the coroutine, so GC alone cannot reclaim them).  Safe to call on
+        an interpreter that will not run scripts again; idempotent."""
+        for co in self._all_coroutines:
+            if co.status == "suspended" and co._thread is not None:
+                co._kill = True
+                co.status = "dead"
+                co._resume_evt.set()
+        for co in self._all_coroutines:
+            if co._thread is not None:
+                co._thread.join(timeout=5.0)
+        self._all_coroutines.clear()
 
     # ---- environment setup
 
@@ -932,6 +1101,8 @@ class Interpreter:
                 return "string"
             if isinstance(v, LuaTable):
                 return "table"
+            if isinstance(v, LuaCoroutine):
+                return "thread"
             return "function"
 
         def _pairs(t):
@@ -1092,14 +1263,125 @@ class Interpreter:
         self._string_meta = LuaTable()
         self._string_meta.set("__index", g["string"])
 
-        for fname in ("require", "dofile", "loadstring", "load", "loadfile",
-                      "collectgarbage"):
+        for fname in ("require", "dofile", "loadfile", "collectgarbage"):
             g[fname] = _unsupported(
                 f"'{fname}':", "not available to sandboxed lens scripts")
-        for lib in ("io", "os", "coroutine"):
+        for lib in ("io", "os"):
             g[lib] = _StubTable(
                 f"the '{lib}' library is not available to sandboxed lens "
                 "scripts (see docs/SCRIPTING.md)")
+
+        # ---- coroutines + string chunks: pure-LANGUAGE liblua 5.2
+        # surface (the reference links the full library,
+        # fisheye.c:278-280); only the OS-bound libs above stay stubbed.
+
+        def _co_create(f=None):
+            if not (isinstance(f, LuaFunction) or callable(f)):
+                raise LuaError(
+                    "bad argument #1 to 'create' (function expected)")
+            co = LuaCoroutine(f, self)
+            self._all_coroutines.append(co)
+            return co
+
+        def _co_resume(co=None, *a):
+            if not isinstance(co, LuaCoroutine):
+                raise LuaError(
+                    "bad argument #1 to 'resume' (coroutine expected)")
+            return co.resume(a)
+
+        def _co_yield(*a):
+            import threading
+
+            co = self._co_stack[-1] if self._co_stack else None
+            if co is None or co._thread is not threading.current_thread():
+                raise LuaError("attempt to yield from outside a coroutine")
+            return co.yield_(a)
+
+        def _co_status(co=None):
+            if not isinstance(co, LuaCoroutine):
+                raise LuaError(
+                    "bad argument #1 to 'status' (coroutine expected)")
+            return co.status
+
+        def _co_wrap(f=None):
+            co = _co_create(f)
+
+            def wrapped(*a):
+                out = co.resume(a)
+                if out[0] is False:
+                    raise LuaError(str(out[1]))
+                return tuple(out[1:])
+
+            return wrapped
+
+        def _co_running():
+            # 5.2 returns the main-thread object when called from the
+            # main; we have no main-thread value, so (nil, true) — the
+            # is-main boolean carries the usable signal (SCRIPTING.md)
+            co = self._co_stack[-1] if self._co_stack else None
+            return (co, co is None)
+
+        def _co_isyieldable():
+            import threading
+
+            co = self._co_stack[-1] if self._co_stack else None
+            return (co is not None
+                    and co._thread is threading.current_thread())
+
+        cot = LuaTable()
+        for cname, cfn in (("create", _co_create), ("resume", _co_resume),
+                           ("yield", _co_yield), ("status", _co_status),
+                           ("wrap", _co_wrap), ("running", _co_running),
+                           ("isyieldable", _co_isyieldable)):
+            cot.set(cname, cfn)
+        g["coroutine"] = cot
+
+        def _load(chunk=None, chunkname=None, mode=None, env=None):
+            if isinstance(chunk, str):
+                src = chunk
+            elif isinstance(chunk, LuaFunction) or callable(chunk):
+                parts, total = [], 0
+                while True:
+                    piece = self._call1(chunk, [])
+                    if piece is None or piece == "":
+                        break
+                    if not isinstance(piece, str):
+                        return (None, "reader function must return a string")
+                    total += len(piece)
+                    if total > 10_000_000:
+                        return (None, "chunk too large")
+                    parts.append(piece)
+                src = "".join(parts)
+            else:
+                raise LuaError("bad argument #1 to 'load' "
+                               "(string or function expected)")
+            if mode is not None and "t" not in mode:
+                return (None, "only text chunks are supported (mode 't')")
+            name = chunkname if isinstance(chunkname, str) else "=(load)"
+            try:
+                ast = _Parser(_tokenize(src)).parse_chunk()
+                _validate_gotos(ast)
+            except LuaError as e:
+                return (None, f"[string \"{name}\"]: {e}")
+            fenv = self.globals
+            if env is not None:
+                # the 5.2 _ENV argument: the chunk's globals become the
+                # given table (reads of nil keys = missing, like globals)
+                if not isinstance(env, LuaTable):
+                    raise LuaError(
+                        "bad argument #4 to 'load' (table expected)")
+                fenv = _Env()
+                fenv.vars = _TableVars(env)
+            return LuaFunction([], ast, fenv, self, name=name, vararg=True)
+
+        def _loadstring(chunk=None, chunkname=None):
+            if not isinstance(chunk, str):
+                raise LuaError(
+                    "bad argument #1 to 'loadstring' (string expected)")
+            return _load(chunk, chunkname)
+
+        g["load"] = _load
+        g["loadstring"] = _loadstring  # the 5.1-compat alias 5.2 keeps
 
         # the alias preload block (init_lua, fisheye.c:1231-1248)
         for name in ("cos", "sin", "tan", "asin", "acos", "atan", "atan2",
@@ -1317,6 +1599,8 @@ class Interpreter:
             return repr(v)
         if isinstance(v, str):
             return v
+        if isinstance(v, LuaCoroutine):
+            return f"thread: 0x{id(v):012x}"
         return f"function: 0x{id(v):012x}"
 
     # ---- public API
@@ -1368,7 +1652,7 @@ class Interpreter:
             if h is not None:
                 return self.call(h, [fn] + list(args))
             raise LuaError("attempt to call a table value")
-        raise LuaError(f"attempt to call a {type(fn).__name__} value")
+        raise LuaError(f"attempt to call a {_lua_typename(fn)} value")
 
     # ---- execution
 

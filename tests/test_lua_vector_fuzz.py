@@ -170,7 +170,36 @@ class _Gen:
                     f"{self.expr(local_vars, 2)}")
                 if name not in local_vars:
                     local_vars.append(name)
-            elif roll < 0.82:
+            elif roll < 0.79:
+                # round 5: a load()'d chunk is an ordinary function and
+                # must vectorize bit-equal (args ride `...` — a chunk
+                # cannot see the caller's locals)
+                name = f"v{self.r.integers(0, 6)}"
+                lines.append(
+                    f'{pad}local cf{depth} = load('
+                    f'"local a, b = ... ; return a * 0.5 + b")\n'
+                    f"{pad}local {name} = cf{depth}("
+                    f"{self.expr(local_vars, 2)}, "
+                    f"{self.expr(local_vars, 2)})")
+                if name not in local_vars:
+                    local_vars.append(name)
+            elif roll < 0.815:
+                # round 5: coroutines are scalar authority — the vector
+                # engine must refuse cleanly (never diverge, never raise
+                # an error the scalar path wouldn't).  The coroutine
+                # FINISHES (second call reaches the return) so scalar
+                # replay never parks threads against the live cap.
+                name = f"v{self.r.integers(0, 6)}"
+                lines.append(
+                    f"{pad}local co{depth} = coroutine.wrap(function(a)\n"
+                    f"{pad}  coroutine.yield(a * 0.5)\n"
+                    f"{pad}  return a + 1\n"
+                    f"{pad}end)\n"
+                    f"{pad}local {name} = co{depth}("
+                    f"{self.expr(local_vars, 2)}) + co{depth}()")
+                if name not in local_vars:
+                    local_vars.append(name)
+            elif roll < 0.84:
                 # lane-varying DENSE-table read (round 3: vectorizes when
                 # every active key is an integer in range; the % keeps it
                 # in 1..3 most of the time, and the occasional wider

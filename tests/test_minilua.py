@@ -382,9 +382,9 @@ def test_long_strings_and_escapes():
 @pytest.mark.parametrize("src,needle", [
     ("io.write('x')", "'io' library is not available"),
     ("os.time()", "'os' library is not available"),
-    ("coroutine.create(f)", "'coroutine' library is not available"),
     ("require('m')", "not available to sandboxed"),
-    ("load('x = 1')", "not available to sandboxed"),
+    ("dofile('m.lua')", "not available to sandboxed"),
+    ("loadfile('m.lua')", "not available to sandboxed"),
 ])
 def test_out_of_subset_diagnostics(src, needle):
     """VERDICT r2 task 6: out-of-subset constructs fail with a clean,
@@ -631,3 +631,296 @@ end
                         96, 72, backend="numpy")
     assert (np.asarray(lm.plate) == np.asarray(lmp.plate)).all()
     assert (np.asarray(lm.valid) == np.asarray(lmp.valid)).all()
+
+
+# ---- coroutines + load (round 5): the pure-language half of liblua 5.2
+# the reference links (fisheye.c:278-280); io/os stay sandboxed.
+
+
+def test_coroutine_create_resume_yield_values():
+    it = run("""
+local co = coroutine.create(function(a, b)
+  local c = coroutine.yield(a + b)
+  local d, e = coroutine.yield(c * 2)
+  return d + e, "done"
+end)
+ok1, v1 = coroutine.resume(co, 1, 2)
+st1 = coroutine.status(co)
+ok2, v2 = coroutine.resume(co, 10)
+ok3, v3, v4 = coroutine.resume(co, 5, 6)
+st2 = coroutine.status(co)
+ok4, err4 = coroutine.resume(co)
+ty = type(co)
+ts = tostring(co)
+""")
+    gg = it.get_global
+    assert (gg("ok1"), gg("v1")) == (True, 3.0)
+    assert gg("st1") == "suspended"
+    assert (gg("ok2"), gg("v2")) == (True, 20.0)
+    assert (gg("ok3"), gg("v3"), gg("v4")) == (True, 11.0, "done")
+    assert gg("st2") == "dead"
+    # liblua error semantics: resuming a dead coroutine is a FALSE
+    # return, not a raised error
+    assert gg("ok4") is False and "cannot resume dead coroutine" in gg("err4")
+    assert gg("ty") == "thread" and gg("ts").startswith("thread: 0x")
+    it.close()
+
+
+def test_coroutine_wrap_and_error_propagation():
+    it = run("""
+local gen = coroutine.wrap(function() for k = 1, 3 do coroutine.yield(k) end end)
+w1, w2, w3 = gen(), gen(), gen()
+-- error inside create'd coroutine: resume returns false + message
+local bad = coroutine.create(function() error("boom") end)
+okb, errb = coroutine.resume(bad)
+stb = coroutine.status(bad)
+-- error inside wrap'd coroutine: PROPAGATES (liblua wrap semantics)
+local wbad = coroutine.wrap(function() error("wboom") end)
+okw, errw = pcall(wbad)
+""")
+    gg = it.get_global
+    assert (gg("w1"), gg("w2"), gg("w3")) == (1.0, 2.0, 3.0)
+    assert gg("okb") is False and "boom" in gg("errb")
+    assert gg("stb") == "dead"
+    assert gg("okw") is False and "wboom" in gg("errw")
+    it.close()
+
+
+def test_coroutine_yield_outside_and_nonsuspended_resume():
+    it = run("""
+oky, erry = pcall(coroutine.yield, 1)
+-- resuming the RUNNING coroutine from inside itself: false return
+local co
+co = coroutine.create(function() return coroutine.resume(co) end)
+okr, selfok, selferr = coroutine.resume(co)
+""")
+    gg = it.get_global
+    assert gg("oky") is False and "outside a coroutine" in gg("erry")
+    assert gg("okr") is True and gg("selfok") is False
+    assert "non-suspended" in gg("selferr")
+    it.close()
+
+
+def test_coroutine_nested_and_status_normal():
+    it = run("""
+local inner = coroutine.create(function()
+  coroutine.yield("i1")
+  return "idone"
+end)
+local outer = coroutine.create(function()
+  local _, v = coroutine.resume(inner)
+  inner_status = coroutine.status(inner)
+  local me, ismain = coroutine.running()
+  running_ismain = ismain
+  coroutine.yield("o:" .. v)
+  local _, v2 = coroutine.resume(inner)
+  return "oend:" .. v2
+end)
+-- while outer runs inner, outer is "normal" (checked from inner)
+local watcher = coroutine.create(function(o)
+  watched = coroutine.status(o)
+  coroutine.yield()
+end)
+ok1, v1 = coroutine.resume(outer)
+ok2, v2 = coroutine.resume(outer)
+main_co, main_ismain = coroutine.running()
+iy = coroutine.isyieldable()
+""")
+    gg = it.get_global
+    assert (gg("ok1"), gg("v1")) == (True, "o:i1")
+    assert gg("inner_status") == "suspended"
+    assert gg("running_ismain") is False
+    assert (gg("ok2"), gg("v2")) == (True, "oend:idone")
+    assert gg("main_co") is None and gg("main_ismain") is True
+    assert gg("iy") is False
+    it.close()
+
+
+def test_coroutine_yield_across_pcall():
+    # 5.2's yieldable pcall: a yield inside pcall suspends; the pcall
+    # completes on the next resume
+    it = run("""
+local co = coroutine.create(function()
+  local ok, v = pcall(function()
+    coroutine.yield("inpcall")
+    return "after"
+  end)
+  return ok, v
+end)
+ok1, y1 = coroutine.resume(co)
+ok2, pok, pv = coroutine.resume(co)
+""")
+    gg = it.get_global
+    assert gg("y1") == "inpcall"
+    assert gg("pok") is True and gg("pv") == "after"
+    it.close()
+
+
+def test_coroutine_fuel_and_thread_cap():
+    import threading
+
+    # a runaway coroutine burns the shared per-entry fuel -> LuaError
+    with pytest.raises(LuaError, match="instruction budget"):
+        run("local f = coroutine.wrap(function() while true do end end) f()")
+    # parking unbounded suspended coroutines trips the thread cap
+    before = threading.active_count()
+    it = Interpreter()
+    with pytest.raises(LuaError, match="too many live coroutines"):
+        it.run("""
+for k = 1, 1000 do
+  local c = coroutine.create(function() coroutine.yield() end)
+  coroutine.resume(c)
+end
+""")
+    assert threading.active_count() <= before + it.MAX_LIVE_COROUTINES + 1
+    it.close()  # unwinds the parked threads
+    deadline = 50
+    while threading.active_count() > before and deadline:
+        import time
+
+        time.sleep(0.1)
+        deadline -= 1
+    assert threading.active_count() <= before
+
+
+def test_coroutine_fuel_does_not_reset_across_suspension():
+    # a suspended coroutine must not re-arm the per-host-entry fuel
+    # reset: each host entry still gets exactly FUEL statements
+    it = run("""
+co = coroutine.create(function() coroutine.yield() end)
+coroutine.resume(co)  -- leave it suspended
+""")
+    assert it.get_global("co").status == "suspended"
+    with pytest.raises(LuaError, match="instruction budget"):
+        it.run("while true do end")
+    it.close()
+
+
+def test_load_string_chunks():
+    it = run("""
+local f = load("return 40 + 2")
+l1 = f()
+-- syntax error: nil + message, never a raised error
+local bad, err = load("syntax error here(")
+lbad = bad == nil and err ~= nil
+-- chunks see (and write) the sandbox globals
+shared = 7
+l2 = load("return shared + 1")()
+load("written = 99")()
+-- vararg chunk
+l3 = load("local a, b = ... ; return a * b")(6, 7)
+-- loadstring is the 5.1-compat alias
+l4 = loadstring("return 'ls'")()
+-- reader-function form (5.2): pieces until nil/empty
+local parts = { "return ", "1 + ", "2" }
+local i = 0
+local rf = load(function() i = i + 1 ; return parts[i] end)
+l5 = rf()
+-- custom env (the 5.2 _ENV argument)
+local env = { x = 7 }
+l6 = load("return x * 2", "c", "t", env)()
+load("y = x + 1", "c2", "t", env)()
+envy = env.y
+-- the custom env does NOT leak to the sandbox globals
+leak = (x == nil) and (y == nil)
+""")
+    gg = it.get_global
+    assert gg("l1") == 42.0
+    assert gg("lbad") is True
+    assert gg("l2") == 8.0
+    assert gg("written") == 99.0
+    assert gg("l3") == 42.0
+    assert gg("l4") == "ls"
+    assert gg("l5") == 3.0
+    assert gg("l6") == 14.0
+    assert gg("envy") == 8.0
+    assert gg("leak") is True
+
+
+def test_load_goto_validation_and_fuel():
+    it = run("g1, gerr = load('goto nowhere')")
+    assert it.get_global("g1") is None
+    assert "label" in it.get_global("gerr")
+    # a loaded runaway chunk still burns fuel
+    with pytest.raises(LuaError, match="instruction budget"):
+        run("load('while true do end')()")
+
+
+def test_coroutine_lens_script_loads_and_builds(tmp_path):
+    """A lens script written coroutine-style (VERDICT r4 #2 'done'
+    criterion): a generator coroutine computes the bound table at load
+    time and lens_inverse consults it; loads through the bridge's
+    scalar fallback and BUILDS a lensmap."""
+    import numpy as np
+
+    from blinky_tpu import globes
+    from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+    from blinky_tpu.lua_bridge import load_lua_lens
+
+    src = '''
+max_fov = 360
+max_vfov = 180
+-- coroutine-style load-time computation of the lens bounds
+local gen = coroutine.create(function()
+  coroutine.yield(2 * pi)  -- width
+  coroutine.yield(pi)      -- height
+end)
+local _, w = coroutine.resume(gen)
+local _, h = coroutine.resume(gen)
+lens_width = w
+lens_height = h
+-- equirect inverse written through a chunk compiled by load()
+local core = load("local x, y = ... ; return cos(y) * sin(x), sin(y), cos(y) * cos(x)")
+function lens_inverse(x, y)
+  if math.abs(x) > pi or math.abs(y) > pi / 2 then return nil end
+  return core(x, y)
+end
+'''
+    path = tmp_path / "corolens.lua"
+    path.write_text(src)
+    g = globes.get("cube")
+    ld = load_lua_lens(path, g)
+    # coroutine at load time -> vector engine refused -> scalar tier
+    assert ld.jittable is False
+    assert float(ld.width) == pytest.approx(2 * math.pi)
+    lm = build_lensmap(ld, g, calc_scale(Zoom("contain"), ld, 96, 72),
+                       96, 72)
+    from blinky_tpu import lenses
+
+    port = lenses.get("equirect", g)
+    lmp = build_lensmap(port, g, calc_scale(Zoom("contain"), port, 96, 72),
+                        96, 72, backend="numpy")
+    assert (np.asarray(lm.plate) == np.asarray(lmp.plate)).all()
+    assert (np.asarray(lm.valid) == np.asarray(lmp.valid)).all()
+
+
+def test_load_only_lens_stays_vectorized(tmp_path):
+    """load() alone is NOT scalar-authority: a loaded chunk is an
+    ordinary function through the same evaluator, so a lens using load
+    (without coroutines/goto) keeps the vectorized tier."""
+    import numpy as np
+
+    from blinky_tpu import globes
+    from blinky_tpu.lua_bridge import load_lua_lens
+
+    src = '''
+max_fov = 360
+max_vfov = 180
+lens_width = 2 * pi
+lens_height = pi
+local core = load("local x, y = ... ; return cos(y) * sin(x), sin(y), cos(y) * cos(x)")
+function lens_inverse(x, y)
+  if math.abs(x) > pi or math.abs(y) > pi / 2 then return nil end
+  return core(x, y)
+end
+'''
+    path = tmp_path / "loadlens.lua"
+    path.write_text(src)
+    g = globes.get("cube")
+    ld = load_lua_lens(path, g)
+    xs = np.linspace(-4.0, 4.0, 31)
+    ys = np.linspace(-1.2, 1.2, 31)
+    vx, vy, vz, ok = ld.inverse(xs, ys)
+    ref = np.cos(ys) * np.sin(xs)
+    np.testing.assert_allclose(np.where(ok, vx, 0), np.where(ok, ref, 0))
+    assert ok.sum() > 0 and (~ok).sum() > 0
