@@ -48,14 +48,43 @@ _A, _C, _TWON = _agm_tables(_M)  # m = 1/2 and 1 - m = 1/2 share tables
 def _ellipj(u):
     """Vectorized ``ellipj(u, 1/2)`` (quincuncial.lua:52-66): descending
     Landen/phi recurrence over the static AGM tables.
-    Returns (sn, cn, dn, ph)."""
+    Returns (sn, cn, dn, ph).
+
+    Backend split: the NumPy/f64 parity path keeps the unrolled Python
+    loop (glibc-libm routing via xmath); the traced path rolls the same
+    recurrence into ``lax.scan`` — per-iteration arithmetic is identical
+    (the stacked f32 constants round exactly like the unrolled weak-typed
+    Python floats), so the two are BIT-EQUAL (pinned in
+    tests/test_lenses_scan.py), but the compiled graph shrinks from an
+    8-deep asin/sin dependency chain fanned into the plate select tree —
+    which sent XLA's algebraic simplifier into a near-fixpoint spiral
+    (50-run cap; 131 s cold TPU compile, bench_all_r4.json config 2) —
+    to one small loop body (cold compile ~2 s, docs/PERF.md §10)."""
     n = len(_A)
-    phi = _TWON * _A[n - 1] * u
-    b = phi
-    for k in range(n - 1, 0, -1):
+    if m.xp(u) is not m.np:
+        import jax
+        import jax.numpy as jnp
+
+        dt = jnp.result_type(u)
+        phi0 = jnp.asarray(_TWON * _A[n - 1], dtype=dt) * u
+        consts = (jnp.asarray(_C[1:n][::-1], dtype=dt),
+                  jnp.asarray(_A[1:n][::-1], dtype=dt))
+
+        def step(carry, ca):
+            phi, _ = carry
+            c_k, a_k = ca
+            b = phi
+            t = c_k * jnp.sin(b) / a_k
+            return (0.5 * (jnp.arcsin(t) + phi), b), None
+
+        (phi, b), _ = jax.lax.scan(step, (phi0, phi0), consts)
+    else:
+        phi = _TWON * _A[n - 1] * u
         b = phi
-        t = _C[k] * m.sin(b) / _A[k]
-        phi = 0.5 * (m.asin(t) + phi)
+        for k in range(n - 1, 0, -1):
+            b = phi
+            t = _C[k] * m.sin(b) / _A[k]
+            phi = 0.5 * (m.asin(t) + phi)
     t = m.cos(phi)
     return m.sin(phi), t, t / m.cos(phi - b), phi
 

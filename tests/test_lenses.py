@@ -155,3 +155,52 @@ def test_user_lens_module(tmp_path, cube_globe):
     )
     lens = lenses.load_lens_module(p, cube_globe)
     assert lens.name == "mylens" and lens.map_type == "forward" and lens.width == 2.0
+
+
+def test_quincuncial_ellipj_scan_matches_unrolled():
+    """The traced ellipj rolls the descending Landen recurrence into
+    lax.scan (the 8-deep unrolled asin/sin chain sent XLA's algebraic
+    simplifier into a near-fixpoint spiral: 131 s cold TPU compile,
+    bench_all_r4.json config 2).  Contract: the scan is BIT-EQUAL to the
+    unrolled form — identical per-iteration arithmetic, constants rounded
+    once to the working dtype, at f32 and f64."""
+    import jax
+    import jax.numpy as jnp
+
+    from blinky_tpu.lenses import quincuncial as q
+
+    def unrolled(u):
+        # the pre-round-5 traced form: Python-float constants, weak-typed
+        n = len(q._A)
+        phi = q._TWON * q._A[n - 1] * u
+        b = phi
+        for k in range(n - 1, 0, -1):
+            b = phi
+            t = q._C[k] * jnp.sin(b) / q._A[k]
+            phi = 0.5 * (jnp.arcsin(t) + phi)
+        t = jnp.cos(phi)
+        return jnp.sin(phi), t, t / jnp.cos(phi - b), phi
+
+    rng = np.random.RandomState(7)
+    vals = rng.uniform(-2 * q._KE, 2 * q._KE, (64, 48))
+    for dt in (jnp.float32, jnp.float64):
+        u = jnp.asarray(vals, dt)
+        # eager: the op-for-op sequences are identical -> bit-equal
+        got = q._ellipj(u)
+        exp = unrolled(u)
+        for g_, e_ in zip(got, exp):
+            assert g_.dtype == e_.dtype == dt
+            assert np.array_equal(np.asarray(g_), np.asarray(e_))
+        # jitted: XLA may fold the unrolled form's per-step constant
+        # divide into a multiply (x/const -> x*(1/const)) which the scan's
+        # dynamic divide keeps — separate executables agree to 1-2 ulp
+        got_j = jax.jit(q._ellipj)(u)
+        eps = float(jnp.finfo(dt).eps)
+        for g_, e_ in zip(got_j, exp):
+            np.testing.assert_allclose(np.asarray(g_), np.asarray(e_),
+                                       rtol=4 * eps, atol=4 * eps)
+    # and the NumPy path still runs the f64 libm loop (parity oracle)
+    host = q._ellipj(np.asarray(vals))
+    tr = q._ellipj(jnp.asarray(vals, jnp.float64))
+    for h_, t_ in zip(host, tr):
+        np.testing.assert_allclose(np.asarray(t_), h_, rtol=0, atol=1e-12)
