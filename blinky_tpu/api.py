@@ -997,6 +997,40 @@ class Session:
         rubix = self.rubix_enabled if rubix is None else rubix
         return self._kernel(frames, rubix=rubix, decode_rgb=decode_rgb)
 
+    def render_sharded(self, frames, mesh, rubix=None,
+                       decode_rgb: bool = False):
+        """:meth:`render` over a device mesh: the frame batch DP-shards
+        on B over the mesh's data axes (``("data",)``, or
+        ``("slice", "data")`` on a two-level multi-slice mesh —
+        :func:`blinky_tpu.parallel.make_slice_mesh`), the lensmap rows
+        shard over "space" where present, and the gather stays local on
+        every device (SURVEY §5.8).  Bit-equal to :meth:`render` on the
+        same table (pinned in tests/test_sharding.py and the driver
+        dryrun).  Uses the session's EXACT lensmap (a pending sliced
+        build is finished first — sharded batch runs are offline
+        throughput work, not the interactive preview path)."""
+        from blinky_tpu.parallel import remap_sharded
+
+        if not hasattr(frames, "ndim"):
+            frames = np.asarray(frames)
+        S = frames.shape[1]
+        if S != self.platesize:
+            self.platesize = S
+            self._changed = True
+        if not self.fisheye_enabled:
+            raise ValueError("render_sharded needs fisheye enabled "
+                             "(the plain view is single-device)")
+        if self._changed or self._lensmap is None:
+            self._rebuild()
+        lm = self.lensmap  # the property finishes a pending sliced build
+        if lm is None:
+            raise ValueError("no valid lensmap (check lens/zoom state)")
+        if self._kernel is None:
+            self._kernel = RemapKernel(lm, self.palette, self._background)
+        rubix = self.rubix_enabled if rubix is None else rubix
+        return remap_sharded(self._kernel, frames, mesh, rubix=rubix,
+                             decode_rgb=decode_rgb)
+
     def render_host(self, frames, rubix=None, decode_rgb: bool = False):
         """Render ONE frame entirely on the host — no device, no jit.
 

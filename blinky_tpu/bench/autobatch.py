@@ -32,6 +32,24 @@ round-3 hand-tuned batch exactly and respects every OOM boundary:
 [P, S, S, B] sources are budgeted at the device's zero-padded
 MAX_PLATES/2*MAX_PLATES plane count, see ``planes_bytes_per_lane``.)
 
+Mesh-aware derivation (round 5): ``feasible_batch(n_devices=n)``
+returns the GLOBAL batch for a DP-sharded run — n x the per-device
+feasible batch, each shard 128-quantum — because the sharded pipelines
+hold per device exactly the single-device live set for their B-shard
+(source shard + screen shard; only the lensmap/ray-table replicates,
+a few MB inside the model's ~3% slack):
+
+| layout (1080p)               | per-lane MB | n_dev | derived B |
+|---|---|---|---|
+| texel-compacted u8           | 3.77        | 1     | 4224      |
+| texel-compacted u8           | 3.77        | 4     | 16896     |
+| plane-compacted u8           | 7.90        | 8     | 16384     |
+
+The sharded callers (``run_sharded_scaling`` / ``run_posed_sharded_
+scaling`` with ``per_device_batch/poses=None``, ``cli reproject
+--shard --batch 0``) derive through this; a derived-B sharded run is
+asserted bit-equal to single-device in the driver dryrun.
+
 C sits ABOVE the 15.75 GB physical capacity because the src+out model
 over-counts what XLA actually keeps live by a roughly constant ~3%
 (buffer reuse across loop iterations); the measured feasibility wall in
@@ -79,10 +97,20 @@ def effective_budget_bytes() -> int:
 
 
 def feasible_batch(src_bytes_per_lane, out_bytes_per_lane, *,
-                   budget=None, quantum=QUANTUM, cap=None) -> int:
+                   budget=None, quantum=QUANTUM, cap=None,
+                   n_devices=1) -> int:
     """Largest batch (multiple of *quantum*) whose per-lane live set
     (source + materialized output) fits the budget; *cap* bounds it
     (e.g. the number of available frames).
+
+    ``budget`` is PER DEVICE (the planner models one chip's HBM); with
+    ``n_devices > 1`` the global batch is n_devices x the per-device
+    feasible batch — the DP-sharded pipelines hold each device's own
+    B-shard of source + screen, with only the lensmap/ray-table
+    replicated (a few MB, inside the model's ~3% slack), so per-device
+    feasibility is exactly the single-device problem.  Each SHARD stays
+    quantum-aligned (the batch axis is the gathered rows' minor dim on
+    every device).
 
     When even one *quantum* of lanes doesn't fit, the un-quantized
     count is returned instead (never bumped up to a full tile: a
@@ -94,9 +122,14 @@ def feasible_batch(src_bytes_per_lane, out_bytes_per_lane, *,
     b = int(budget // max(per_lane, 1.0))
     bq = b // quantum * quantum
     b = bq if bq >= quantum else b
-    b = max(b, 1)
+    n_dev = max(int(n_devices), 1)
+    b = max(b, 1) * n_dev
     if cap is not None:
-        b = min(b, int(cap))
+        c = int(cap)
+        if n_dev > 1 and c >= n_dev:
+            # a sharded batch must split evenly over the devices
+            c = c // n_dev * n_dev
+        b = min(b, c)
     return b
 
 

@@ -592,13 +592,19 @@ def run_batch_scaling(width=1920, height=1080, platesize=1080,
 
 
 def run_sharded_scaling(width=640, height=480, platesize=480,
-                        per_device_batch=32, iters=4, reps=3):
+                        per_device_batch=32, iters=4, reps=3,
+                        budget=None):
     """Weak-scaling curve over the available devices: frames DP-sharded,
     screen rows space-sharded where the device count allows (SURVEY §5.8
     — remap is embarrassingly parallel, communication = input fan-out /
     output gather riding ICI).  On the virtual CPU mesh the absolute
     numbers are meaningless; the curve validates that per-device work
-    stays flat as devices double."""
+    stays flat as devices double.
+
+    ``per_device_batch=None`` derives each step's batch from the layout
+    + per-device HBM budget (``feasible_batch(n_devices=...)``, VERDICT
+    r4 #3) instead of a hand constant; pass ``budget`` (bytes/device) to
+    scale it for the virtual CPU mesh."""
     from blinky_tpu.kernels.remap import RemapKernel, remap_gather_impl
     from blinky_tpu.parallel import make_mesh, shard_frames, shard_kernel
 
@@ -615,7 +621,13 @@ def run_sharded_scaling(width=640, height=480, platesize=480,
         n_space = 2 if n >= 4 else 1
         mesh = make_mesh(n_data=n // n_space, n_space=n_space)
         kernel = shard_kernel(RemapKernel(lm), mesh)
-        B = per_device_batch * (n // n_space)
+        if per_device_batch is None:
+            B = feasible_batch(
+                planes_bytes_per_lane(platesize, g.numplates),
+                screen_bytes_per_lane(width, height),
+                budget=budget, n_devices=n // n_space)
+        else:
+            B = per_device_batch * (n // n_space)
         frames = shard_frames(
             np.asarray(device_source(platesize, B, False, False)), mesh)
         args = (frames, kernel.flat_idx, kernel.valid, kernel.background)
@@ -634,12 +646,17 @@ def run_sharded_scaling(width=640, height=480, platesize=480,
 
 
 def run_posed_sharded_scaling(width=320, height=240, platesize=240,
-                              per_device_poses=4, iters=3, reps=3):
+                              per_device_poses=4, iters=3, reps=3,
+                              budget=None):
     """Weak-scaling of the fused per-frame-pose pipeline: the pose chunk
     DP-sharded over the mesh's data axis (posed_remap_sharded) — the
     batch-axis answer to the per-index gather wall (docs/PERF.md §6).
     On the virtual CPU mesh the curve validates per-device work stays
-    flat as devices double."""
+    flat as devices double.
+
+    ``per_device_poses=None`` derives each step's pose chunk from the
+    posed live-set model + per-device HBM budget (VERDICT r4 #3)."""
+    from blinky_tpu.bench.autobatch import posed_bytes_per_lane
     from blinky_tpu.kernels.posed import (
         PosedRemapKernel, bases_from_pose_track, posed_remap_sharded,
     )
@@ -653,7 +670,12 @@ def run_posed_sharded_scaling(width=320, height=240, platesize=240,
     n = 1
     while n <= n_dev:
         mesh = make_mesh(n_data=n, n_space=1)
-        B = per_device_poses * n
+        if per_device_poses is None:
+            B = feasible_batch(
+                posed_bytes_per_lane(platesize, g.numplates, width, height),
+                0, budget=budget, n_devices=n)
+        else:
+            B = per_device_poses * n
         frames = device_source(platesize, B, False, False)
         poses = np.stack([np.linspace(-20, 20, B), np.linspace(0, 90, B),
                           np.zeros(B)], axis=1)

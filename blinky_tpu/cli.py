@@ -316,6 +316,22 @@ def cmd_reproject(args) -> int:
     if args.format == "gif" and not 0 <= args.gif_delay <= 0xFFFF:
         print("error: --gif-delay must be 0..65535 centiseconds")
         return 2
+    mesh = None
+    if args.shard:
+        if poses is not None or args.aa > 1:
+            print("error: --shard applies to the plain batched remap "
+                  "(drop --follow-poses / --aa)")
+            return 2
+        import jax
+
+        from blinky_tpu.parallel import make_mesh
+
+        n_dev = len(jax.devices())
+        if n_dev < 2:
+            print(f"--shard: 1 device visible; running unsharded")
+        else:
+            mesh = make_mesh(n_data=n_dev, n_space=1)
+            print(f"shard: data-parallel over {n_dev} devices")
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
     clock = FrameClock()
@@ -342,13 +358,22 @@ def cmd_reproject(args) -> int:
                 rgba=is_rgba, expanded=want_rubix)
             args.batch = feasible_batch(per_lane, 0, cap=N)
         else:
+            # under --shard each device holds only its B-shard: the
+            # per-device budget affords n_devices x the batch
             args.batch = feasible_batch(
                 planes_bytes_per_lane(S, P, rgba=is_rgba,
                                       expanded=want_rubix),
                 screen_bytes_per_lane(args.width, args.height,
                                       rgba=is_rgba),
-                cap=N)
+                cap=N,
+                n_devices=1 if mesh is None else mesh.devices.size)
         print(f"auto batch: {args.batch}")
+    if mesh is not None and args.batch % mesh.devices.size:
+        # a sharded chunk must split evenly over the mesh
+        args.batch = ((args.batch // mesh.devices.size + 1)
+                      * mesh.devices.size)
+        print(f"--shard: batch rounded up to {args.batch} "
+              f"(multiple of {mesh.devices.size} devices)")
     palmap = None
     if want_rubix and not is_rgba:
         from blinky_tpu.palette import create_palmap
@@ -375,6 +400,9 @@ def cmd_reproject(args) -> int:
         elif args.aa > 1:
             out = np.asarray(sess.render_aa(batch_frames, factor=args.aa,
                                             rubix=want_rubix))
+        elif mesh is not None:
+            out = np.asarray(sess.render_sharded(batch_frames, mesh,
+                                                 rubix=want_rubix))
         else:
             out = np.asarray(sess.render(batch_frames, rubix=want_rubix))
         clock.tick(n_valid)
@@ -702,6 +730,10 @@ def main(argv=None) -> int:
                    help="frames per device chunk; 0 = derive from the "
                         "source layout and HBM budget (bench/autobatch)")
     p.add_argument("--rubix", action="store_true")
+    p.add_argument("--shard", action="store_true",
+                   help="data-parallel remap over all visible devices "
+                        "(Session.render_sharded); --batch 0 then derives "
+                        "n_devices x the per-device feasible chunk")
     p.add_argument("--pose", default=None, metavar="PITCH,YAW,ROLL",
                    help="rotate the view within the recorded plates (deg)")
     p.add_argument("--follow-poses", action="store_true",

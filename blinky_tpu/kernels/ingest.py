@@ -360,8 +360,10 @@ def equirect_screen_sharded(kernel: EquirectScreenKernel, panos, mesh,
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from blinky_tpu.parallel import data_axes
+
     panos = jax.device_put(jnp.asarray(panos, jnp.uint32),
-                           NamedSharding(mesh, P(None, None, "data")))
+                           NamedSharding(mesh, P(None, None, data_axes(mesh))))
     return kernel(panos, rubix=rubix)
 
 

@@ -272,10 +272,12 @@ def posed_remap_sharded(kernel: PosedRemapKernel, frames, bases, mesh):
             [frames, jnp.zeros((MAX_PLATES - Pn,) + frames.shape[1:], frames.dtype)],
             axis=0,
         )
+    from blinky_tpu.parallel import data_axes
+
     bases = jnp.asarray(bases, dtype=kernel.dtype)
     src = jnp.transpose(frames, (3, 0, 1, 2)).reshape(B, -1)
-    rows = NamedSharding(mesh, P("data", None))
-    vecs = NamedSharding(mesh, P("data", None))
+    rows = NamedSharding(mesh, P(data_axes(mesh), None))
+    vecs = NamedSharding(mesh, P(data_axes(mesh), None))
     src = jax.device_put(src, rows)
     bf = jax.device_put(bases[:, 0], vecs)
     br = jax.device_put(bases[:, 1], vecs)

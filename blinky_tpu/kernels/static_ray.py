@@ -348,14 +348,17 @@ def static_ray_posed_sharded(kernel: StaticRayPosedKernel, frames, bases,
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from blinky_tpu.parallel import data_axes
+
     src, bases, expanded = prep_posed_inputs(
         frames, bases, kernel.platesize, kernel.dtype, kernel.background)
-    rows = NamedSharding(mesh, P("data", None))
+    da = data_axes(mesh)
+    rows = NamedSharding(mesh, P(da, None))
     repl = NamedSharding(mesh, P())
     src = jax.device_put(src, rows)
-    bf = jax.device_put(bases[:, 0], NamedSharding(mesh, P("data", None)))
-    br = jax.device_put(bases[:, 1], NamedSharding(mesh, P("data", None)))
-    bu = jax.device_put(bases[:, 2], NamedSharding(mesh, P("data", None)))
+    bf = jax.device_put(bases[:, 0], NamedSharding(mesh, P(da, None)))
+    br = jax.device_put(bases[:, 1], NamedSharding(mesh, P(da, None)))
+    bu = jax.device_put(bases[:, 2], NamedSharding(mesh, P(da, None)))
     t = kernel.ray_table
     vx = jax.device_put(t.vx, repl)
     vy = jax.device_put(t.vy, repl)

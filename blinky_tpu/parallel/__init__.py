@@ -43,6 +43,39 @@ def make_mesh(n_data: int | None = None, n_space: int = 1, devices=None) -> Mesh
     return Mesh(devs[:n].reshape(n_data, n_space), ("data", "space"))
 
 
+def make_slice_mesh(n_slice: int, n_data: int | None = None,
+                    n_space: int = 1, devices=None) -> Mesh:
+    """Two-level ("slice", "data", "space") mesh — the multi-slice
+    (DCN-level) scale-out SURVEY §5.8 maps: "slice" is the outer,
+    slow-interconnect axis (TPU slices joined over the data-center
+    network), "data"/"space" the intra-slice ICI axes.
+
+    The batch fans out over slice x data (``data_axes``); the lensmap /
+    ray-table operands stay replicated across slices (specs that never
+    name "slice"), so by construction the only cross-slice traffic is
+    input distribution and output collection — the pipelines contain no
+    collectives at all under pure DP (asserted by HLO inspection in the
+    dryrun).  Devices are laid out slice-major so each slice is a
+    contiguous device block, matching how real multi-slice jobs
+    enumerate their devices."""
+    devs = np.array(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = devs.size // (n_slice * n_space)
+    n = n_slice * n_data * n_space
+    if n > devs.size:
+        raise ValueError(f"need {n} devices, have {devs.size}")
+    return Mesh(devs[:n].reshape(n_slice, n_data, n_space),
+                ("slice", "data", "space"))
+
+
+def data_axes(mesh: Mesh):
+    """The mesh axes a batch dimension shards over: ``("slice", "data")``
+    on a two-level mesh, ``("data",)`` otherwise.  Every sharded pipeline
+    builds its batch specs through this so the same helpers serve both
+    single-slice and multi-slice meshes."""
+    return tuple(a for a in ("slice", "data") if a in mesh.axis_names)
+
+
 def shard_kernel(kernel: RemapKernel, mesh: Mesh) -> RemapKernel:
     """A COPY of *kernel* with its lensmap operands row-sharded over
     "space" (the caller's kernel is left untouched — it may also be in use
@@ -134,7 +167,7 @@ def shard_frames(frames, mesh: Mesh):
     frames = jnp.asarray(frames)
     if frames.dtype != jnp.uint32:
         frames = frames.astype(jnp.uint8)
-    fs = NamedSharding(mesh, P(None, None, None, "data"))
+    fs = NamedSharding(mesh, P(None, None, None, data_axes(mesh)))
     return jax.device_put(frames, fs)
 
 
@@ -204,5 +237,5 @@ def ingest_equirect_sharded(ingest, panos, mesh: Mesh):
     SPMD propagates the batch sharding through the row gathers, so the
     output faces ``[P, S, S, B]`` come back sharded on B — ready to feed
     :func:`remap_sharded` without any resharding collective."""
-    lanes = NamedSharding(mesh, P(None, None, "data"))
+    lanes = NamedSharding(mesh, P(None, None, data_axes(mesh)))
     return ingest(jax.device_put(jnp.asarray(panos, jnp.uint32), lanes))

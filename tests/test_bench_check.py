@@ -138,3 +138,30 @@ def test_suffixed_metric_keys_are_gated():
     assert any("per_frame_fps_scale2" in f for f in fails)
     assert any("chunked_fps_1024" in f for f in fails)
     assert any("warp_ms_scale2" in f for f in fails)
+
+
+def test_device_resident_ms_uses_tight_tolerance():
+    """device_ms / per_frame_ms / ms_per_batch are fused on-device
+    measurement loops (a few % run-to-run): a 1.5x slowdown must trip
+    the 25% device tier even though it sits inside the 75% relay
+    blanket (VERDICT r4 #6)."""
+    base = _clone()
+    base[0]["per_frame_ms"] = 20.0
+    base[0]["ms_per_batch"] = 44.0
+    cur = json.loads(json.dumps(base))
+    # inside 25%: passes
+    cur[2]["stereographic"]["device_ms"] = 1.9 * 1.2
+    cur[0]["per_frame_ms"] = 20.0 * 1.2
+    cur[0]["ms_per_batch"] = 44.0 * 1.2
+    assert compare_results(base, cur) == []
+    # a deliberately slowed device rebuild: 1.5x trips the device tier
+    cur[2]["stereographic"]["device_ms"] = 1.9 * 1.5
+    cur[0]["per_frame_ms"] = 20.0 * 1.5
+    cur[0]["ms_per_batch"] = 44.0 * 1.5
+    fails = compare_results(base, cur)
+    assert len(fails) == 3
+    assert all("device-resident tier" in f for f in fails)
+    # ...while a relay-inclusive ms at 1.5x still passes (75% blanket)
+    cur2 = json.loads(json.dumps(base))
+    cur2[1]["remap_ms"] = 60.0 * 1.5
+    assert compare_results(base, cur2) == []

@@ -304,3 +304,22 @@ def test_sweep_honors_session_rubix(tmp_path):
     assert main(args + ["--rubix", "--out", str(explicit)]) == 0
     np.testing.assert_array_equal(
         decode_gif(explicit.read_bytes())[0], f_tinted)
+
+
+def test_reproject_shard_matches_unsharded(tmp_path):
+    """--shard (data-parallel over the 8-device CPU mesh) writes frames
+    byte-identical to the unsharded run; --batch 0 derives a chunk that
+    splits evenly over the devices (mesh-aware autobatch)."""
+    from blinky_tpu.cli import main
+
+    demo = tmp_path / "demo.npz"
+    main(["demo-synth", "--frames", "6", "--platesize", "48",
+          "--out", str(demo)])
+    a, b = tmp_path / "plain", tmp_path / "sharded"
+    common = ["reproject", "--demo", str(demo), "--width", "64",
+              "--height", "48", "--rubix", "--format", "npz"]
+    assert main(common + ["--batch", "6", "--outdir", str(a)]) == 0
+    assert main(common + ["--batch", "0", "--shard",
+                          "--outdir", str(b)]) == 0
+    with np.load(a / "warped.npz") as za, np.load(b / "warped.npz") as zb:
+        np.testing.assert_array_equal(za["screen"], zb["screen"])

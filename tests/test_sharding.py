@@ -272,3 +272,119 @@ def test_remap_sharded_caches_sharded_kernel():
     out2 = np.asarray(parallel.remap_sharded(k, frames, mesh8))
     assert k._sharded_for is cached  # reused, not rebuilt
     np.testing.assert_array_equal(out1, out2)
+
+
+def test_session_render_sharded_matches_render():
+    """Session.render_sharded must bit-equal render() on the same table,
+    for plain, rubix (expanded internally by the kernel path), and RGBA
+    sources, including a two-level ("slice","data","space") mesh."""
+    from blinky_tpu.api import Session
+    from blinky_tpu.kernels.remap import frames_to_rgba
+    from blinky_tpu.parallel import make_slice_mesh
+
+    frames = synthetic_cubemap_batch(32, 16)
+    sess = Session(64, 48, platesize=32)
+    sess.cmd("f_lens panini; f_fov 180")
+    ref = np.asarray(sess.render(frames))
+    mesh = make_mesh(n_data=4, n_space=2)
+    np.testing.assert_array_equal(
+        np.asarray(sess.render_sharded(frames, mesh)), ref)
+    mesh2 = make_slice_mesh(2, 2, 2)
+    np.testing.assert_array_equal(
+        np.asarray(sess.render_sharded(frames, mesh2)), ref)
+    sess.cmd("f_rubix 1")
+    ref_r = np.asarray(sess.render(frames))
+    np.testing.assert_array_equal(
+        np.asarray(sess.render_sharded(frames, mesh)), ref_r)
+    sess.cmd("f_rubix 0")
+    rgba = frames_to_rgba(frames, sess.palette)
+    np.testing.assert_array_equal(
+        np.asarray(sess.render_sharded(rgba, mesh)),
+        np.asarray(sess.render(rgba)))
+
+
+def test_two_level_slice_mesh_pipelines_match_single_device():
+    """SURVEY §5.8's ICI/DCN split: a ("slice","data","space") mesh with
+    the batch fanned over slice x data and the lensmap/ray-table
+    replicated per slice must bit-equal single-device for the remap AND
+    the posed pipelines; the remap step's compiled HLO must contain no
+    collectives at all (pure DP — the only cross-slice traffic is
+    input/output distribution outside the step)."""
+    import jax.numpy as jnp
+
+    from blinky_tpu.kernels.posed import (
+        bases_from_pose_track, posed_remap_sharded, PosedRemapKernel,
+    )
+    from blinky_tpu.kernels.remap import remap_gather_impl
+    from blinky_tpu.kernels.static_ray import (
+        StaticRayPosedKernel, static_ray_posed_sharded,
+    )
+    from blinky_tpu.parallel import (
+        data_axes, make_slice_mesh, shard_frames, shard_kernel,
+    )
+
+    kernel, frames = _setup(B=8)
+    g = globes.get("cube")
+    lens = lenses.get("panini", g)
+    scale = calc_scale(Zoom("fov", 180), lens, 64, 48)
+    mesh = make_slice_mesh(2, 2, 2)
+    assert data_axes(mesh) == ("slice", "data")
+    ref = np.asarray(kernel(jnp.asarray(frames)))
+    sk = shard_kernel(kernel, mesh)
+    sframes = shard_frames(frames, mesh)
+    fn = jax.jit(remap_gather_impl)
+    out = fn(sframes, sk.flat_idx, sk.valid, sk.background)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    # no collectives in the compiled step (cross-slice OR cross-chip)
+    hlo = fn.lower(sframes, sk.flat_idx, sk.valid,
+                   sk.background).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "collective-permute",
+                 "reduce-scatter", "all-to-all"):
+        assert coll not in hlo, f"unexpected collective {coll}"
+
+    # posed pipelines: pose axis fans over slice x data
+    bases = bases_from_pose_track(
+        [(0, 0, 0), (5, -12, 0), (-20, 33, 10), (0, 271, -45),
+         (1, 2, 3), (10, 20, 30), (-5, 5, -5), (0, 180, 0)])
+    pk = PosedRemapKernel(lens, g, 64, 48, scale, platesize=32)
+    posed_ref = np.asarray(pk(frames, bases))
+    np.testing.assert_array_equal(
+        np.asarray(posed_remap_sharded(pk, frames, bases, mesh)), posed_ref)
+    srk = StaticRayPosedKernel(lens, g, 64, 48, scale, platesize=32)
+    sr_ref = np.asarray(srk(frames, bases))
+    np.testing.assert_array_equal(
+        np.asarray(static_ray_posed_sharded(srk, frames, bases, mesh)),
+        sr_ref)
+
+
+def test_feasible_batch_mesh_aware():
+    """feasible_batch(n_devices=n): global B = n x per-device feasible,
+    each shard 128-quantum; cap floors to a device multiple."""
+    from blinky_tpu.bench.autobatch import feasible_batch
+
+    b1 = feasible_batch(3.77e6, 0, budget=16.2e9)
+    assert b1 == 4224  # the headline anchor (docstring table)
+    assert feasible_batch(3.77e6, 0, budget=16.2e9, n_devices=4) == 4 * b1
+    # cap: global result must split evenly over the devices
+    assert feasible_batch(3.77e6, 0, budget=16.2e9, n_devices=4,
+                          cap=1000) == 1000
+    assert feasible_batch(3.77e6, 0, budget=16.2e9, n_devices=3,
+                          cap=1000) == 999
+    # cap below the device count: give back the cap (caller's problem)
+    assert feasible_batch(3.77e6, 0, budget=16.2e9, n_devices=8,
+                          cap=4) == 4
+
+
+def test_sharded_scaling_derives_batches():
+    """per_device_batch=None: the weak-scaling bench derives each step's
+    batch from the layout + (scaled-down for the CPU mesh) budget."""
+    from blinky_tpu.bench.throughput import run_sharded_scaling
+
+    out = run_sharded_scaling(width=64, height=48, platesize=32,
+                              per_device_batch=None, iters=1, reps=1,
+                              budget=50e6)
+    assert len(out) >= 3
+    for row in out:
+        assert row["batch"] > 0 and row["batch"] % 1 == 0
+    # weak scaling: global batch grows with the data-axis device count
+    assert out[-1]["batch"] > out[0]["batch"]
