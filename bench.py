@@ -45,7 +45,8 @@ def main() -> None:
     batch = 1024
     iters = 8
     internal = any(
-        a.startswith(("--config", "--headline")) for a in sys.argv)
+        a.startswith(("--config", "--headline", "--calibrate-probe"))
+        for a in sys.argv)
     # only the --sharded branch actually FORCES the CPU platform via
     # jax.config (the axon plugin ignores the JAX_PLATFORMS env var) —
     # every other path touches the relay and needs the probe
@@ -79,6 +80,21 @@ def main() -> None:
 
         sys.exit(run_check(quick="--quick" in sys.argv,
                            update="--check-update" in sys.argv))
+    if "--calibrate-probe" in sys.argv:
+        # (internal, own process) one OOM-boundary feasibility attempt
+        from blinky_tpu.bench.calibrate import run_probe
+
+        run_probe(int(sys.argv[sys.argv.index("--calibrate-probe") + 1]))
+        return
+    if "--calibrate" in sys.argv:
+        # measure the HBM planner's budget constant on THIS chip: walk
+        # the texel-compacted batch axis to the first OOM (fresh
+        # subprocess per attempt) and report the implied C interval
+        # (bench/calibrate.py; the planner's "recalibrate only from
+        # measured boundaries" rule made runnable)
+        from blinky_tpu.bench.calibrate import run_calibrate
+
+        sys.exit(run_calibrate())
     if "--sol" in sys.argv:
         # speed-of-light probes: reproduce docs/PERF.md's roofline and
         # losing-formulation measurements (one JSON line per probe)

@@ -1087,7 +1087,8 @@ class Session:
                           rubix=rubix, decode_rgb=decode_rgb)
 
     def render_posed(self, frames, poses, render_scale=1,
-                     target_fps: float = 60.0, exact: bool = False):
+                     target_fps: float = 60.0, exact: bool = False,
+                     block: bool = True):
         """Per-frame-pose playback: every frame gets its own view rotation.
 
         ``frames``: [P, S, S, B] (u8 plates, the expanded [12, ...] rubix
@@ -1123,6 +1124,20 @@ class Session:
         scan order, or the exact inverse builder): bit-identical to
         static ``setviewangles`` renders, host-build-bound.  Static
         renders should use :meth:`render` (exact by default).
+
+        ``block=False`` (round 5) makes a FIRST call non-blocking when
+        the posed kernel for this (lens, zoom, size, scale) is not built
+        yet — the one-time cost is seconds-scale for a forward-only
+        lens's host rasterization (~2.7 s at 1080p, PERF §6) and the
+        reference never blocks (``fisheye.c:306-322``).  The native
+        kernel builds on a background thread while this call returns a
+        PREVIEW: the same poses rendered through a coarse
+        ``render_scale`` kernel (geometry-correct, nearest-upsampled on
+        device — the viewer's drag-look trade).  Poll
+        :attr:`posed_pending`; once it clears, the next call swaps the
+        exact-resolution kernel in (outputs from then on are identical
+        to ``block=True``).  A failed background build re-raises on the
+        next call.  ``exact=True`` ignores ``block``.
         """
         from blinky_tpu.kernels.posed import (
             bases_from_pose_track, check_render_scale,
@@ -1191,7 +1206,7 @@ class Session:
             return np.concatenate([
                 np.asarray(self.render_posed(
                     frames[..., i:i + cap], bases[i:i + cap],
-                    render_scale=int(render_scale)))
+                    render_scale=int(render_scale), block=block))
                 for i in range(0, B, cap)
             ], axis=0)
         is_rgba = frames.dtype == np.uint32
@@ -1203,20 +1218,125 @@ class Session:
                is_rgba, int(render_scale))
         cached = getattr(self, "_posed_cache", None)
         if cached is None or cached[0] != key:
-            bg = self._posed_background(is_rgba)
             tables = self._ray_table_stash(scale, S)
-            kernel = StaticRayPosedKernel(
-                self.lens, self.globe, self.width_px, self.height_px, scale,
-                platesize=S, numcells=self.rubix_numcells,
-                cell_size=self.rubix_cell_size, pad_size=self.rubix_pad_size,
-                background=bg, render_scale=int(render_scale),
-                ray_table=tables.get(int(render_scale)),
-                lensmap=self._reusable_static_lensmap(scale, S,
-                                                      int(render_scale)),
-            )
-            tables[int(render_scale)] = kernel.ray_table
-            self._posed_cache = (key, kernel)
+            if not block:
+                kernel = self._posed_async_kernel(
+                    key, scale, S, int(render_scale), is_rgba, tables)
+                if kernel is None:
+                    # native build in flight: serve a geometry-correct
+                    # coarse-scale preview (recursive call — its kernel
+                    # caches under its own key, so repeated previews
+                    # reuse it until the native kernel swaps in)
+                    pk = self._posed_preview_scale(int(render_scale))
+                    if pk is not None:
+                        return self.render_posed(frames, bases,
+                                                 render_scale=pk)
+                    # no coarser valid scale: wait for the build
+                    kernel = self._posed_async_join(key, tables)
+                self._posed_cache = (key, kernel)
+            else:
+                bg = self._posed_background(is_rgba)
+                kernel = StaticRayPosedKernel(
+                    self.lens, self.globe, self.width_px, self.height_px,
+                    scale,
+                    platesize=S, numcells=self.rubix_numcells,
+                    cell_size=self.rubix_cell_size,
+                    pad_size=self.rubix_pad_size,
+                    background=bg, render_scale=int(render_scale),
+                    ray_table=tables.get(int(render_scale)),
+                    lensmap=self._reusable_static_lensmap(scale, S,
+                                                          int(render_scale)),
+                )
+                tables[int(render_scale)] = kernel.ray_table
+                self._posed_cache = (key, kernel)
         return self._posed_cache[1](frames, bases)
+
+    @property
+    def posed_pending(self) -> bool:
+        """True while a ``render_posed(block=False)`` background kernel
+        build is still running (previews are being served)."""
+        pend = getattr(self, "_posed_async", None)
+        return bool(pend is not None and pend["thread"].is_alive())
+
+    def _posed_preview_scale(self, render_scale):
+        """The coarsest valid render_scale > the requested one — the
+        preview's resolution while the native table builds."""
+        from blinky_tpu.kernels.posed import check_render_scale
+
+        for k in (4, 3, 2):
+            if k <= int(render_scale):
+                break
+            try:
+                check_render_scale(self.width_px, self.height_px, k)
+                return k
+            except ValueError:
+                continue
+        return None
+
+    def _posed_async_kernel(self, key, scale, S, render_scale, is_rgba,
+                            tables):
+        """Non-blocking kernel acquisition: returns the finished kernel
+        when the background build for *key* has landed, else kicks the
+        build (once) and returns None.  A build failure re-raises here —
+        the caller sees the same exception a blocking construction would
+        have raised."""
+        import threading
+
+        from blinky_tpu.kernels.static_ray import StaticRayPosedKernel
+
+        pend = getattr(self, "_posed_async", None)
+        if pend is not None and pend["key"] == key:
+            if pend["thread"].is_alive():
+                return None
+            self._posed_async = None
+            if pend.get("error") is not None:
+                raise pend["error"]
+            kernel = pend["result"]
+            tables[render_scale] = kernel.ray_table
+            return kernel
+        if pend is not None:
+            # a build for a STALE key (lens/zoom changed mid-flight):
+            # let it finish on its own thread, drop the record
+            if not pend["thread"].is_alive():
+                self._posed_async = None
+        bg = self._posed_background(is_rgba)
+        lens, globe = self.lens, self.globe
+        W, H = self.width_px, self.height_px
+        nc, cs, ps = (self.rubix_numcells, self.rubix_cell_size,
+                      self.rubix_pad_size)
+        table0 = tables.get(render_scale)
+        lm0 = self._reusable_static_lensmap(scale, S, render_scale)
+        holder = {"key": key, "result": None, "error": None}
+
+        def build():
+            try:
+                holder["result"] = StaticRayPosedKernel(
+                    lens, globe, W, H, scale, platesize=S, numcells=nc,
+                    cell_size=cs, pad_size=ps, background=bg,
+                    render_scale=render_scale, ray_table=table0,
+                    lensmap=lm0,
+                )
+            except BaseException as e:  # re-raised on the caller thread
+                holder["error"] = e
+
+        t = threading.Thread(target=build, name="posed-table-build",
+                             daemon=True)
+        holder["thread"] = t
+        self._posed_async = holder
+        t.start()
+        return None
+
+    def _posed_async_join(self, key, tables):
+        """Block on the in-flight build for *key* (the no-coarser-scale
+        fallback) and return its kernel."""
+        pend = self._posed_async
+        pend["thread"].join()
+        self._posed_async = None
+        if pend.get("error") is not None:
+            raise pend["error"]
+        kernel = pend["result"]
+        tables[kernel.render_scale] = kernel.ray_table
+        return kernel
 
     def _ray_table_stash(self, scale, platesize):
         """The session's ray-table reuse pool for the static-ray posed

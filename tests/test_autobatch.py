@@ -114,3 +114,48 @@ def test_posed_layout_counts_index_tables():
     k2 = posed_bytes_per_lane(1080, 6, 1920, 1080, render_scale=2)
     assert k2 < full
     assert feasible_batch(full, 0) < feasible_batch(static, 0)
+
+
+def test_calibrate_finds_oom_boundary(tmp_path, monkeypatch, capsys):
+    """bench --calibrate walks 128-lane steps from the derived batch to
+    the first (simulated) OOM and reports a C interval that brackets
+    the true capacity; the committed constant's position is stated."""
+    import json
+
+    from blinky_tpu.bench import calibrate
+    from blinky_tpu.bench.autobatch import effective_budget_bytes
+
+    per_lane = 3.77e6
+    monkeypatch.setattr(calibrate, "probe_layout_bytes", lambda: per_lane)
+    monkeypatch.setattr(calibrate, "CALIBRATION_PATH",
+                        tmp_path / "cal.json")
+    # simulate a chip whose true capacity sits 2 quanta above the
+    # committed budget
+    c_true = effective_budget_bytes() + 2 * 128 * per_lane + 1
+    probe = lambda b: b * per_lane <= c_true  # noqa: E731
+    assert calibrate.run_calibrate(probe=probe) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "ok"
+    assert out["C_ok"] <= c_true < out["C_fail"]
+    assert out["first_fail_batch"] == out["last_ok_batch"] + 128
+    assert (tmp_path / "cal.json").exists()
+    disk = json.loads((tmp_path / "cal.json").read_text())
+    assert disk["C_ok"] == out["C_ok"]
+    assert out["implied_fraction_lo"] < out["implied_fraction_hi"]
+    assert "committed_inside_interval" in out
+
+
+def test_calibrate_derived_batch_must_run(tmp_path, monkeypatch, capsys):
+    """If even the planner's derived batch OOMs, --calibrate errors
+    loudly instead of reporting a bogus interval."""
+    import json
+
+    from blinky_tpu.bench import calibrate
+
+    monkeypatch.setattr(calibrate, "probe_layout_bytes", lambda: 3.77e6)
+    monkeypatch.setattr(calibrate, "CALIBRATION_PATH",
+                        tmp_path / "cal.json")
+    assert calibrate.run_calibrate(probe=lambda b: False) == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "error"
+    assert not (tmp_path / "cal.json").exists()

@@ -558,3 +558,102 @@ def test_forward_auto_scale_rasterizes_full_size_once(monkeypatch):
     sess.cmd("f_cover")
     np.asarray(sess.render_posed(frames, poses, render_scale=1))
     assert [sz for sz in sizes[n:] if sz == (Wp, Hp)] == [(Wp, Hp)]
+
+
+def test_render_posed_nonblocking_forward_preview(setup, monkeypatch):
+    """render_posed(block=False) on a forward-only lens (VERDICT r4 #4):
+    the first call must return a full-res frame without paying the
+    seconds-scale host rasterization inline — the native table builds on
+    a background thread (posed_pending True, preview = coarse-scale
+    kernel) and swaps in once done (outputs from then on identical to
+    block=True)."""
+    import threading
+    import time
+
+    from blinky_tpu.api import Session
+    from blinky_tpu.lensmap import forward_raster
+
+    g, lens, scale, frames, bases = setup
+    # W=64/H=48 admit render_scale 4 (16x12 build grid)
+    slow_started = threading.Event()
+    release = threading.Event()
+    real_build = forward_raster.build_forward
+    calls = []
+
+    def gated_build(lens_, *a, **kw):
+        # the native-resolution build stalls until released; the coarse
+        # preview build passes straight through (its grid is W/k x H/k)
+        out = real_build(lens_, *a, **kw)
+        calls.append((out.width_px, out.height_px))
+        if (out.width_px, out.height_px) == (W, H):
+            slow_started.set()
+            assert release.wait(30), "test deadlock"
+        return out
+
+    monkeypatch.setattr(forward_raster, "build_forward", gated_build)
+
+    sess = Session(W, H, platesize=S)
+    sess.cmd("f_lens sinusoidal")
+    t0 = time.perf_counter()
+    out = np.asarray(sess.render_posed(frames, np.asarray(POSES),
+                                       block=False))
+    first_s = time.perf_counter() - t0
+    assert out.shape == (B, H, W)
+    assert sess.posed_pending, "native build should still be in flight"
+    assert slow_started.wait(10)
+    # the preview returned while the native rasterization was parked
+    assert any(w < W for w, h in calls), "no coarse preview build ran"
+    # preview calls keep reusing the coarse kernel (no new builds)
+    n_calls = len(calls)
+    out2 = np.asarray(sess.render_posed(frames, np.asarray(POSES),
+                                        block=False))
+    assert len(calls) == n_calls
+    np.testing.assert_array_equal(out, out2)
+    release.set()
+    deadline = time.time() + 30
+    while sess.posed_pending and time.time() < deadline:
+        time.sleep(0.02)
+    assert not sess.posed_pending
+    swapped = np.asarray(sess.render_posed(frames, np.asarray(POSES),
+                                           block=False))
+    # reference: a fresh blocking session (monkeypatch released)
+    sess2 = Session(W, H, platesize=S)
+    sess2.cmd("f_lens sinusoidal")
+    ref = np.asarray(sess2.render_posed(frames, np.asarray(POSES)))
+    np.testing.assert_array_equal(swapped, ref)
+    # the preview was the coarse-scale render of the same poses
+    ref_pk = np.asarray(sess2.render_posed(frames, np.asarray(POSES),
+                                           render_scale=4))
+    np.testing.assert_array_equal(out, ref_pk)
+    # first_s sanity: the call did not sit through the gated build
+    # (which waited on an Event, so inline would have taken >=30 s)
+    assert first_s < 25, first_s
+
+
+def test_render_posed_nonblocking_failed_build_reraises(setup, monkeypatch):
+    """A background build failure surfaces on the caller's next call,
+    not silently (the API analog of the viewer's warm-failure rule)."""
+    import time
+
+    from blinky_tpu.api import Session
+    from blinky_tpu.lensmap import forward_raster
+
+    g, lens, scale, frames, bases = setup
+
+    def boom(lens_, globe_, scale_, w, h, *a, **kw):
+        if (w, h) == (W, H):
+            raise RuntimeError("rasterizer exploded")
+        return real_build(lens_, globe_, scale_, w, h, *a, **kw)
+
+    real_build = forward_raster.build_forward
+    monkeypatch.setattr(forward_raster, "build_forward", boom)
+    sess = Session(W, H, platesize=S)
+    sess.cmd("f_lens sinusoidal")
+    out = np.asarray(sess.render_posed(frames, np.asarray(POSES),
+                                       block=False))
+    assert out.shape == (B, H, W)
+    deadline = time.time() + 30
+    while sess.posed_pending and time.time() < deadline:
+        time.sleep(0.02)
+    with pytest.raises(RuntimeError, match="rasterizer exploded"):
+        sess.render_posed(frames, np.asarray(POSES), block=False)
