@@ -1232,7 +1232,8 @@ class Session:
                         return self.render_posed(frames, bases,
                                                  render_scale=pk)
                     # no coarser valid scale: wait for the build
-                    kernel = self._posed_async_join(key, tables)
+                    kernel = self._posed_async_join(
+                        key, scale, S, int(render_scale), is_rgba, tables)
                 self._posed_cache = (key, kernel)
             else:
                 bg = self._posed_background(is_rgba)
@@ -1296,9 +1297,14 @@ class Session:
             return kernel
         if pend is not None:
             # a build for a STALE key (lens/zoom changed mid-flight):
-            # let it finish on its own thread, drop the record
-            if not pend["thread"].is_alive():
-                self._posed_async = None
+            # ONE async slot per session is the contract — while the
+            # stale build is alive, do NOT start another (repeated
+            # lens/zoom churn would otherwise pile up N concurrent
+            # full-res host rasterizations); serve previews until it
+            # finishes, then drop the record and kick ours
+            if pend["thread"].is_alive():
+                return None
+            self._posed_async = None
         bg = self._posed_background(is_rgba)
         lens, globe = self.lens, self.globe
         W, H = self.width_px, self.height_px
@@ -1326,17 +1332,19 @@ class Session:
         t.start()
         return None
 
-    def _posed_async_join(self, key, tables):
-        """Block on the in-flight build for *key* (the no-coarser-scale
-        fallback) and return its kernel."""
-        pend = self._posed_async
-        pend["thread"].join()
-        self._posed_async = None
-        if pend.get("error") is not None:
-            raise pend["error"]
-        kernel = pend["result"]
-        tables[kernel.render_scale] = kernel.ray_table
-        return kernel
+    def _posed_async_join(self, key, scale, S, render_scale, is_rgba,
+                          tables):
+        """Block until the build for *key* lands (the no-coarser-scale
+        fallback) and return its kernel.  The in-flight build may be for
+        a STALE key (lens/zoom changed mid-flight): join it, let
+        ``_posed_async_kernel`` drop the record and kick ours, then join
+        that — never two builds at once."""
+        while True:
+            kernel = self._posed_async_kernel(
+                key, scale, S, render_scale, is_rgba, tables)
+            if kernel is not None:
+                return kernel
+            self._posed_async["thread"].join()
 
     def _ray_table_stash(self, scale, platesize):
         """The session's ray-table reuse pool for the static-ray posed

@@ -69,14 +69,39 @@ def run_probe(batch: int) -> None:
     print(json.dumps({"ok": True, "batch": batch}))
 
 
+class CalibrationProbeError(RuntimeError):
+    """A probe subprocess failed for a reason that is NOT a device OOM
+    (timeout, relay outage, import error...).  Such a failure must abort
+    the calibration instead of being recorded as the OOM boundary —
+    bench_calibration.json is the ONLY sanctioned source for re-deriving
+    ``EFFECTIVE_FRACTION``, and a bogus boundary would re-derive the
+    planner constant too low."""
+
+
+#: stderr markers that identify a genuine device out-of-memory kill.
+#: XLA raises RESOURCE_EXHAUSTED; older paths surface "out of memory".
+_OOM_MARKERS = ("RESOURCE_EXHAUSTED", "Out of memory", "out of memory",
+                "OOM")
+
+
 def _spawn_probe(batch: int, bench_path: str, timeout: float) -> bool:
     try:
         subprocess.run(
             [sys.executable, bench_path, "--calibrate-probe", str(batch)],
             capture_output=True, text=True, timeout=timeout, check=True)
         return True
-    except Exception:
-        return False
+    except subprocess.TimeoutExpired:
+        raise CalibrationProbeError(
+            f"probe B={batch} timed out after {timeout:.0f}s — relay "
+            "outage or hang, not a measured OOM")
+    except subprocess.CalledProcessError as e:
+        err = (e.stderr or "") + (e.stdout or "")
+        if any(m in err for m in _OOM_MARKERS):
+            return False  # a verified device OOM: a real boundary
+        tail = err.strip().splitlines()[-3:]
+        raise CalibrationProbeError(
+            f"probe B={batch} died (exit {e.returncode}) without an OOM "
+            f"marker; stderr tail: {' | '.join(tail) if tail else '<empty>'}")
 
 
 def run_calibrate(probe=None, quantum: int = 128, max_steps: int = 12,
@@ -96,21 +121,29 @@ def run_calibrate(probe=None, quantum: int = 128, max_steps: int = 12,
 
     per_lane = probe_layout_bytes()
     b0 = feasible_batch(per_lane, 0)
-    if not probe(b0):
+    try:
+        if not probe(b0):
+            print(json.dumps({
+                "metric": "hbm_calibration", "status": "error",
+                "detail": f"derived batch B={b0} failed — the committed "
+                          "budget is ALREADY over this chip's capacity "
+                          "(set BLINKY_HBM_BYTES and re-derive)"}))
+            return 1
+        last_ok, first_fail = b0, None
+        for step in range(1, max_steps + 1):
+            b = b0 + step * quantum
+            if probe(b):
+                last_ok = b
+            else:
+                first_fail = b
+                break
+    except CalibrationProbeError as e:
+        # a non-OOM probe failure invalidates the walk: do NOT write a
+        # calibration file, and say exactly what died
         print(json.dumps({
             "metric": "hbm_calibration", "status": "error",
-            "detail": f"derived batch B={b0} failed — the committed "
-                      "budget is ALREADY over this chip's capacity "
-                      "(set BLINKY_HBM_BYTES and re-derive)"}))
+            "detail": str(e)}))
         return 1
-    last_ok, first_fail = b0, None
-    for step in range(1, max_steps + 1):
-        b = b0 + step * quantum
-        if probe(b):
-            last_ok = b
-        else:
-            first_fail = b
-            break
     hbm = device_hbm_bytes()
     out = {
         "metric": "hbm_calibration",

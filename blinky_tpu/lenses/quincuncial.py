@@ -55,7 +55,8 @@ def _ellipj(u):
     recurrence into ``lax.scan`` — per-iteration arithmetic is identical
     (the stacked f32 constants round exactly like the unrolled weak-typed
     Python floats), so the two are BIT-EQUAL (pinned in
-    tests/test_lenses_scan.py), but the compiled graph shrinks from an
+    tests/test_lenses.py::test_quincuncial_ellipj_scan_matches_unrolled),
+    but the compiled graph shrinks from an
     8-deep asin/sin dependency chain fanned into the plate select tree —
     which sent XLA's algebraic simplifier into a near-fixpoint spiral
     (50-run cap; 131 s cold TPU compile, bench_all_r4.json config 2) —

@@ -38,6 +38,7 @@ scripts that genuinely need per-lane control keep the host-only path.
 from __future__ import annotations
 
 import math
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -285,7 +286,7 @@ class _ScalarFallback:
 
 
 def _vectorize_inverse(luafn, vinterp, fallback, traced=None,
-                       vector_ok=True):
+                       vector_ok=True, lock=None):
     """Wrap a Lua ``lens_inverse`` into the array contract
     ``(x, y) -> (vx, vy, vz, valid)`` with the LUAtoC nil protocol.
 
@@ -293,8 +294,18 @@ def _vectorize_inverse(luafn, vinterp, fallback, traced=None,
     lens) run through a fresh traced evaluator; NumPy array inputs go
     through the masked vectorized evaluator; scalar inputs (and scripts
     that raise Unvectorizable — *vector_ok=False* when that already
-    happened at load time) use the per-element scalar interpreter."""
+    happened at load time) use the per-element scalar interpreter.
+
+    *lock* serializes the NON-traced paths: the load-time ``vinterp``
+    (mask/frame stacks, fuel, script globals like eckert4's memoized
+    row) and the lazily-built scalar ``fallback`` interpreter are shared
+    mutable state, and concurrent host builds are real — e.g. a
+    ``render_posed(block=False)`` background table build racing the
+    caller-thread coarse preview build, or a viewer warm thread racing a
+    drag request.  The traced path needs no lock (a fresh interpreter
+    per trace, ``_TracedLua.call``)."""
     state = {"vector_ok": vector_ok}
+    lock = lock if lock is not None else threading.RLock()
 
     def scalar(x, y):
         out = fallback.get("lens_inverse")(float(x), float(y))
@@ -309,35 +320,37 @@ def _vectorize_inverse(luafn, vinterp, fallback, traced=None,
     def inverse(x, y):
         if _is_traced(x, y):
             return traced.call("lens_inverse", (x, y), 3)
-        X = np.asarray(x, np.float64)
-        Y = np.asarray(y, np.float64)
-        if state["vector_ok"] and (X.ndim or Y.ndim):
-            try:
-                with np.errstate(all="ignore"):
-                    vals, nil = vinterp.vcall(luafn, [X, Y])
-                shape = np.broadcast(X, Y).shape
-                if len(vals) == 0:  # uniformly nil
-                    z = np.zeros(shape)
-                    return z, z, z, np.zeros(shape, bool)
-                if len(vals) != 3:
-                    raise LuaError("lens_inverse must return 3 numbers or nil")
-                ok = (np.ones(shape, bool) if nil is None
-                      else ~np.broadcast_to(nil, shape))
-                return (np.broadcast_to(vals[0], shape),
-                        np.broadcast_to(vals[1], shape),
-                        np.broadcast_to(vals[2], shape), ok)
-            except (Unvectorizable, TypeError):
-                # TypeError: an array reached a scalar-only builtin —
-                # same verdict as Unvectorizable, use the scalar walk
-                state["vector_ok"] = False  # permanent scalar fallback
-        return vec(x, y)
+        with lock:
+            X = np.asarray(x, np.float64)
+            Y = np.asarray(y, np.float64)
+            if state["vector_ok"] and (X.ndim or Y.ndim):
+                try:
+                    with np.errstate(all="ignore"):
+                        vals, nil = vinterp.vcall(luafn, [X, Y])
+                    shape = np.broadcast(X, Y).shape
+                    if len(vals) == 0:  # uniformly nil
+                        z = np.zeros(shape)
+                        return z, z, z, np.zeros(shape, bool)
+                    if len(vals) != 3:
+                        raise LuaError("lens_inverse must return 3 numbers or nil")
+                    ok = (np.ones(shape, bool) if nil is None
+                          else ~np.broadcast_to(nil, shape))
+                    return (np.broadcast_to(vals[0], shape),
+                            np.broadcast_to(vals[1], shape),
+                            np.broadcast_to(vals[2], shape), ok)
+                except (Unvectorizable, TypeError):
+                    # TypeError: an array reached a scalar-only builtin —
+                    # same verdict as Unvectorizable, use the scalar walk
+                    state["vector_ok"] = False  # permanent scalar fallback
+            return vec(x, y)
 
     return inverse
 
 
 def _vectorize_forward(luafn, vinterp, fallback, traced=None,
-                       vector_ok=True):
+                       vector_ok=True, lock=None):
     state = {"vector_ok": vector_ok}
+    lock = lock if lock is not None else threading.RLock()
 
     def scalar(x, y, z):
         out = fallback.get("lens_forward")(float(x), float(y), float(z))
@@ -352,27 +365,28 @@ def _vectorize_forward(luafn, vinterp, fallback, traced=None,
     def forward(x, y, z):
         if _is_traced(x, y, z):
             return traced.call("lens_forward", (x, y, z), 2)
-        X = np.asarray(x, np.float64)
-        if state["vector_ok"] and (X.ndim or np.asarray(y).ndim
-                                   or np.asarray(z).ndim):
-            try:
-                with np.errstate(all="ignore"):
-                    vals, nil = vinterp.vcall(luafn, [
-                        X, np.asarray(y, np.float64),
-                        np.asarray(z, np.float64)])
-                shape = np.broadcast(X, np.asarray(y), np.asarray(z)).shape
-                if len(vals) == 0:
-                    zz = np.zeros(shape)
-                    return zz, zz, np.zeros(shape, bool)
-                if len(vals) != 2:
-                    raise LuaError("lens_forward must return 2 numbers or nil")
-                ok = (np.ones(shape, bool) if nil is None
-                      else ~np.broadcast_to(nil, shape))
-                return (np.broadcast_to(vals[0], shape),
-                        np.broadcast_to(vals[1], shape), ok)
-            except (Unvectorizable, TypeError):
-                state["vector_ok"] = False
-        return vec(x, y, z)
+        with lock:
+            X = np.asarray(x, np.float64)
+            if state["vector_ok"] and (X.ndim or np.asarray(y).ndim
+                                       or np.asarray(z).ndim):
+                try:
+                    with np.errstate(all="ignore"):
+                        vals, nil = vinterp.vcall(luafn, [
+                            X, np.asarray(y, np.float64),
+                            np.asarray(z, np.float64)])
+                    shape = np.broadcast(X, np.asarray(y), np.asarray(z)).shape
+                    if len(vals) == 0:
+                        zz = np.zeros(shape)
+                        return zz, zz, np.zeros(shape, bool)
+                    if len(vals) != 2:
+                        raise LuaError("lens_forward must return 2 numbers or nil")
+                    ok = (np.ones(shape, bool) if nil is None
+                          else ~np.broadcast_to(nil, shape))
+                    return (np.broadcast_to(vals[0], shape),
+                            np.broadcast_to(vals[1], shape), ok)
+                except (Unvectorizable, TypeError):
+                    state["vector_ok"] = False
+            return vec(x, y, z)
 
     return forward
 
@@ -400,14 +414,19 @@ def load_lua_lens(path, globe=None):
     spec = {}
     inv = reader.get_global("lens_inverse")
     fwd = reader.get_global("lens_forward")
+    # ONE lock for both maps: they share interp + fallback (their
+    # interpreter state must never interleave across threads)
+    script_lock = threading.RLock()
     if inv is not None:
         spec["lens_inverse"] = _vectorize_inverse(inv, interp, fallback,
                                                   traced,
-                                                  vector_ok=vector_ok)
+                                                  vector_ok=vector_ok,
+                                                  lock=script_lock)
     if fwd is not None:
         spec["lens_forward"] = _vectorize_forward(fwd, interp, fallback,
                                                   traced,
-                                                  vector_ok=vector_ok)
+                                                  vector_ok=vector_ok,
+                                                  lock=script_lock)
     # Lua->JAX: jittable iff the map driving the builder traces cleanly
     # (abstract probe, no compilation).  Forward-only lenses rasterize on
     # the host either way, so only the inverse map gates device builds.
@@ -464,6 +483,9 @@ def load_lua_globe(path):
         state = {"vector_ok": vector_ok}
         fallback = _ScalarFallback(src, None)  # fresh interpreter: an
         # aborted vectorized run must not leak half-merged globals
+        # serialize the shared interp/fallback across threads (same
+        # reasoning as load_lua_lens's script_lock)
+        script_lock = threading.RLock()
 
         def scalar(x, y, z):
             out = fallback.get("globe_plate")(float(x), float(y), float(z))
@@ -495,25 +517,26 @@ def load_lua_globe(path):
                     out = jnp.where(jnp.broadcast_to(nil, shape),
                                     jnp.int32(-1), out)
                 return out
-            X = np.asarray(x, np.float64)
-            Y = np.asarray(y, np.float64)
-            Z = np.asarray(z, np.float64)
-            if state["vector_ok"] and (X.ndim or Y.ndim or Z.ndim):
-                try:
-                    with np.errstate(all="ignore"):
-                        vals, nil = interp.vcall(gp, [X, Y, Z])
-                    shape = np.broadcast(X, Y, Z).shape
-                    if len(vals) == 0:
-                        return np.full(shape, -1, np.int32)
-                    v = np.broadcast_to(vals[0], shape)
-                    out = np.trunc(np.where(np.isnan(v), -1, v)).astype(np.int32)
-                    if nil is not None:
-                        out = np.where(np.broadcast_to(nil, shape),
-                                       np.int32(-1), out)
-                    return out
-                except (Unvectorizable, TypeError):
-                    state["vector_ok"] = False
-            return vec(X, Y, Z)
+            with script_lock:
+                X = np.asarray(x, np.float64)
+                Y = np.asarray(y, np.float64)
+                Z = np.asarray(z, np.float64)
+                if state["vector_ok"] and (X.ndim or Y.ndim or Z.ndim):
+                    try:
+                        with np.errstate(all="ignore"):
+                            vals, nil = interp.vcall(gp, [X, Y, Z])
+                        shape = np.broadcast(X, Y, Z).shape
+                        if len(vals) == 0:
+                            return np.full(shape, -1, np.int32)
+                        v = np.broadcast_to(vals[0], shape)
+                        out = np.trunc(np.where(np.isnan(v), -1, v)).astype(np.int32)
+                        if nil is not None:
+                            out = np.where(np.broadcast_to(nil, shape),
+                                           np.int32(-1), out)
+                        return out
+                    except (Unvectorizable, TypeError):
+                        state["vector_ok"] = False
+                return vec(X, Y, Z)
 
     # a globe is device-buildable iff its resolver traces (the lens-side
     # LensDef.jittable analog): probe abstractly at load so the builder

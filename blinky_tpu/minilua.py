@@ -1090,20 +1090,7 @@ class Interpreter:
                     return None
             return None
 
-        def _type(v):
-            if v is None:
-                return "nil"
-            if isinstance(v, bool):
-                return "boolean"
-            if isinstance(v, float):
-                return "number"
-            if isinstance(v, str):
-                return "string"
-            if isinstance(v, LuaTable):
-                return "table"
-            if isinstance(v, LuaCoroutine):
-                return "thread"
-            return "function"
+        _type = _lua_typename
 
         def _pairs(t):
             h = self._getmm(t, "__pairs")  # 5.2's __pairs protocol

@@ -224,6 +224,12 @@ class Viewer:
         # A transient relay error must not pin a key to inline compiles
         # (or permanent staleness) for the process lifetime.
         self._posed_warm_retry_at = {}
+        # ...but a DETERMINISTIC warm failure must not stale-serve +
+        # respawn forever either: after this many consecutive failures
+        # on one key the drag path compiles inline so the real error
+        # surfaces as a 500 (the pre-backoff behavior)
+        self._posed_warm_fails = {}
+        self.POSED_WARM_MAX_FAILS = 3
         self._posed_stale = False
         self._last_posed = None
         # warm-failure retry: a transient relay error during the device
@@ -393,13 +399,21 @@ class Viewer:
                     # register THIS thread under the key so a first drag
                     # arriving mid-compile joins it instead of tracing
                     # the same executable concurrently on two threads
-                    # (the capture-join discipline, commit 39d521e)
-                    self._posed_warming[pk] = threading.current_thread()
-                    try:
-                        self._compile_posed_pipeline(
-                            pk, src, lens, globe, scale, lensmap=lm)
-                    finally:
-                        self._posed_warming.pop(pk, None)
+                    # (the capture-join discipline, commit 39d521e).
+                    # setdefault: a lazy warm may have registered the
+                    # key in the window after device_ready flipped — it
+                    # owns the slot then, and compiling here too would
+                    # be the exact duplicate this registration prevents
+                    me = threading.current_thread()
+                    if self._posed_warming.setdefault(pk, me) is me:
+                        try:
+                            self._compile_posed_pipeline(
+                                pk, src, lens, globe, scale, lensmap=lm)
+                        finally:
+                            # pop only OUR registration (never a lazy
+                            # warm's that could land concurrently)
+                            if self._posed_warming.get(pk) is me:
+                                self._posed_warming.pop(pk, None)
                 except Exception as e:  # the drag path warms lazily then
                     print(f"posed-pipeline warm failed "
                           f"({type(e).__name__}: {e})")
@@ -499,22 +513,37 @@ class Viewer:
             try:
                 self._compile_posed_pipeline(pk, src, lens, globe, scale)
                 self._posed_warm_retry_at.pop(pk, None)
+                self._posed_warm_fails.pop(pk, None)
             except Exception as e:
                 # retry-at backoff (the device-warm pattern): the next
                 # poll after 30 s respawns the warm; meanwhile requests
                 # keep serving the last posed frame instead of blocking
-                # the single-threaded server on an inline compile
+                # the single-threaded server on an inline compile.
+                # Consecutive failures are counted: past the cap the
+                # drag path stops stale-serving and compiles inline so
+                # a DETERMINISTIC failure surfaces as a 500 instead of
+                # an infinite stale-frame/retry loop.
+                n = self._posed_warm_fails.get(pk, 0) + 1
+                self._posed_warm_fails[pk] = n
+                more = ("; next request will compile inline and surface "
+                        "the error"
+                        if n >= self.POSED_WARM_MAX_FAILS
+                        else "; retrying in 30 s")
                 print(f"posed-pipeline warm failed "
-                      f"({type(e).__name__}: {e}); retrying in 30 s")
+                      f"({type(e).__name__}: {e}){more}")
                 self._posed_warm_retry_at[pk] = time.monotonic() + 30.0
             finally:
                 # prune: dead Thread objects must not accumulate one per
-                # distinct pipeline key for the viewer's lifetime
-                self._posed_warming.pop(pk, None)
+                # distinct pipeline key for the viewer's lifetime —
+                # but pop only OUR OWN registration (the startup warm
+                # may legitimately own the slot for this key)
+                if self._posed_warming.get(pk) is t:
+                    self._posed_warming.pop(pk, None)
 
         t = threading.Thread(target=work, name="blinky-posed-warm",
                              daemon=True)
-        self._posed_warming[pk] = t
+        if self._posed_warming.setdefault(pk, t) is not t:
+            return  # another thread registered this key meanwhile
         t.start()
 
     def _posed_preview_active(self) -> bool:
@@ -580,7 +609,9 @@ class Viewer:
         if isinstance(self.pose_scale, int):
             pk = self._posed_pipeline_key(src)
             if pk not in self._posed_warm_keys:
-                if self._last_posed is not None and not block:
+                gave_up = (self._posed_warm_fails.get(pk, 0)
+                           >= self.POSED_WARM_MAX_FAILS)
+                if self._last_posed is not None and not block and not gave_up:
                     self._ensure_posed_warming(pk, src)
                     self._posed_stale = True
                     return self._last_posed
@@ -604,7 +635,9 @@ class Viewer:
         out = np.asarray(sess.render_posed(
             src, pose, render_scale=self.pose_scale))[0]
         if isinstance(self.pose_scale, int):
-            self._posed_warm_keys.add(self._posed_pipeline_key(src))
+            pk = self._posed_pipeline_key(src)
+            self._posed_warm_keys.add(pk)
+            self._posed_warm_fails.pop(pk, None)  # inline compile landed
         self._last_posed = out
         return out
 

@@ -159,3 +159,68 @@ def test_calibrate_derived_batch_must_run(tmp_path, monkeypatch, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["status"] == "error"
     assert not (tmp_path / "cal.json").exists()
+
+
+def test_calibrate_non_oom_failure_aborts(tmp_path, monkeypatch, capsys):
+    """A probe that dies for a NON-OOM reason (timeout, relay outage,
+    import error) aborts the walk with status=error instead of being
+    recorded as the OOM boundary — a bogus boundary would re-derive
+    EFFECTIVE_FRACTION too low (the calibration file is the only
+    sanctioned source for that constant)."""
+    import json
+
+    from blinky_tpu.bench import calibrate
+
+    monkeypatch.setattr(calibrate, "probe_layout_bytes", lambda: 3.77e6)
+    monkeypatch.setattr(calibrate, "CALIBRATION_PATH",
+                        tmp_path / "cal.json")
+
+    calls = []
+
+    def probe(b):
+        calls.append(b)
+        if len(calls) == 1:  # the derived batch runs fine...
+            return True
+        raise calibrate.CalibrationProbeError(  # ...then the relay dies
+            f"probe B={b} timed out after 900s — relay outage or hang, "
+            "not a measured OOM")
+
+    assert calibrate.run_calibrate(probe=probe) == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "error"
+    assert "timed out" in out["detail"]
+    assert not (tmp_path / "cal.json").exists()
+
+
+def test_spawn_probe_classifies_failures(monkeypatch):
+    """_spawn_probe: exit-0 -> True; nonzero WITH an OOM marker in
+    stderr -> False (a real boundary); nonzero without a marker and
+    timeouts -> CalibrationProbeError."""
+    import subprocess
+
+    from blinky_tpu.bench import calibrate
+
+    def fake_run(args, **kw):
+        mode = fake_run.mode
+        if mode == "ok":
+            return subprocess.CompletedProcess(args, 0, '{"ok": true}', "")
+        if mode == "oom":
+            raise subprocess.CalledProcessError(
+                1, args, output="",
+                stderr="RESOURCE_EXHAUSTED: Out of memory allocating ...")
+        if mode == "crash":
+            raise subprocess.CalledProcessError(
+                1, args, output="", stderr="ModuleNotFoundError: no spam")
+        raise subprocess.TimeoutExpired(args, 900)
+
+    monkeypatch.setattr(calibrate.subprocess, "run", fake_run)
+    fake_run.mode = "ok"
+    assert calibrate._spawn_probe(128, "bench.py", 900.0) is True
+    fake_run.mode = "oom"
+    assert calibrate._spawn_probe(128, "bench.py", 900.0) is False
+    fake_run.mode = "crash"
+    with pytest.raises(calibrate.CalibrationProbeError, match="OOM marker"):
+        calibrate._spawn_probe(128, "bench.py", 900.0)
+    fake_run.mode = "timeout"
+    with pytest.raises(calibrate.CalibrationProbeError, match="timed out"):
+        calibrate._spawn_probe(128, "bench.py", 900.0)

@@ -397,3 +397,46 @@ def test_session_lua_globe_pose_playback(tmp_path):
     ref = Session(64, 48, platesize=32)
     ref.cmd("f_globe fast; setviewangles 5 30 0")
     np.testing.assert_array_equal(out, np.asarray(ref.render(frames)))
+
+
+def test_lua_lens_host_paths_are_thread_safe(cube):
+    """Concurrent HOST-path evaluations of the same .lua LensDef must
+    serialize on the script lock (lua_bridge): the load-time
+    VectorInterpreter's mask/frame stacks, fuel, and script globals
+    (eckert4's memoized row) are shared mutable state, and real callers
+    race — render_posed(block=False)'s background table build vs the
+    caller-thread coarse preview build, viewer warm threads vs drag
+    requests.  Without the lock this interleaves interpreter state and
+    can cache corrupt rays for the session lifetime."""
+    import threading
+
+    # eckert4 carries the memoized-row global; quincuncial is the
+    # heaviest pure recurrence — both exercise long vcalls
+    for name in ("eckert4", "quincuncial"):
+        lua = load_lua_lens(LUA_DIR / "lenses" / f"{name}.lua", cube)
+        X, Y = _inverse_grid(lua)
+        with np.errstate(all="ignore"):
+            ref = lua.inverse(X, Y)
+        results = [None] * 8
+        errors = []
+
+        def worker(i):
+            try:
+                with np.errstate(all="ignore"):
+                    results[i] = lua.inverse(X, Y)
+            except Exception as e:  # pragma: no cover - the failure mode
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        for r in results:
+            assert r is not None
+            for got, exp, tag in zip(r, ref, ("x", "y", "z", "ok")):
+                np.testing.assert_array_equal(
+                    np.asarray(got), np.asarray(exp),
+                    err_msg=f"{name} inverse {tag} under concurrency")

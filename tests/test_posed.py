@@ -657,3 +657,63 @@ def test_render_posed_nonblocking_failed_build_reraises(setup, monkeypatch):
         time.sleep(0.02)
     with pytest.raises(RuntimeError, match="rasterizer exploded"):
         sess.render_posed(frames, np.asarray(POSES), block=False)
+
+
+def test_render_posed_nonblocking_single_async_slot(setup, monkeypatch):
+    """ONE async slot per session: key churn (lens/zoom change) while a
+    background table build is in flight must serve previews, not pile up
+    a second concurrent full-res build — N-deep churn would otherwise
+    run N host rasterizations at once."""
+    import threading
+    import time
+
+    from blinky_tpu.api import Session
+    from blinky_tpu.lensmap import forward_raster
+
+    g, lens, scale, frames, bases = setup
+    release = threading.Event()
+    native_builds = []
+    real_build = forward_raster.build_forward
+
+    def gated_build(lens_, *a, **kw):
+        out = real_build(lens_, *a, **kw)
+        if (out.width_px, out.height_px) == (W, H):
+            native_builds.append(time.monotonic())
+            assert release.wait(30), "test deadlock"
+        return out
+
+    monkeypatch.setattr(forward_raster, "build_forward", gated_build)
+    sess = Session(W, H, platesize=S)
+    sess.cmd("f_lens sinusoidal")
+    out = np.asarray(sess.render_posed(frames, np.asarray(POSES),
+                                       block=False))
+    assert out.shape == (B, H, W)
+    deadline = time.time() + 10
+    while not native_builds and time.time() < deadline:
+        time.sleep(0.01)
+    assert len(native_builds) == 1
+    # key churn while the first build is parked: a new zoom -> new key
+    sess.cmd("f_fov 120")
+    out2 = np.asarray(sess.render_posed(frames, np.asarray(POSES),
+                                        block=False))
+    assert out2.shape == (B, H, W)
+    time.sleep(0.3)  # give a (buggy) second build time to appear
+    assert len(native_builds) == 1, \
+        "a second native build started while the first was in flight"
+    assert sess.posed_pending  # the stale build still owns the slot
+    release.set()
+    # once the stale build drains, the NEW key's build kicks on the next
+    # call and swaps in; outputs then match a fresh blocking session
+    deadline = time.time() + 30
+    while sess.posed_pending and time.time() < deadline:
+        time.sleep(0.02)
+    np.asarray(sess.render_posed(frames, np.asarray(POSES), block=False))
+    deadline = time.time() + 30
+    while sess.posed_pending and time.time() < deadline:
+        time.sleep(0.02)
+    swapped = np.asarray(sess.render_posed(frames, np.asarray(POSES),
+                                           block=False))
+    ref_sess = Session(W, H, platesize=S)
+    ref_sess.cmd("f_lens sinusoidal; f_fov 120")
+    ref = np.asarray(ref_sess.render_posed(frames, np.asarray(POSES)))
+    np.testing.assert_array_equal(swapped, ref)

@@ -721,3 +721,52 @@ def test_failed_posed_warm_backs_off_and_retries(monkeypatch):
     ref = np.asarray(sess.render_posed(
         v._posed_source(0), np.asarray([[0.0, 30.0, 0.0]])))[0]
     np.testing.assert_array_equal(out4, ref)
+
+
+def test_deterministic_posed_warm_failure_surfaces_inline(monkeypatch):
+    """A warm that fails REPRODUCIBLY must not stale-serve + respawn
+    forever: after POSED_WARM_MAX_FAILS consecutive failures on one key
+    the drag path compiles inline, so the real error reaches the request
+    (a 500) instead of an infinite frozen-frame/retry loop — and a later
+    success recovers the key."""
+    import blinky_tpu.viewer as viewer_mod
+
+    sess = Session(64, 48, platesize=32)
+    frames = np.stack([synthetic_cubemap(32)])
+    sess.cmd("f_lens eckert1; setviewangles 0 30 0")
+    v = Viewer(sess, frames)
+    out1 = v._render_posed_frame(0)  # warm key A inline
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("pipeline build broken")
+
+    monkeypatch.setattr(viewer_mod.Viewer, "_compile_posed_pipeline", boom)
+    sess.cmd("f_globe trism")  # new pipeline key B
+    pk = v._posed_pipeline_key(v._posed_source(0))
+    for _ in range(v.POSED_WARM_MAX_FAILS):
+        out = v._render_posed_frame(0)  # stale frame; kicks a warm
+        np.testing.assert_array_equal(out, out1)
+        deadline = time.monotonic() + 10
+        while pk in v._posed_warming and time.monotonic() < deadline:
+            time.sleep(0.01)
+        v._posed_warm_retry_at[pk] = time.monotonic() - 1  # skip backoff
+    assert v._posed_warm_fails[pk] == v.POSED_WARM_MAX_FAILS
+    # past the cap: no more stale-serving — the inline path runs and the
+    # error surfaces to the caller (the HTTP handler's 500)
+    real_rp = sess.render_posed
+
+    def rp_boom(*a, **kw):
+        raise RuntimeError("pipeline build broken")
+
+    monkeypatch.setattr(sess, "render_posed", rp_boom)
+    with pytest.raises(RuntimeError, match="pipeline build broken"):
+        v._render_posed_frame(0)
+    # the failure is not permanent: once the build works again, the
+    # inline compile lands, marks the key warm, and clears the counter
+    monkeypatch.setattr(sess, "render_posed", real_rp)
+    out_live = v._render_posed_frame(0)
+    assert pk in v._posed_warm_keys
+    assert pk not in v._posed_warm_fails
+    ref = np.asarray(real_rp(
+        v._posed_source(0), np.asarray([[0.0, 30.0, 0.0]])))[0]
+    np.testing.assert_array_equal(out_live, ref)
