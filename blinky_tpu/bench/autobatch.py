@@ -62,6 +62,16 @@ hand numbers — docs/PERF.md §7).  Override the physical size with
 ``BLINKY_HBM_BYTES`` for other chips (C scales proportionally); the
 backend's ``memory_stats`` is preferred when it reports (the axon relay
 returns none).
+
+Round-5 measured boundary (``python bench.py --calibrate``, committed
+as ``bench_calibration.json``): the texel-compacted 1080p walk ran at
+B=4352 and OOMed at B=4480 — an implied-fraction interval of
+[1.0417, 1.0723].  The committed 1.0286 sits 1.26 % BELOW the
+interval's floor: deliberately conservative (the planner must never
+derive an OOMing batch; near-edge allocations also cascade-fail the
+process after any OOM, CLAUDE.md).  Re-run ``--calibrate`` on a new
+chip/runtime before considering a bump, and keep the constant under
+the measured ``implied_fraction_lo``.
 """
 
 from __future__ import annotations
