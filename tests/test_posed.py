@@ -717,3 +717,41 @@ def test_render_posed_nonblocking_single_async_slot(setup, monkeypatch):
     ref_sess.cmd("f_lens sinusoidal; f_fov 120")
     ref = np.asarray(ref_sess.render_posed(frames, np.asarray(POSES)))
     np.testing.assert_array_equal(swapped, ref)
+
+
+def test_render_posed_nonblocking_lua_forward_lens(setup, tmp_path):
+    """block=False on a forward-only .lua lens: the background native
+    table build and the caller-thread coarse preview build evaluate the
+    SAME LensDef's shared interpreter concurrently — the lua_bridge
+    script lock must serialize them (corrupt interpreter state would
+    cache wrong rays for the session lifetime).  End-to-end pin of the
+    review finding the Python-port test can't catch."""
+    import shutil
+    import time
+
+    from blinky_tpu.api import Session
+
+    g, lens, scale, frames, bases = setup
+    shutil.copy("/root/reference/game/lua-scripts/lenses/sinusoidal.lua",
+                tmp_path / "luasinu.lua")
+    sess = Session(W, H, platesize=S, lens_dirs=[tmp_path])
+    sess.cmd("f_lens luasinu")
+    out1 = np.asarray(sess.render_posed(frames, np.asarray(POSES),
+                                        block=False))
+    assert out1.shape == (B, H, W)
+    deadline = time.time() + 60
+    while sess.posed_pending and time.time() < deadline:
+        time.sleep(0.02)
+    assert not sess.posed_pending
+    swapped = np.asarray(sess.render_posed(frames, np.asarray(POSES),
+                                           block=False))
+    ref_sess = Session(W, H, platesize=S, lens_dirs=[tmp_path])
+    ref_sess.cmd("f_lens luasinu")
+    ref = np.asarray(ref_sess.render_posed(frames, np.asarray(POSES)))
+    np.testing.assert_array_equal(swapped, ref)
+    # and the .lua forward map agrees with the shipped Python port:
+    # the same poses through f_lens sinusoidal are bit-identical
+    py_sess = Session(W, H, platesize=S)
+    py_sess.cmd("f_lens sinusoidal")
+    py = np.asarray(py_sess.render_posed(frames, np.asarray(POSES)))
+    np.testing.assert_array_equal(ref, py)
