@@ -719,7 +719,20 @@ class Session:
                 if lens is None:
                     lens = load()
                     if len(cache) >= 64:  # matches the builder lru bound
-                        cache.pop(next(iter(cache)))
+                        evicted = cache.pop(next(iter(cache)))
+                        # unwind coroutine threads a .lua script parked
+                        # in its scalar interpreters (otherwise pinned
+                        # for the process lifetime) — but never for an
+                        # object still in use: the oldest entry can be
+                        # the ACTIVE lens (plain dict, no move-to-end)
+                        # or the one a background posed build captured.
+                        rel = getattr(evicted, "release", None)
+                        pend = getattr(self, "_posed_async", None)
+                        pend_lens = (pend["key"][0] if pend is not None
+                                     else None)
+                        if (rel is not None and evicted is not self.lens
+                                and evicted is not pend_lens):
+                            rel()
                     cache[key] = lens
                 self.lens = lens
                 return True
@@ -1291,7 +1304,15 @@ class Session:
                 return None
             self._posed_async = None
             if pend.get("error") is not None:
+                # count consecutive failures for this key: a host that
+                # catches the error and keeps calling (the documented
+                # preview-loop usage) must not re-kick a deterministic
+                # ~seconds-scale failing rasterization forever
+                last = getattr(self, "_posed_async_fail", None)
+                n = last[1] + 1 if (last and last[0] == key) else 1
+                self._posed_async_fail = (key, n, pend["error"])
                 raise pend["error"]
+            self._posed_async_fail = None
             kernel = pend["result"]
             tables[render_scale] = kernel.ray_table
             return kernel
@@ -1305,6 +1326,12 @@ class Session:
             if pend["thread"].is_alive():
                 return None
             self._posed_async = None
+        # give up on a key that failed repeatedly: re-raise the sticky
+        # error instead of burning another background rasterization per
+        # call (a key CHANGE — lens/zoom/size — resets the counter)
+        last = getattr(self, "_posed_async_fail", None)
+        if last is not None and last[0] == key and last[1] >= 3:
+            raise last[2]
         bg = self._posed_background(is_rgba)
         lens, globe = self.lens, self.globe
         W, H = self.width_px, self.height_px

@@ -161,12 +161,23 @@ def run_calibrate(probe=None, quantum: int = 128, max_steps: int = 12,
         "committed_fraction": EFFECTIVE_FRACTION,
         "hbm_bytes": hbm,
     }
-    if first_fail is not None:
-        lo, hi = out["implied_fraction_lo"], out["implied_fraction_hi"]
-        out["committed_inside_interval"] = bool(
-            lo <= EFFECTIVE_FRACTION <= hi)
-        out["committed_vs_measured_pct"] = round(
-            (EFFECTIVE_FRACTION / lo - 1.0) * 100, 2)
+    if first_fail is None:
+        # the walk never reached an OOM (a chip with more headroom than
+        # max_steps quanta, or an inflated BLINKY_HBM_BYTES): there is
+        # NO measured boundary — do not clobber a previously committed
+        # real one with a boundary-free record, and exit nonzero so a
+        # driver can't mistake this for a calibration
+        out["detail"] = (f"no OOM within {max_steps} steps above the "
+                         "derived batch — nothing written (a committed "
+                         "bench_calibration.json, if any, is preserved); "
+                         "raise max_steps to find the boundary")
+        print(json.dumps(out))
+        return 1
+    lo, hi = out["implied_fraction_lo"], out["implied_fraction_hi"]
+    out["committed_inside_interval"] = bool(
+        lo <= EFFECTIVE_FRACTION <= hi)
+    out["committed_vs_measured_pct"] = round(
+        (EFFECTIVE_FRACTION / lo - 1.0) * 100, 2)
     CALIBRATION_PATH.write_text(json.dumps(out, indent=1) + "\n")
     out["written"] = str(CALIBRATION_PATH)
     print(json.dumps(out))

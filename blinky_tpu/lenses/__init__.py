@@ -94,6 +94,10 @@ class LensDef:
     # .lua drop-ins interpreted scalar-by-scalar); such lenses run on the
     # exact f64 host builder only.
     jittable: bool = True
+    # resource-release hook (``.lua`` lenses: unwinds coroutine threads a
+    # script parked in its scalar interpreters — see load_lua_lens).
+    # Call only when discarding the LensDef for good; None for ports.
+    release: Optional[Callable] = None
 
 
 def resolve(name: str, spec: dict) -> LensDef:
@@ -126,6 +130,7 @@ def resolve(name: str, spec: dict) -> LensDef:
         max_vfov=int(spec.get("max_vfov", 0) or 0),
         onload=spec.get("onload"),
         jittable=bool(spec.get("jittable", True)),
+        release=spec.get("release"),
     )
 
 

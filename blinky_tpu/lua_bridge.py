@@ -284,6 +284,15 @@ class _ScalarFallback:
             self._interp.run(self.src)
         return self._interp.get_global(name)
 
+    def close(self):
+        """Unwind any coroutine threads the script parked in the scalar
+        interpreter (a suspended coroutine pins an OS thread whose frame
+        references the interpreter, so GC alone can never reclaim it).
+        Idempotent; the fallback rebuilds lazily if used again."""
+        if self._interp is not None:
+            self._interp.close()
+            self._interp = None
+
 
 def _vectorize_inverse(luafn, vinterp, fallback, traced=None,
                        vector_ok=True, lock=None):
@@ -442,6 +451,20 @@ def load_lua_lens(path, globe=None):
             v = float(v)
         if isinstance(v, (int, float)):
             spec[name] = v
+
+    # release hook: a script may leave a coroutine SUSPENDED at load
+    # time (e.g. a generator parked at its second yield) — that pins one
+    # OS thread whose frame references the interpreter, unreclaimable by
+    # GC.  Only the SCALAR interpreters can hold one (the vector engine
+    # refuses coroutine.create outright), so unwind the scalar reader
+    # (Unvectorizable tier) and the lazy fallback when the owner is done
+    # with the lens (Session calls this on lens-cache eviction).
+    def _release():
+        if reader is not interp:  # the scalar-tier reader
+            reader.close()
+        fallback.close()
+
+    spec["release"] = _release
     return resolve(path.stem, spec)
 
 

@@ -717,18 +717,24 @@ class LuaCoroutine:
     # -- the coroutine thread's body
     def _main(self):
         try:
-            try:
-                out = self.interp.call(self.fn, list(self._xfer))
-                self._result = ("return", out)
-            except LuaError as e:
-                self._result = ("error", str(e))
-            except _CoKill:
-                return  # unwound by close(); nobody is waiting
-            except BaseException as e:  # sandbox contract: never leak raw
-                self._result = ("error", f"{type(e).__name__}: {e}")
-            self._return_evt.set()
-        finally:
+            out = self.interp.call(self.fn, list(self._xfer))
+            self._result = ("return", out)
+        except LuaError as e:
+            self._result = ("error", str(e))
+        except _CoKill:
+            # unwound by close(); nobody is waiting — close() owns the
+            # counter reset, and decrementing here would race a resumer
             self.interp._live_coroutines -= 1
+            return
+        except BaseException as e:  # sandbox contract: never leak raw
+            self._result = ("error", f"{type(e).__name__}: {e}")
+        # decrement BEFORE handing control back: the resumer is still
+        # parked on _return_evt, so this write is inside the strict
+        # handoff window.  Decrementing after set() raced the resumer's
+        # cap-check/increment (a non-atomic RMW pair losing updates
+        # drifts the counter up until the cap fires spuriously).
+        self.interp._live_coroutines -= 1
+        self._return_evt.set()
 
     def resume(self, args):
         """``coroutine.resume`` semantics: returns ``(True, *values)`` on
@@ -780,6 +786,15 @@ class LuaCoroutine:
             self.status = "suspended"
             return (True, *payload)
         self.status = "dead"
+        # prune the interpreter's tracking list: a script that wraps a
+        # coroutine per call (one per pixel on the scalar tier) would
+        # otherwise retain every dead coroutine+thread+event triple for
+        # the interpreter's lifetime — ~2M objects per 1080p build.
+        # close() only needs the still-suspended ones.
+        try:
+            interp._all_coroutines.remove(self)
+        except ValueError:
+            pass  # already dropped (e.g. by close())
         if kind == "return":
             return (True, *payload)
         return (False, payload)
@@ -1342,8 +1357,17 @@ class Interpreter:
             else:
                 raise LuaError("bad argument #1 to 'load' "
                                "(string or function expected)")
-            if mode is not None and "t" not in mode:
-                return (None, "only text chunks are supported (mode 't')")
+            if mode is not None:
+                # isinstance first: `"t" not in 3.0` raises a raw
+                # TypeError, which the sandbox must never leak (and
+                # which lua_bridge's fallback clauses would misread as
+                # an Unvectorizable verdict, demoting the whole lens)
+                if not isinstance(mode, str):
+                    raise LuaError(
+                        "bad argument #3 to 'load' (string expected)")
+                if "t" not in mode:
+                    return (None,
+                            "only text chunks are supported (mode 't')")
             name = chunkname if isinstance(chunkname, str) else "=(load)"
             try:
                 ast = _Parser(_tokenize(src)).parse_chunk()

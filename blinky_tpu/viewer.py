@@ -230,6 +230,10 @@ class Viewer:
         # surfaces as a 500 (the pre-backoff behavior)
         self._posed_warm_fails = {}
         self.POSED_WARM_MAX_FAILS = 3
+        # bound on joining an in-flight posed warm before a blocking
+        # render: past it we 500 rather than dispatch concurrently with
+        # the still-running warm thread (see _render_posed_frame)
+        self.POSED_JOIN_TIMEOUT = 600.0
         self._posed_stale = False
         self._last_posed = None
         # warm-failure retry: a transient relay error during the device
@@ -625,11 +629,21 @@ class Viewer:
                 t = self._posed_warming.get(pk)
                 if t is not None and t.is_alive():
                     # bounded join: a hung relay compile must not hang
-                    # the single-threaded HTTP server forever — after
-                    # the (generous) bound, fall through to the inline
-                    # render, which either hits the now-populated jit
-                    # cache or surfaces the real error as a 500
-                    t.join(timeout=600.0)
+                    # the single-threaded HTTP server forever.  If the
+                    # warm is STILL alive after the (generous) bound,
+                    # error out (a 500) rather than render inline — an
+                    # inline dispatch would run concurrently with the
+                    # warm thread's in-flight compile, the exact
+                    # concurrent-device-dispatch race the join exists
+                    # to prevent.  A later request re-joins (the warm
+                    # may have landed by then).
+                    t.join(timeout=self.POSED_JOIN_TIMEOUT)
+                    if t.is_alive():
+                        raise RuntimeError(
+                            "posed pipeline compile still running after "
+                            "600 s; refusing a concurrent inline render "
+                            "— retry after the background compile "
+                            "finishes")
         self._posed_stale = False
         pose = np.asarray([sess.view_angles], np.float64)
         out = np.asarray(sess.render_posed(

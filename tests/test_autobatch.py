@@ -224,3 +224,26 @@ def test_spawn_probe_classifies_failures(monkeypatch):
     fake_run.mode = "timeout"
     with pytest.raises(calibrate.CalibrationProbeError, match="timed out"):
         calibrate._spawn_probe(128, "bench.py", 900.0)
+
+
+def test_calibrate_no_oom_found_preserves_committed_file(
+        tmp_path, monkeypatch, capsys):
+    """A walk that never reaches an OOM produced NO measured boundary:
+    it must not clobber a previously committed real calibration and
+    must exit nonzero (round-5 review) — bench_calibration.json is the
+    ONLY sanctioned source for re-deriving EFFECTIVE_FRACTION."""
+    import json
+
+    from blinky_tpu.bench import calibrate
+
+    committed = '{"status": "ok", "C_ok": 123}\n'
+    path = tmp_path / "cal.json"
+    path.write_text(committed)
+    monkeypatch.setattr(calibrate, "probe_layout_bytes", lambda: 3.77e6)
+    monkeypatch.setattr(calibrate, "CALIBRATION_PATH", path)
+    assert calibrate.run_calibrate(probe=lambda b: True) == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "no-oom-found"
+    assert out["first_fail_batch"] is None
+    assert "nothing written" in out["detail"]
+    assert path.read_text() == committed  # the real boundary survives

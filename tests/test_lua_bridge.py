@@ -440,3 +440,54 @@ def test_lua_lens_host_paths_are_thread_safe(cube):
                 np.testing.assert_array_equal(
                     np.asarray(got), np.asarray(exp),
                     err_msg=f"{name} inverse {tag} under concurrency")
+
+
+def test_lua_lens_release_unwinds_parked_coroutines(tmp_path):
+    """A script that leaves a coroutine SUSPENDED pins one OS thread per
+    scalar interpreter (the thread's frame references the interpreter,
+    so GC alone can never reclaim it).  LensDef.release unwinds both the
+    scalar-tier reader and the lazy fallback (round-5 review)."""
+    import threading
+    import time
+
+    src = '''
+max_fov = 360
+max_vfov = 180
+lens_width = 2 * pi
+lens_height = pi
+gen = coroutine.create(function()
+  coroutine.yield(2 * pi)
+  coroutine.yield(pi)  -- never resumed again: PARKED here
+end)
+local _, w = coroutine.resume(gen)
+lens_width = w
+function lens_inverse(x, y)
+  local keep = coroutine.create(function() coroutine.yield() end)
+  coroutine.resume(keep)  -- parks one per interpreter (not per call:
+  -- 'keep' is local, but the suspended thread itself persists until
+  -- close; the dead-pruning rule does not apply to suspended ones)
+  return cos(y) * sin(x), sin(y), cos(y) * cos(x)
+end
+'''
+    path = tmp_path / "parked.lua"
+    path.write_text(src)
+    g = globes.get("cube")
+    before = threading.active_count()
+    ld = load_lua_lens(path, g)  # scalar-tier reader parks gen's thread
+    assert ld.jittable is False and ld.release is not None
+    assert threading.active_count() >= before + 1
+    # scalar inverse call builds the fallback interpreter: more parked
+    out = ld.inverse(0.1, 0.2)
+    assert len(out) == 4
+    assert threading.active_count() >= before + 2
+    ld.release()
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    # release is idempotent, and the lens still WORKS afterwards (the
+    # fallback lazily rebuilds)
+    ld.release()
+    out2 = ld.inverse(0.1, 0.2)
+    np.testing.assert_array_equal(np.asarray(out2[0]), np.asarray(out[0]))
+    ld.release()  # unwind the rebuild's parked thread too

@@ -924,3 +924,68 @@ end
     ref = np.cos(ys) * np.sin(xs)
     np.testing.assert_allclose(np.where(ok, vx, 0), np.where(ok, ref, 0))
     assert ok.sum() > 0 and (~ok).sum() > 0
+
+
+def test_dead_coroutines_are_pruned_not_retained():
+    """Drained coroutines must leave the interpreter's tracking list
+    (round-5 review): a script that wraps one coroutine per call runs
+    once per PIXEL on the scalar tier, so retaining dead
+    coroutine+thread+event triples leaks ~2M objects per 1080p build."""
+    it = run("""
+for k = 1, 50 do
+  local gen = coroutine.wrap(function() coroutine.yield(k) end)
+  gen(); gen()  -- drain to death
+end
+-- an ERRORING coroutine is dead too, and must be pruned as well
+local bad = coroutine.create(function() error("boom") end)
+coroutine.resume(bad)
+""")
+    assert it._all_coroutines == []
+    assert it._live_coroutines == 0
+    it.close()
+
+
+def test_suspended_coroutines_stay_tracked_for_close():
+    it = run("""
+co = coroutine.create(function() coroutine.yield() end)
+coroutine.resume(co)  -- park it
+done = coroutine.create(function() end)
+coroutine.resume(done)  -- dead: pruned
+""")
+    assert len(it._all_coroutines) == 1
+    assert it._all_coroutines[0] is it.get_global("co")
+    it.close()
+    assert it._all_coroutines == []
+    assert it.get_global("co").status == "dead"
+
+
+def test_live_coroutine_counter_conserved_under_churn():
+    """The live counter decrements INSIDE the handoff window (before
+    _return_evt.set()): a decrement racing the next resume's
+    check-then-increment would drift the counter until the 200-thread
+    cap fired spuriously on a script that drains every coroutine.
+    300 sequential create+drain cycles only pass if conserved."""
+    it = run("""
+for k = 1, 300 do
+  local c = coroutine.create(function() return k end)
+  coroutine.resume(c)
+end
+""")
+    assert it._live_coroutines == 0
+    it.close()
+
+
+def test_load_mode_argument_must_be_string():
+    """A non-string mode raises a CATCHABLE LuaError (liblua: bad
+    argument #3), never a raw Python TypeError — a leaked TypeError
+    would both escape script pcall and be misread by lua_bridge's
+    fallback clauses as an Unvectorizable verdict."""
+    it = run("""
+ok, err = pcall(load, "x = 1", "chunk", 3)
+-- a STRING mode without 't' keeps the (nil, message) protocol
+f, msg = load("x = 1", nil, "b")
+""")
+    assert it.get_global("ok") is False
+    assert "bad argument #3" in it.get_global("err")
+    assert it.get_global("f") is None
+    assert "mode 't'" in it.get_global("msg")

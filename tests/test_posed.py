@@ -755,3 +755,56 @@ def test_render_posed_nonblocking_lua_forward_lens(setup, tmp_path):
     py_sess.cmd("f_lens sinusoidal")
     py = np.asarray(py_sess.render_posed(frames, np.asarray(POSES)))
     np.testing.assert_array_equal(ref, py)
+
+
+def test_render_posed_nonblocking_failing_build_gives_up(setup, monkeypatch):
+    """A DETERMINISTICALLY failing background build must stop being
+    re-kicked (round-5 review): a host that catches the error and keeps
+    calling (the documented preview-loop usage) would otherwise burn a
+    full host rasterization per cycle forever.  After 3 consecutive
+    failures on one key, the sticky error re-raises immediately with no
+    new build; a key change resets the counter."""
+    import time
+
+    from blinky_tpu.api import Session
+    from blinky_tpu.lensmap import forward_raster
+
+    g, lens, scale, frames, bases = setup
+    attempts = []
+
+    def boom(lens_, globe_, scale_, w, h, *a, **kw):
+        if (w, h) == (W, H):
+            attempts.append((w, h))
+            raise RuntimeError("rasterizer exploded")
+        return real_build(lens_, globe_, scale_, w, h, *a, **kw)
+
+    real_build = forward_raster.build_forward
+    monkeypatch.setattr(forward_raster, "build_forward", boom)
+    sess = Session(W, H, platesize=S)
+    sess.cmd("f_lens sinusoidal")
+    poses = np.asarray(POSES)
+
+    def drain():
+        deadline = time.time() + 30
+        while sess.posed_pending and time.time() < deadline:
+            time.sleep(0.02)
+
+    for _ in range(3):  # kick -> preview; drain; next call raises
+        out = np.asarray(sess.render_posed(frames, poses, block=False))
+        assert out.shape == (B, H, W)
+        drain()
+        with pytest.raises(RuntimeError, match="rasterizer exploded"):
+            sess.render_posed(frames, poses, block=False)
+    n = len(attempts)
+    assert n == 3
+    # 4th call onward: sticky re-raise, NO new background rasterization
+    for _ in range(3):
+        with pytest.raises(RuntimeError, match="rasterizer exploded"):
+            sess.render_posed(frames, poses, block=False)
+    assert len(attempts) == n
+    # a key change (zoom) resets the give-up counter: a build is kicked
+    sess.cmd("f_fov 90")
+    out = np.asarray(sess.render_posed(frames, poses, block=False))
+    assert out.shape == (B, H, W)
+    drain()
+    assert len(attempts) == n + 1

@@ -481,3 +481,38 @@ def test_lens_cache_keyed_on_globe_generation():
     sess.cmd("f_fov 120")
     sess.render(synthetic_cubemap(48)[:4])
     assert sess.lens is lens_b
+
+
+def test_lens_cache_eviction_releases_lua_resources():
+    """Evicting a LensDef from the bounded cache calls its release hook
+    (unwinding coroutine threads a .lua script parked in its scalar
+    interpreters) — but NEVER for an object still in use: the oldest
+    entry can be the ACTIVE lens (plain dict, no move-to-end)."""
+    from types import SimpleNamespace
+
+    sess = Session(64, 48, backend="numpy")
+    sess.cmd("f_lens hammer")
+    cache = sess._lens_cache
+    released = []
+    spy = SimpleNamespace(release=lambda: released.append("spy"))
+    active = sess.lens
+    # rebuild the cache with the spy OLDEST, the active lens next-oldest,
+    # padded to the 64-entry bound so the next load evicts twice
+    entries = [(("spy", 0, None), spy)]
+    entries += [(k, v) for k, v in cache.items()]
+    for i in range(64 - len(entries)):
+        entries.append((("pad%d" % i, 0, None),
+                        SimpleNamespace(release=None)))
+    cache.clear()
+    cache.update(entries)
+    sess.cmd("f_lens stereographic")  # new load -> evicts the spy
+    assert released == ["spy"]
+    # next eviction reaches the ACTIVE-at-eviction-time lens entry:
+    # it must NOT be released (still referenced by identity caches)
+    assert next(iter(cache)) == list(dict(entries))[1]
+    active_release_calls = []
+    object.__setattr__(active, "release",
+                       lambda: active_release_calls.append(True))
+    sess.lens = active  # make it the active lens again
+    sess.cmd("f_lens fisheye1")  # evicts the (now-active) hammer entry
+    assert active_release_calls == []

@@ -770,3 +770,45 @@ def test_deterministic_posed_warm_failure_surfaces_inline(monkeypatch):
     ref = np.asarray(real_rp(
         v._posed_source(0), np.asarray([[0.0, 30.0, 0.0]])))[0]
     np.testing.assert_array_equal(out_live, ref)
+
+
+def test_expired_warm_join_refuses_concurrent_inline_render(monkeypatch):
+    """If the in-flight posed warm is STILL alive when the bounded join
+    expires, the blocking path must error out (a 500), not dispatch an
+    inline render concurrently with the warm thread's compile — the
+    exact race the join exists to prevent (round-5 review)."""
+    import threading
+
+    import blinky_tpu.viewer as viewer_mod
+
+    sess = Session(64, 48, platesize=32)
+    frames = np.stack([synthetic_cubemap(32)])
+    sess.cmd("f_lens eckert1; setviewangles 0 30 0")
+    v = Viewer(sess, frames)
+    out1 = v._render_posed_frame(0)  # warm key A inline
+
+    real = viewer_mod.Viewer._compile_posed_pipeline
+    started, gate = threading.Event(), threading.Event()
+
+    def slow(self, *a, **kw):
+        started.set()
+        assert gate.wait(30)
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(viewer_mod.Viewer, "_compile_posed_pipeline", slow)
+    sess.cmd("f_globe trism")  # new pipeline key B
+    np.testing.assert_array_equal(v._render_posed_frame(0), out1)  # kicks
+    assert started.wait(10)
+    v.POSED_JOIN_TIMEOUT = 0.05  # simulate a hung relay compile
+    rendered = []
+    monkeypatch.setattr(
+        type(sess), "render_posed",
+        lambda *a, **kw: rendered.append(True))
+    with pytest.raises(RuntimeError, match="still running"):
+        v._render_posed_frame(0, block=True)
+    assert rendered == []  # never dispatched concurrently
+    gate.set()  # let the warm finish; a later request now succeeds
+    t = v._posed_warming.get(v._posed_pipeline_key(v._posed_source(0)))
+    if t is not None:
+        t.join(10)
+    monkeypatch.undo()
