@@ -641,9 +641,9 @@ class Viewer:
                     if t.is_alive():
                         raise RuntimeError(
                             "posed pipeline compile still running after "
-                            "600 s; refusing a concurrent inline render "
-                            "— retry after the background compile "
-                            "finishes")
+                            f"{self.POSED_JOIN_TIMEOUT:g} s; refusing a "
+                            "concurrent inline render — retry after the "
+                            "background compile finishes")
         self._posed_stale = False
         pose = np.asarray([sess.view_angles], np.float64)
         out = np.asarray(sess.render_posed(
