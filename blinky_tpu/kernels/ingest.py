@@ -333,7 +333,7 @@ class CompactEquirectChain:
         import jax.numpy as jnp
 
         from blinky_tpu.kernels.remap import (
-            remap_gather_impl, remap_gather_tint_impl,
+            _remap_gather, _remap_gather_tint,
         )
 
         panos = jnp.asarray(panos, jnp.uint32)
@@ -341,13 +341,16 @@ class CompactEquirectChain:
             raise ValueError(f"panos must be [H, W, B] = "
                              f"{self.pano_hw + ('B',)}, got {panos.shape}")
         sub = self.sub(panos)  # [R, B] u32, sorted texel order
+        # stage 2 through the JITTED wrappers (the same executables
+        # RemapKernel warms): the bare impls ran eagerly — one relay
+        # dispatch per op instead of one fused call
         if rubix:
             tr, tm = self.remap.tint_rgb_mask
-            return remap_gather_tint_impl(
+            return _remap_gather_tint(
                 sub, self.cidx, self.remap.valid,
                 self.remap.background_rgba, tr, tm)
-        return remap_gather_impl(sub, self.cidx, self.remap.valid,
-                                 self.remap.background_rgba)
+        return _remap_gather(sub, self.cidx, self.remap.valid,
+                             self.remap.background_rgba)
 
 
 def equirect_screen_sharded(kernel: EquirectScreenKernel, panos, mesh,

@@ -262,20 +262,13 @@ def posed_remap_sharded(kernel: PosedRemapKernel, frames, bases, mesh):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    frames = jnp.asarray(frames)
-    if frames.dtype not in (jnp.uint8, jnp.uint32):
-        frames = frames.astype(jnp.uint8)
-    Pn, S, _, B = frames.shape
-    expanded = Pn == 2 * MAX_PLATES
-    if not expanded and Pn != MAX_PLATES:
-        frames = jnp.concatenate(
-            [frames, jnp.zeros((MAX_PLATES - Pn,) + frames.shape[1:], frames.dtype)],
-            axis=0,
-        )
     from blinky_tpu.parallel import data_axes
 
-    bases = jnp.asarray(bases, dtype=kernel.dtype)
-    src = jnp.transpose(frames, (3, 0, 1, 2)).reshape(B, -1)
+    # same validation/flattening as the non-sharded kernel (platesize,
+    # bases shape, u8/u32 frame-background pairing) — hand-rolling it
+    # here silently gathered mismatched inputs into garbage screens
+    src, bases, expanded = prep_posed_inputs(
+        frames, bases, kernel.platesize, kernel.dtype, kernel.background)
     rows = NamedSharding(mesh, P(data_axes(mesh), None))
     vecs = NamedSharding(mesh, P(data_axes(mesh), None))
     src = jax.device_put(src, rows)

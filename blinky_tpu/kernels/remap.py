@@ -366,28 +366,30 @@ def pack_rgba(rgb) -> np.ndarray:
     )
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _downsample_rgba(hi, k):
+    # module-level jit: a per-call closure would retrace + recompile on
+    # EVERY render_aa resolve (the executable cache keys on the wrapper
+    # object identity)
+    H, W = hi.shape[0] // k, hi.shape[1] // k
+    rest = hi.shape[2:]
+    out = jnp.full((H, W) + rest, jnp.uint32(0xFF) << 24)
+    for shift in (0, 8, 16):
+        c = ((hi >> shift) & 0xFF).astype(jnp.float32)
+        c = c.reshape((H, k, W, k) + rest).mean(axis=(1, 3))
+        out = out | (jnp.clip(c + 0.5, 0, 255).astype(jnp.uint32) << shift)
+    return out
+
+
 def downsample_rgba(hi, factor: int):
     """Box-average a packed-RGBA screen by ``factor`` along H and W —
     the resolve step of supersampled rendering (``Session.render_aa``).
     [kH, kW(, B)] u32 -> [H, W(, B)] u32, on device, per channel in f32
     with round-half-up."""
-    import jax
-
-    @functools.partial(jax.jit, static_argnums=(1,))
-    def run(hi, k):
-        H, W = hi.shape[0] // k, hi.shape[1] // k
-        rest = hi.shape[2:]
-        out = jnp.full((H, W) + rest, jnp.uint32(0xFF) << 24)
-        for shift in (0, 8, 16):
-            c = ((hi >> shift) & 0xFF).astype(jnp.float32)
-            c = c.reshape((H, k, W, k) + rest).mean(axis=(1, 3))
-            out = out | (jnp.clip(c + 0.5, 0, 255).astype(jnp.uint32) << shift)
-        return out
-
     hi = jnp.asarray(hi, jnp.uint32)
     if hi.shape[0] % factor or hi.shape[1] % factor:
         raise ValueError(f"screen {hi.shape[:2]} not divisible by {factor}")
-    return run(hi, int(factor))
+    return _downsample_rgba(hi, int(factor))
 
 
 def unpack_rgb(rgba) -> np.ndarray:
@@ -470,9 +472,19 @@ class RemapKernel:
             self.rgb_lut = None
         if background is None:
             background = np.zeros((self.height_px, self.width_px), np.uint8)
-        self.background_np = np.asarray(background, dtype=np.uint8)
-        self.background = jnp.asarray(self.background_np)
-        self._background_rgba = None
+        background = np.asarray(background)
+        if background.dtype == np.uint32:
+            # packed-RGBA background (true-color pipelines): keep it as
+            # the RGBA background directly — host_remap parity.  The
+            # old unconditional uint8 cast silently truncated it mod 256
+            # and then re-decoded the garbage through the palette.
+            self.background_np = background
+            self.background = None  # u8 paths raise on use (__call__)
+            self._background_rgba = jnp.asarray(background)
+        else:
+            self.background_np = background.astype(np.uint8, copy=False)
+            self.background = jnp.asarray(self.background_np)
+            self._background_rgba = None
 
     @property
     def flat_idx_rubix(self):
@@ -524,6 +536,12 @@ class RemapKernel:
                 [frames, jnp.zeros((pad,) + frames.shape[1:], frames.dtype)], axis=0
             )
 
+        if not is_rgba and self.background is None:
+            # mirror host_remap/prep_posed_inputs: a u32 background under
+            # a u8 source would silently promote the screen to a nonsense
+            # mix of palette indices and packed RGBA
+            raise ValueError("u8 frames need a u8 (palette-index) "
+                             "background, got uint32")
         if expanded or is_rgba:
             idx = self.flat_idx_rubix if (rubix and expanded) else self.flat_idx
             bg = self.background_rgba if is_rgba else self.background

@@ -12,6 +12,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -20,13 +21,36 @@ _DIR = Path(__file__).parent
 _SO = _DIR / "libblinky_native.so"
 _lib = None
 _tried = False
+_load_lock = threading.Lock()
 
 
 def _load():
+    # the lock serializes the first load: concurrent host threads are
+    # real here (viewer warm + async posed build + main render), and an
+    # unguarded check-then-act could run two overlapping `make` builds
+    # of the same .so (one thread CDLLs a half-written file) or make a
+    # thread arriving mid-build silently take the slow Python fallbacks
+    # for the process lifetime (_tried=True, _lib not yet set)
     global _lib, _tried
     if _tried:
         return _lib
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _lib = _build_and_bind()
+    # publish _tried LAST: the unlocked fast path reads it first, and
+    # seeing _tried=True with _lib still unset would silently pin that
+    # thread to the Python fallbacks while the build finishes
     _tried = True
+    return _lib
+
+
+def _build_and_bind():
     src = _DIR / "src" / "blinky_native.cpp"
     stale = not _SO.exists() or (
         src.exists() and src.stat().st_mtime > _SO.stat().st_mtime
@@ -50,8 +74,7 @@ def _load():
         _bind(lib)
     except AttributeError:
         return None  # stale .so missing newer symbols -> Python fallbacks
-    _lib = lib
-    return _lib
+    return lib
 
 
 def _bind(lib) -> None:
@@ -214,6 +237,10 @@ def libm_binary(op: int, a: np.ndarray, b: np.ndarray):
         return None
     a = _f64_contig(a)
     b = _f64_contig(b)
+    if a.size != b.size:
+        # the C loop reads b[0..a.size): a smaller b would be an
+        # out-of-bounds read (callers must broadcast first, xmath.py)
+        a, b = (np.ascontiguousarray(x) for x in np.broadcast_arrays(a, b))
     out = np.empty_like(a)
     lib.libm_binary(op, _f64(a), _f64(b), _f64(out), a.size)
     return out

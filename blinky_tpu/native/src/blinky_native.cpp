@@ -11,6 +11,7 @@
 
 #include <math.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -454,13 +455,26 @@ long gif_lzw_encode(const unsigned char* px, long n, int min_code_size,
   GifBitWriter w{out, cap, 0, 0, 0, false};
   int width = min_code_size + 1;
   int next = eoi + 1;
-  // (prefix_code, char) -> code table; flat array reset per CLEAR
-  static thread_local int* table = nullptr;
-  if (!table) table = new int[4096 * 256];
+  // (prefix_code, char) -> code table, rows indexed prefix*256+c.
+  // Entries are valid only when their epoch stamp matches: a CLEAR
+  // (which fires every ~4k symbols on photographic frames) is then an
+  // O(1) epoch bump instead of a 1M-entry sweep of the 4 MB table —
+  // the sweep cost ~2 GB of memory traffic per 1080p frame.  vectors,
+  // not raw new[]: freed at thread exit instead of leaking per thread.
+  static thread_local std::vector<int> table;
+  static thread_local std::vector<int> stamp;
+  static thread_local int epoch = 0;
+  if (table.empty()) {
+    table.assign(4096L * 256, 0);
+    stamp.assign(4096L * 256, 0);
+  }
   (void)nsym;
   auto reset = [&]() {
-    // rows are indexed prefix*256+c
-    for (long i = 0; i < 4096L * 256; ++i) table[i] = -1;
+    if (epoch == INT32_MAX) {  // stamp wrap: one real sweep, then reuse
+      std::fill(stamp.begin(), stamp.end(), 0);
+      epoch = 0;
+    }
+    ++epoch;
   };
   reset();
   w.put(clear, width);
@@ -469,7 +483,7 @@ long gif_lzw_encode(const unsigned char* px, long n, int min_code_size,
     for (long i = 1; i < n; ++i) {
       int c = px[i];
       long key = (long)prefix * 256 + c;
-      if (table[key] >= 0) { prefix = table[key]; continue; }
+      if (stamp[key] == epoch) { prefix = table[key]; continue; }
       w.put(prefix, width);
       if (w.overflow) return -1;
       if (next < 4096) {
@@ -479,6 +493,7 @@ long gif_lzw_encode(const unsigned char* px, long n, int min_code_size,
         // too early and desync at each power-of-two boundary
         if (next == (1 << width) && width < 12) width++;
         table[key] = next++;
+        stamp[key] = epoch;
       } else {
         w.put(clear, width);
         reset();
@@ -498,14 +513,17 @@ long gif_lzw_decode(const unsigned char* in, long nbytes, int min_code_size,
                     unsigned char* out, long cap) {
   if (min_code_size < 2 || min_code_size > 8) return -1;
   const int clear = 1 << min_code_size, eoi = clear + 1;
-  static thread_local int* prefix = nullptr;
-  static thread_local unsigned char* suffix = nullptr;
-  static thread_local unsigned char* stack = nullptr;
-  if (!prefix) {
-    prefix = new int[4096];
-    suffix = new unsigned char[4096];
-    stack = new unsigned char[4096];
+  // vectors, not raw new[]: freed at thread exit instead of leaking
+  static thread_local std::vector<int> prefix_v;
+  static thread_local std::vector<unsigned char> suffix_v, stack_v;
+  if (prefix_v.empty()) {
+    prefix_v.assign(4096, 0);
+    suffix_v.assign(4096, 0);
+    stack_v.assign(4096, 0);
   }
+  int* prefix = prefix_v.data();
+  unsigned char* suffix = suffix_v.data();
+  unsigned char* stack = stack_v.data();
   int width = min_code_size + 1;
   int next = eoi + 1;
   int prev = -1;

@@ -494,3 +494,64 @@ def test_equirect_ingest_subset_chain():
             np.testing.assert_array_equal(
                 sub.host(np.asarray(panos[:, :, b])),
                 np.asarray(faces_sub)[:, b])
+
+
+def test_remap_kernel_u32_background():
+    """A packed-RGBA u32 background is used DIRECTLY for u32 sources
+    (host_remap parity — the old path silently truncated it mod 256 and
+    re-decoded the garbage through the palette), and raises for u8
+    sources like host_remap/prep_posed_inputs (round-5 review)."""
+    from blinky_tpu import globes, lenses
+    from blinky_tpu.kernels.remap import RemapKernel, host_remap
+    from blinky_tpu.lensmap import Zoom, build_lensmap, calc_scale
+
+    rng = np.random.default_rng(5)
+    S = 16
+    g = globes.get("cube")
+    lens = lenses.get("hammer", g)  # ellipse bound: real invalid pixels
+    scale = calc_scale(Zoom("contain"), lens, 32, 24)
+    lm = build_lensmap(lens, g, scale, 32, 24, S, backend="numpy")
+    bg_u32 = pack_rgba(rng.integers(0, 256, (24, 32, 3), np.uint8))
+    frame = pack_rgba(rng.integers(0, 256, (6, S, S, 3), np.uint8))
+
+    k = RemapKernel(lm, default_palette(), background=bg_u32)
+    out = np.asarray(k(frame))
+    ref = host_remap(lm, frame, default_palette(), background=bg_u32)
+    np.testing.assert_array_equal(out, ref)
+    # invalid pixels show the GIVEN u32 background verbatim
+    assert (~lm.valid).any()
+    np.testing.assert_array_equal(out[~lm.valid], bg_u32[~lm.valid])
+
+    # u8 frames under a u32 background: raise, never silently mix
+    u8_frame = rng.integers(0, 256, (6, S, S), np.uint8)
+    with pytest.raises(ValueError, match="u8 .*background"):
+        k(u8_frame)
+    with pytest.raises(ValueError, match="u8 .*background"):
+        host_remap(lm, u8_frame, default_palette(), background=bg_u32)
+
+
+def test_posed_remap_sharded_validates_inputs():
+    """The sharded posed path shares prep_posed_inputs with the
+    non-sharded kernel (round-5 review): platesize and u8/u32
+    frame-background mismatches must raise, not gather garbage."""
+    import jax
+    from jax.sharding import Mesh
+
+    from blinky_tpu import globes, lenses
+    from blinky_tpu.kernels.posed import PosedRemapKernel, posed_remap_sharded
+    from blinky_tpu.lensmap import Zoom, calc_scale
+
+    rng = np.random.default_rng(7)
+    S = 16
+    g = globes.get("cube")
+    lens = lenses.get("panini", g)
+    scale = calc_scale(Zoom("fov", 120), lens, 32, 24)
+    k = PosedRemapKernel(lens, g, 32, 24, scale, platesize=S)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    bases = np.tile(np.eye(3, dtype=np.float32), (2, 1, 1))
+    wrong_size = rng.integers(0, 256, (6, S + 4, S + 4, 2), np.uint8)
+    with pytest.raises(ValueError, match="platesize"):
+        posed_remap_sharded(k, wrong_size, bases, mesh)
+    rgba = pack_rgba(rng.integers(0, 256, (6, S, S, 2, 3), np.uint8))
+    with pytest.raises(ValueError, match="RGBA .*background"):
+        posed_remap_sharded(k, rgba, bases, mesh)  # u8 zero background
