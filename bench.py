@@ -41,11 +41,38 @@ def device_alive(timeout_s=90.0, attempts=3, sleep_s=45.0) -> bool:
     return False
 
 
+def parse_configs_arg(argv):
+    """``--configs 0,2,5-7`` -> [0, 2, 5, 6, 7]; None when absent.
+
+    Subset selector for ``--all`` / ``--check[-update]``: the full config
+    suite runs ~15-20 min on the chip, past most bounded CI/driver slots,
+    so the gate must be runnable (and a baseline refresh mergeable) in
+    segments."""
+    if "--configs" not in argv:
+        return None
+    try:
+        spec = argv[argv.index("--configs") + 1]
+    except IndexError:
+        raise SystemExit("--configs needs an argument, e.g. 0,2,5-7")
+    out = []
+    for part in spec.split(","):
+        if "-" in part.lstrip("-"):
+            lo, hi = part.split("-", 1)
+            out.extend(range(int(lo), int(hi) + 1))
+        else:
+            out.append(int(part))
+    return out
+
+
 def main() -> None:
     batch = 1024
     iters = 8
+    # NOTE: "--configs" (the gate's subset selector) is a TOP-LEVEL flag,
+    # not an internal one — match the internal spellings exactly so a
+    # subset gate still runs the device_alive probe.
     internal = any(
-        a.startswith(("--config", "--headline", "--calibrate-probe"))
+        a.startswith(("--config4k", "--config-", "--headline",
+                      "--calibrate-probe"))
         for a in sys.argv)
     # only the --sharded branch actually FORCES the CPU platform via
     # jax.config (the axon plugin ignores the JAX_PLATFORMS env var) —
@@ -68,7 +95,8 @@ def main() -> None:
         # the full BASELINE.json config suite: one JSON line per config
         from blinky_tpu.bench.configs import run_all
 
-        for r in run_all(quick="--quick" in sys.argv):
+        for r in run_all(quick="--quick" in sys.argv,
+                         only=parse_configs_arg(sys.argv)):
             print(json.dumps(r))
         return
     if "--check" in sys.argv or "--check-update" in sys.argv:
@@ -76,10 +104,14 @@ def main() -> None:
         # re-run the config suite, compare against the committed
         # bench_baseline.json, exit nonzero naming the offenders.  The
         # documented pre-commit step for compute-path changes.
+        # --configs 0,2,5-7 runs/gates a subset so the gate fits a
+        # bounded slot (the full suite is ~15-20 min on the chip);
+        # a partial --check-update merges into the committed baseline.
         from blinky_tpu.bench.check import run_check
 
         sys.exit(run_check(quick="--quick" in sys.argv,
-                           update="--check-update" in sys.argv))
+                           update="--check-update" in sys.argv,
+                           only=parse_configs_arg(sys.argv)))
     if "--calibrate-probe" in sys.argv:
         # (internal, own process) one OOM-boundary feasibility attempt
         from blinky_tpu.bench.calibrate import run_probe

@@ -161,19 +161,41 @@ def save_baseline(results, mode, path=None):
     return path
 
 
-def run_check(quick=False, update=False, fps_tol=FPS_TOL, ms_tol=MS_TOL):
-    """Entry for ``bench.py --check[-update]``.  Returns process exit
-    code; prints one JSON line per config plus the gate verdict."""
+def run_check(quick=False, update=False, fps_tol=FPS_TOL, ms_tol=MS_TOL,
+              only=None):
+    """Entry for ``bench.py --check[-update] [--configs 0,2,5-7]``.
+    Returns process exit code; prints one JSON line per config plus the
+    gate verdict.
+
+    ``only`` restricts the run to a subset of config indices so the gate
+    fits a bounded slot (the full suite is ~15-20 min on the chip):
+    comparison then gates only the selected configs, and an update
+    MERGES the re-measured configs into the committed baseline (the
+    unselected entries are kept verbatim — a partial update must never
+    silently drop the rest of the suite from the gate)."""
     from blinky_tpu.bench.configs import run_all
 
     mode = "quick" if quick else "full"
-    results = run_all(quick=quick)
+    results = run_all(quick=quick, only=only)
     for r in results:
         print(json.dumps(r))
     if update:
+        if only is not None:
+            base_mode, baseline = load_baseline()
+            if base_mode != mode:
+                print(json.dumps({
+                    "metric": "bench_check", "status": "mode-mismatch",
+                    "baseline_mode": base_mode, "run_mode": mode,
+                    "hint": "a partial --check-update merges into the "
+                            "committed baseline; modes must match"}))
+                return 2
+            new_by_id = {r.get("config"): r for r in results}
+            results = [new_by_id.pop(b.get("config"), b) for b in baseline]
+            results.extend(new_by_id.values())  # brand-new configs append
         path = save_baseline(results, mode)
         print(json.dumps({"metric": "bench_check", "status": "updated",
-                          "baseline": str(path), "mode": mode}))
+                          "baseline": str(path), "mode": mode,
+                          "configs": sorted(r.get("config") for r in results)}))
         return 0
     base_mode, baseline = load_baseline()
     if base_mode != mode:
@@ -182,6 +204,9 @@ def run_check(quick=False, update=False, fps_tol=FPS_TOL, ms_tol=MS_TOL):
             "baseline_mode": base_mode, "run_mode": mode,
             "hint": "re-run with the baseline's mode or --check-update"}))
         return 2
+    if only is not None:
+        sel = set(only)
+        baseline = [b for b in baseline if b.get("config") in sel]
     failures = compare_results(baseline, results,
                                fps_tol=fps_tol, ms_tol=ms_tol)
     print(json.dumps({

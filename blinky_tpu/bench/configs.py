@@ -345,15 +345,27 @@ def config7_equirect(quick=False):
     return out
 
 
-def run_all(quick=False):
-    out = [
-        config0_saveglobe_roundtrip(),
-        config1_zoom_sweep(),
-        config2_cartographic(),
-        config3_low_poly(),
-        config4_batched_demo(quick=quick),
-        config5_pose_playback(quick=quick),
-        config6_4k(quick=quick),
-        config7_equirect(quick=quick),
+def run_all(quick=False, only=None):
+    """Run the BASELINE config suite; ``only`` (an iterable of config
+    indices) selects a subset — the full suite runs ~15-20 min on the
+    chip, past most CI/driver slot bounds, so the gate must be
+    splittable into bounded segments (``bench.py --check --configs``)."""
+    fns = [
+        lambda: config0_saveglobe_roundtrip(),
+        lambda: config1_zoom_sweep(),
+        lambda: config2_cartographic(),
+        lambda: config3_low_poly(),
+        lambda: config4_batched_demo(quick=quick),
+        lambda: config5_pose_playback(quick=quick),
+        lambda: config6_4k(quick=quick),
+        lambda: config7_equirect(quick=quick),
     ]
-    return out
+    if only is None:
+        sel = range(len(fns))
+    else:
+        sel = sorted(set(only))
+        bad = [i for i in sel if not 0 <= i < len(fns)]
+        if bad:
+            raise ValueError(f"unknown config indices {bad}; "
+                             f"valid: 0-{len(fns) - 1}")
+    return [fns[i]() for i in sel]

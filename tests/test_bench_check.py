@@ -140,6 +140,108 @@ def test_suffixed_metric_keys_are_gated():
     assert any("warp_ms_scale2" in f for f in fails)
 
 
+def _patched_gate(monkeypatch, tmp_path, measured, baseline=BASE,
+                  mode="full"):
+    """Point the gate at a temp baseline and a canned run_all result."""
+    from blinky_tpu.bench import check, configs
+
+    p = tmp_path / "baseline.json"
+    save_baseline(json.loads(json.dumps(baseline)), mode, p)
+    monkeypatch.setattr(check, "BASELINE_PATH", p)
+    calls = {}
+
+    def fake_run_all(quick=False, only=None):
+        calls["only"] = only
+        sel = set(range(8)) if only is None else set(only)
+        return [json.loads(json.dumps(r)) for r in measured
+                if r["config"] in sel]
+
+    monkeypatch.setattr(configs, "run_all", fake_run_all)
+    return check, p, calls
+
+
+def test_check_subset_gates_only_selected_configs(
+        tmp_path, monkeypatch, capsys):
+    """--configs runs/gates a subset: the unselected baseline configs
+    must NOT fail as 'missing from run' (the full suite is ~15-20 min
+    on the chip — the gate has to fit bounded CI/driver slots in
+    segments)."""
+    measured = _clone()
+    measured[0]["plain_fps"] = 1.0  # config 4 regressed — but unselected
+    check, _, calls = _patched_gate(monkeypatch, tmp_path, measured)
+    assert check.run_check(only=[0, 1]) == 0
+    assert calls["only"] == [0, 1]
+    out = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert out[-1]["status"] == "pass"
+    # selecting the regressed config trips it
+    assert check.run_check(only=[4]) == 1
+    out = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert out[-1]["status"] == "fail"
+    assert any("plain_fps" in f for f in out[-1]["failures"])
+
+
+def test_partial_check_update_merges_into_baseline(
+        tmp_path, monkeypatch, capsys):
+    """A --configs N --check-update must merge the re-measured configs
+    into the committed baseline, keeping every unselected entry verbatim
+    — a partial refresh must never silently drop the rest of the suite
+    from the gate."""
+    measured = _clone()
+    measured[0]["plain_fps"] = 50000.0  # config 4, intended improvement
+    measured.append({"config": 9, "name": "brand-new", "new_fps": 1.0})
+    check, p, _ = _patched_gate(monkeypatch, tmp_path, measured)
+    assert check.run_check(update=True, only=[4, 9]) == 0
+    mode, merged = load_baseline(p)
+    assert mode == "full"
+    by_id = {r["config"]: r for r in merged}
+    assert by_id[4]["plain_fps"] == 50000.0     # refreshed
+    assert by_id[0] == BASE[1]                  # kept verbatim
+    assert by_id[1] == BASE[2]
+    assert by_id[9]["name"] == "brand-new"      # new config appended
+    # mode mismatch refuses the merge (quick numbers into a full file)
+    assert check.run_check(update=True, only=[4], quick=True) == 2
+
+
+def test_full_check_update_still_replaces_wholesale(
+        tmp_path, monkeypatch, capsys):
+    measured = [{"config": 0, "name": "only", "fps": 1.0}]
+    check, p, _ = _patched_gate(monkeypatch, tmp_path, measured)
+    assert check.run_check(update=True) == 0
+    _, new = load_baseline(p)
+    assert new == measured
+
+
+def test_parse_configs_arg():
+    import bench
+
+    assert bench.parse_configs_arg(["bench.py", "--check"]) is None
+    assert bench.parse_configs_arg(
+        ["bench.py", "--check", "--configs", "0,2,5-7"]) == [0, 2, 5, 6, 7]
+    assert bench.parse_configs_arg(["x", "--configs", "3"]) == [3]
+    with pytest.raises(SystemExit):
+        bench.parse_configs_arg(["x", "--configs"])
+
+
+def test_run_all_rejects_unknown_config_index():
+    from blinky_tpu.bench.configs import run_all
+
+    with pytest.raises(ValueError, match="unknown config indices"):
+        run_all(only=[99])
+
+
+def test_configs_flag_is_not_an_internal_marker():
+    """--configs is a top-level gate flag: it must not match bench.py's
+    internal-flag detector (which skips the bounded device_alive probe —
+    a subset gate against a dead relay would hang unbounded)."""
+    internal_prefixes = ("--config4k", "--config-", "--headline",
+                         "--calibrate-probe")
+    assert not any("--configs".startswith(p) for p in internal_prefixes)
+    for real_internal in ("--config4k-plain", "--config-eq-texels",
+                          "--config-rowcrop-rubix", "--headline-compact",
+                          "--calibrate-probe"):
+        assert any(real_internal.startswith(p) for p in internal_prefixes)
+
+
 def test_device_resident_ms_uses_tight_tolerance():
     """device_ms / per_frame_ms / ms_per_batch are fused on-device
     measurement loops (a few % run-to-run): a 1.5x slowdown must trip
